@@ -1,0 +1,336 @@
+"""HashSnapshotSink — an atomic, bucket-pruned, exactly-once parquet table.
+
+Role in the design: the production sink is Iceberg ``MERGE INTO``
+(``sinks/iceberg.py``; merge-on-read, file-level pruning, snapshot
+isolation). This sandbox has no Iceberg jars (SURVEY.md §7.4), so this
+module implements the same *contract* over plain parquet — a mini table
+format:
+
+- **Atomic snapshot swap** — every commit writes data files under a fresh
+  commit dir, then publishes a JSON manifest via ``os.rename`` (atomic on
+  POSIX). Readers resolve the highest committed manifest; a crashed commit
+  leaves only unreferenced files. This is the reference's staging-table +
+  rename-in-transaction (``modules/DestinationTableManager.py::rename_table``
+  — SURVEY.md §2.1 W4) re-expressed as snapshot isolation.
+- **Hash-bucket layout** — rows are laid out by
+  ``pmod(xxhash64(bucket_key), n_buckets)``. A MERGE only reads & rewrites
+  the buckets its batch touches; untouched buckets are carried into the new
+  manifest as file references (metadata-only). At 10^10 rows this is the
+  difference between rewriting the table per micro-batch and rewriting
+  ~(touched buckets / n_buckets) of it — the parquet-fallback analog of
+  Iceberg's file-level MERGE pruning.
+- **Exactly-once commit manifests** — each manifest records the set of
+  applied epoch ids; re-applying a committed epoch is a no-op
+  (``merge(...)`` returns ``skipped=True``). This formalizes the reference's
+  commit-version-after-apply ordering contract (SURVEY.md §3.2 note) into a
+  transactional idempotence key, which `foreachBatch` (at-least-once) needs.
+
+Single-writer per table, like the reference. Manifests accumulate epoch ids
+and file references; a production deployment compacts old manifests/files
+(Iceberg: snapshot expiry) — out of scope here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from glob import glob
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from relational_data_loader_spark.operators.watermark import bucket_expr
+from relational_data_loader_spark.spec import IngestSpec
+
+_BUCKET_COL = "_bucket"
+
+
+@dataclass
+class MergeStats:
+    epoch_id: int
+    skipped: bool
+    touched_buckets: int
+    rows_upserted: int
+    rows_deleted: int
+    watermark: int
+    wall_ms: int
+    # per-bucket (partition_id, max_applied_lsn, rows_upserted, rows_deleted)
+    # rows for the _rdl_state lineage table (FIXTURES.md F4)
+    bucket_stats: list[dict] | None = None
+
+
+class SnapshotTable:
+    """A versioned parquet table addressed by manifest, bucketed on the first PK."""
+
+    def __init__(self, spark: SparkSession, path: str, spec: IngestSpec):
+        self.spark = spark
+        self.path = path
+        self.spec = spec
+        self.bucket_key = spec.primary_keys[0]
+        self.n_buckets = spec.target_buckets
+        os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+
+    # ---- manifest plumbing -------------------------------------------------
+
+    def _manifest_files(self) -> list[str]:
+        return sorted(glob(os.path.join(self.path, "_manifests", "v*.json")))
+
+    def current_manifest(self) -> dict[str, Any] | None:
+        files = self._manifest_files()
+        if not files:
+            return None
+        with open(files[-1]) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self.current_manifest() is not None
+
+    def _commit(self, manifest: dict[str, Any]) -> dict[str, Any]:
+        files = self._manifest_files()
+        version = 1 + (
+            int(os.path.basename(files[-1])[1:-5]) if files else 0
+        )
+        manifest["version"] = version
+        manifest["committed_at"] = time.time()
+        tmp = os.path.join(self.path, "_manifests", f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # the atomic commit point
+        return manifest
+
+    # ---- write paths ---------------------------------------------------------
+
+    def _write_buckets(self, df: DataFrame) -> dict[str, list[str]]:
+        """Write df grouped into per-bucket parquet files under a fresh commit dir.
+
+        ``partitionBy(_bucket)`` makes each task stream its rows into
+        per-bucket files without a preceding shuffle; AQE-coalesced upstream
+        partitions bound the file count.
+        """
+        commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        (
+            df.withColumn(
+                _BUCKET_COL, bucket_expr(self.bucket_key, self.n_buckets)
+            )
+            .write.partitionBy(_BUCKET_COL)
+            .parquet(commit_dir)
+        )
+        buckets: dict[str, list[str]] = {}
+        for f in glob(os.path.join(commit_dir, f"{_BUCKET_COL}=*", "*.parquet")):
+            b = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+            buckets.setdefault(b, []).append(os.path.relpath(f, self.path))
+        return buckets
+
+    def full_refresh(
+        self, df: DataFrame, epoch_id: int = 0, watermark: int = 0
+    ) -> dict[str, Any]:
+        """Atomic whole-table (re)load — the reference's stage + rename swap (W4)."""
+        buckets = self._write_buckets(df.select(*self._dest_cols()))
+        return self._commit(
+            {
+                "buckets": buckets,
+                "applied_epochs": [epoch_id],
+                "watermark": watermark,
+                "spec_checksum": self.spec.checksum(),
+                "spec_json": self.spec.to_json(),
+                "schema": self.spec.destination_schema().json(),
+                "kind": "full_refresh",
+            }
+        )
+
+    # ---- read path -----------------------------------------------------------
+
+    def _dest_cols(self) -> list[str]:
+        return [c.destination for c in self.spec.columns]
+
+    def _read_files(self, relpaths: list[str]) -> DataFrame:
+        schema = self.spec.destination_schema()
+        if not relpaths:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, p) for p in relpaths]
+        # explicit schema: files from before an additive evolution simply
+        # yield NULL for the new columns (parquet read-by-name)
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read(self) -> DataFrame:
+        m = self.current_manifest()
+        if m is None:
+            return self.spark.createDataFrame([], self.spec.destination_schema())
+        rels = [p for files in m["buckets"].values() for p in files]
+        return self._read_files(rels)
+
+    def watermark(self) -> int:
+        m = self.current_manifest()
+        return int(m["watermark"]) if m else -1
+
+    def applied_epochs(self) -> set[int]:
+        m = self.current_manifest()
+        return set(m.get("applied_epochs", [])) if m else set()
+
+    # ---- MERGE ---------------------------------------------------------------
+
+    def merge(self, netted: DataFrame, epoch_id: int) -> MergeStats:
+        """Apply a netted change batch (one row per PK, max-lsn op wins).
+
+        Contract of ``netted``: columns = (lsn, op, pk..., payload...) with a
+        single row per primary key (see operators/lww.net_changes). Envelope
+        semantics mirror the reference's staged upsert+delete
+        (``modules/DestinationTableManager.py::upsert_table_from_stage`` W1 +
+        delete builder W2), fused into one plan:
+
+          survivors = touched_target ANTI JOIN batch_keys   (AQE broadcasts
+                      the key side when small — no shuffle of the target)
+          new_rows  = batch where op != D                   (full-row payload,
+                      exactly the reference's full-row upsert)
+          bucket data = survivors UNION new_rows            (rewrite touched
+                      buckets only; untouched buckets carried by reference)
+        """
+        t0 = time.time()
+        spec = self.spec
+        pks = spec.primary_keys
+        m = self.current_manifest()
+        if m is None:
+            raise RuntimeError(
+                f"target {spec.name!r} has no committed snapshot; run full_refresh first"
+            )
+        if epoch_id in set(m.get("applied_epochs", [])):
+            return MergeStats(epoch_id, True, 0, 0, 0, int(m["watermark"]), 0)
+
+        netted = netted.persist()
+        try:
+            # per-bucket stats: touched buckets, counts, max lsn (small collect)
+            stat_rows = (
+                netted.groupBy(
+                    bucket_expr(self.bucket_key, self.n_buckets).alias("b")
+                )
+                .agg(
+                    F.max(spec.lsn_column).alias("max_lsn"),
+                    F.sum(
+                        F.when(F.col(spec.op_column) != spec.delete_op, 1).otherwise(0)
+                    ).alias("ups"),
+                    F.sum(
+                        F.when(F.col(spec.op_column) == spec.delete_op, 1).otherwise(0)
+                    ).alias("dels"),
+                )
+                .collect()
+            )
+            if not stat_rows:
+                manifest = dict(m)
+                manifest["applied_epochs"] = sorted(set(m["applied_epochs"]) | {epoch_id})
+                manifest["kind"] = "merge_empty"
+                self._commit(manifest)
+                return MergeStats(
+                    epoch_id, False, 0, 0, 0, int(m["watermark"]),
+                    int((time.time() - t0) * 1000),
+                )
+
+            touched = sorted(int(r["b"]) for r in stat_rows)
+            ups = int(sum(r["ups"] for r in stat_rows))
+            dels = int(sum(r["dels"] for r in stat_rows))
+            batch_max_lsn = int(max(r["max_lsn"] for r in stat_rows))
+
+            touched_rels = [
+                p for b in touched for p in m["buckets"].get(str(b), [])
+            ]
+            target = self._read_files(touched_rels)
+
+            batch_keys = netted.select(*pks)
+            survivors = target.join(batch_keys, on=pks, how="left_anti")
+            new_rows = netted.filter(
+                F.col(spec.op_column) != spec.delete_op
+            ).select(*self._dest_cols())
+            merged = survivors.unionByName(new_rows)
+
+            new_buckets = self._write_buckets(merged)
+
+            buckets = {
+                b: files
+                for b, files in m["buckets"].items()
+                if int(b) not in set(touched)
+            }
+            buckets.update(new_buckets)
+            manifest = {
+                "buckets": buckets,
+                "applied_epochs": sorted(set(m["applied_epochs"]) | {epoch_id}),
+                "watermark": max(int(m["watermark"]), batch_max_lsn),
+                "spec_checksum": spec.checksum(),
+                "spec_json": spec.to_json(),
+                "schema": m["schema"],
+                "kind": "merge",
+                "epoch_id": epoch_id,
+            }
+            self._commit(manifest)
+            return MergeStats(
+                epoch_id,
+                False,
+                len(touched),
+                ups,
+                dels,
+                manifest["watermark"],
+                int((time.time() - t0) * 1000),
+                bucket_stats=[
+                    {
+                        "partition_id": int(r["b"]),
+                        "max_applied_lsn": int(r["max_lsn"]),
+                        "rows_upserted": int(r["ups"]),
+                        "rows_deleted": int(r["dels"]),
+                    }
+                    for r in stat_rows
+                ],
+            )
+        finally:
+            netted.unpersist()
+
+    # ---- schema evolution ------------------------------------------------------
+
+    def evolve(self, new_spec: IngestSpec, renames: list[tuple[str, str]]) -> None:
+        """Additive/rename evolution (FIXTURES.md F3 cases a+b).
+
+        Additive columns are metadata-only: the read path passes the new
+        schema explicitly and parquet read-by-name yields NULL for files
+        written before the evolution (exactly Iceberg add-column semantics).
+        Renames rewrite the snapshot here (parquet has no field ids); on the
+        Iceberg sink a rename is metadata-only — the cost difference is the
+        sink's, not the engine's, and is documented in sinks/iceberg.py.
+        """
+        if renames:
+            df = self.read()
+            for old, new in renames:
+                df = df.withColumnRenamed(old, new)
+            m = self.current_manifest()
+            old_spec = self.spec
+            self.spec = new_spec
+            self.bucket_key = new_spec.primary_keys[0]
+            for c in new_spec.columns:
+                if c.destination not in df.columns:
+                    df = df.withColumn(c.destination, F.lit(None).cast(c.spark_type))
+            buckets = self._write_buckets(df.select(*self._dest_cols()))
+            self._commit(
+                {
+                    "buckets": buckets,
+                    "applied_epochs": m["applied_epochs"],
+                    "watermark": m["watermark"],
+                    "spec_checksum": new_spec.checksum(),
+                    "spec_json": new_spec.to_json(),
+                    "schema": new_spec.destination_schema().json(),
+                    "kind": "evolve_rename",
+                }
+            )
+            del old_spec
+        else:
+            m = self.current_manifest()
+            self.spec = new_spec
+            manifest = dict(m)
+            manifest["spec_checksum"] = new_spec.checksum()
+            manifest["spec_json"] = new_spec.to_json()
+            manifest["schema"] = new_spec.destination_schema().json()
+            manifest["kind"] = "evolve_add"
+            self._commit(manifest)

@@ -1,0 +1,247 @@
+"""Ingest spec — the engine's declarative "model config".
+
+Mirrors the reference's per-table JSON model configuration
+(``modules/DataLoadManager.py`` config loading; README "model
+configuration" — SURVEY.md §1.1): source table, column mappings
+(source name -> destination name + declared type), primary keys, and
+batch sizing. Like the reference, a *change* to the spec is detected by
+checksum and classified: additive / rename changes evolve the target
+schema in place; breaking changes force a full refresh (the reference's
+only schema-evolution story, SURVEY.md §1.2).
+
+The spec is the engine's entire "query language", exactly as in the
+reference: there is no user expression surface beyond column mapping,
+type casting, and the optional vectorized transforms registry.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import types as T
+
+# Model-JSON type keyword -> Spark type (SURVEY.md §1.2 type table).
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "datetime": T.TimestampType(),
+    "date": T.DateType(),
+    "guid": T.StringType(),
+    "uuid": T.StringType(),
+    "json": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def spark_type(type_name: str) -> T.DataType:
+    """Resolve a model-JSON type keyword (e.g. ``decimal(12,2)``) to a Spark type."""
+    name = type_name.strip().lower()
+    if name.startswith(("decimal", "numeric")):
+        if "(" in name:
+            p, s = name[name.index("(") + 1 : name.rindex(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        return T.DecimalType(38, 18)
+    if name not in _TYPE_MAP:
+        raise ValueError(f"unknown model type: {type_name!r}")
+    return _TYPE_MAP[name]
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    """One column mapping: source name -> destination name + declared type.
+
+    Reference: the ``columns[]`` array of the model JSON
+    (``modules/data_sources/*`` select builders apply the mapping;
+    SURVEY.md §2.1 P1/P2).
+    """
+
+    source: str
+    destination: str
+    type: str
+    primary_key: bool = False
+    nullable: bool = True
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return spark_type(self.type)
+
+
+@dataclass
+class IngestSpec:
+    """One destination table's ingest model.
+
+    Reference: one JSON model file per destination table
+    (``modules/DataLoadManager.py::start_single_import`` — SURVEY.md §2.1 C5).
+    """
+
+    name: str                               # destination table name
+    source: str                             # source locator, e.g. parquet:///path, csv:///path
+    columns: list[ColumnSpec] = field(default_factory=list)
+    batch_size: int = 100_000               # micro-batch sizing hint (maxFilesPerTrigger analog)
+    lsn_column: str = "lsn"                 # change-version column (SYS_CHANGE_VERSION analog)
+    op_column: str = "op"                   # change-operation column (SYS_CHANGE_OPERATION analog)
+    delete_op: str = "D"
+    upsert_ops: tuple[str, ...] = ("I", "U")
+    target_buckets: int = 16                # hash buckets on first PK col for the snapshot sink
+    salt_buckets: int = 0                   # >0: salt pre-aggregation repartition for hot keys
+    transforms: dict[str, str] = field(default_factory=dict)
+    # destination column -> named vectorized transform (functions/registry.py);
+    # the reference has no user extension point (SURVEY.md §2.2 "UDF surface");
+    # this is our single, Arrow-vectorized one.
+
+    # ---- derived --------------------------------------------------------
+
+    @property
+    def primary_keys(self) -> list[str]:
+        pks = [c.destination for c in self.columns if c.primary_key]
+        if not pks:
+            raise ValueError(f"spec {self.name!r} declares no primary key")
+        return pks
+
+    @property
+    def payload_columns(self) -> list[str]:
+        return [c.destination for c in self.columns if not c.primary_key]
+
+    def destination_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.destination, c.spark_type, c.nullable) for c in self.columns]
+        )
+
+    def change_schema(self) -> T.StructType:
+        """Schema of the change envelope: (lsn, op, pk..., payload-nullable...).
+
+        Mirrors a CHANGETABLE(CHANGES ...) row left-joined to the base table
+        (SURVEY.md §1.1 "Change envelope"): payload columns are NULL on D.
+        """
+        fields = [
+            T.StructField(self.lsn_column, T.LongType(), False),
+            T.StructField(self.op_column, T.StringType(), False),
+        ]
+        for c in self.columns:
+            # PKs present on every envelope; payloads nullable (null on delete)
+            fields.append(
+                T.StructField(c.source, c.spark_type, not c.primary_key or c.nullable)
+            )
+        return T.StructType(fields)
+
+    # ---- checksum & evolution -------------------------------------------
+
+    def checksum(self) -> str:
+        """Stable config checksum; a change triggers evolution / full refresh.
+
+        Reference: config-change detection in ``modules/DataLoadManager.py``
+        (SURVEY.md §1.2 "Schema system").
+        """
+        doc = {
+            "name": self.name,
+            "columns": [
+                [c.source, c.destination, c.type, c.primary_key, c.nullable]
+                for c in self.columns
+            ],
+        }
+        return hashlib.sha256(json.dumps(doc, sort_keys=True).encode()).hexdigest()
+
+    def diff(self, old: "IngestSpec") -> "SpecDiff":
+        """Classify the change old -> self per SURVEY.md §7.1 M4 / FIXTURES.md F3.
+
+        - additive: new destination columns (old rows get NULL) -> in-place evolve
+        - rename: same source+type, new destination name -> metadata rename
+        - breaking: type change, PK change, or dropped column -> full refresh
+        """
+        old_by_src = {c.source: c for c in old.columns}
+        new_by_src = {c.source: c for c in self.columns}
+        added, renamed, breaking = [], [], []
+        for src, c in new_by_src.items():
+            o = old_by_src.get(src)
+            if o is None:
+                added.append(c)
+            else:
+                if o.type != c.type or o.primary_key != c.primary_key:
+                    breaking.append(c)
+                elif o.destination != c.destination:
+                    renamed.append((o.destination, c.destination))
+        for src in old_by_src:
+            if src not in new_by_src:
+                breaking.append(old_by_src[src])
+        return SpecDiff(added=added, renamed=renamed, breaking=breaking)
+
+    # ---- (de)serialization ----------------------------------------------
+
+    def to_json(self) -> str:
+        doc: dict[str, Any] = {
+            "name": self.name,
+            "source": self.source,
+            "batch_size": self.batch_size,
+            "lsn_column": self.lsn_column,
+            "op_column": self.op_column,
+            "delete_op": self.delete_op,
+            "upsert_ops": list(self.upsert_ops),
+            "target_buckets": self.target_buckets,
+            "salt_buckets": self.salt_buckets,
+            "transforms": self.transforms,
+            "columns": [
+                {
+                    "source": c.source,
+                    "destination": c.destination,
+                    "type": c.type,
+                    "primary_key": c.primary_key,
+                    "nullable": c.nullable,
+                }
+                for c in self.columns
+            ],
+        }
+        return json.dumps(doc, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "IngestSpec":
+        doc = json.loads(text)
+        return cls(
+            name=doc["name"],
+            source=doc["source"],
+            columns=[ColumnSpec(**c) for c in doc["columns"]],
+            batch_size=doc.get("batch_size", 100_000),
+            lsn_column=doc.get("lsn_column", "lsn"),
+            op_column=doc.get("op_column", "op"),
+            delete_op=doc.get("delete_op", "D"),
+            upsert_ops=tuple(doc.get("upsert_ops", ("I", "U"))),
+            target_buckets=doc.get("target_buckets", 16),
+            salt_buckets=doc.get("salt_buckets", 0),
+            transforms=doc.get("transforms", {}),
+        )
+
+
+@dataclass
+class SpecDiff:
+    added: list[ColumnSpec]
+    renamed: list[tuple[str, str]]
+    breaking: list[Any]
+
+    @property
+    def is_breaking(self) -> bool:
+        return bool(self.breaking)
+
+    @property
+    def is_noop(self) -> bool:
+        return not (self.added or self.renamed or self.breaking)
+
+
+def transcripts_spec(source: str = "", **overrides: Any) -> IngestSpec:
+    """The flagship spec: multi-turn transcript table per BASELINE.json input_hint."""
+    cols = [
+        ColumnSpec("conv_id", "conv_id", "string", primary_key=True, nullable=False),
+        ColumnSpec("turn_idx", "turn_idx", "int", primary_key=True, nullable=False),
+        ColumnSpec("role", "role", "string"),
+        ColumnSpec("text", "text", "string"),
+        ColumnSpec("tool", "tool", "string"),
+        ColumnSpec("ts", "ts", "datetime"),
+    ]
+    kwargs: dict[str, Any] = dict(name="transcripts", source=source, columns=cols)
+    kwargs.update(overrides)
+    return IngestSpec(**kwargs)
