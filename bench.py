@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + end-to-end CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+- per-query seconds for every catalog query (full evaluation via the noop
+  sink — nothing is collected to the driver);
+- cdc_full_refresh / cdc_incremental_merge: the engine's flagship path over
+  a deterministic JVM-generated transcript change log (cached on first run);
+- cdc_replay_events_per_sec: headline throughput (events applied / wall sec
+  across the full replay).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     RDL_BENCH_EVENTS (default 1_500_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from relational_data_loader_spark.benchlog import write_bench_log  # noqa: E402
+from relational_data_loader_spark.plans.manager import DataLoadManager  # noqa: E402
+from relational_data_loader_spark.queries import QUERIES  # noqa: E402
+from relational_data_loader_spark.session import get_spark  # noqa: E402
+from relational_data_loader_spark.spec import transcripts_spec  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("RDL_BENCH_EVENTS", "1500000"))
+N_CONVS = max(N_EVENTS // 100, 100)
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def _evaluate(df) -> None:
+    """Force full evaluation JVM-side without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(
+        "rdl-bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[str, float] = {}
+
+    # 1. catalog queries
+    for name, (fn, _) in QUERIES.items():
+        t0 = time.time()
+        _evaluate(fn(spark, SF_DIR))
+        results[name] = round(time.time() - t0, 3)
+
+    # 2. CDC replay: cached deterministic change log, fresh warehouse
+    log_dir = os.path.join(CACHE, f"changelog_{N_EVENTS}")
+    if not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
+        write_bench_log(spark, log_dir, N_EVENTS, N_CONVS)
+
+    wh = os.path.join(CACHE, "bench_wh")
+    shutil.rmtree(wh, ignore_errors=True)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=64)
+    mgr = DataLoadManager(spark, wh)
+
+    # full refresh over the first half of the log
+    half = N_EVENTS // 2
+    import pyspark.sql.functions as F
+
+    full_log = mgr.spark.read.parquet(log_dir)
+    head_dir = os.path.join(CACHE, f"changelog_head_{N_EVENTS}")
+    if not os.path.exists(os.path.join(head_dir, "_SUCCESS")):
+        full_log.filter(F.col("lsn") <= half).write.mode("overwrite").parquet(head_dir)
+
+    spec_head = transcripts_spec(source=f"parquet://{head_dir}", target_buckets=64)
+    t0 = time.time()
+    mgr.run(spec_head)
+    t_full = time.time() - t0
+    results["cdc_full_refresh"] = round(t_full, 3)
+
+    # incremental merge of the tail against the existing snapshot
+    t0 = time.time()
+    mgr.run(spec)  # same table name; full log source; watermark skips the head
+    t_incr = time.time() - t0
+    results["cdc_incremental_merge"] = round(t_incr, 3)
+
+    replay_eps = N_EVENTS / (t_full + t_incr)
+    total = round(sum(results.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc_replay_events_per_sec": round(replay_eps, 1),
+                "cdc_replay_events": N_EVENTS,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

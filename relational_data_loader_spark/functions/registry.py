@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 _REGISTRY: dict[str, Callable[[Column], Column]] = {}
 
@@ -40,7 +41,7 @@ def get_transform(name: str) -> Callable[[Column], Column]:
 # built-ins
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _nfc_normalize(s: pd.Series) -> pd.Series:
     # Arrow-batched: one Python call per ~10k-row batch, string kernel inside.
     # NFC has no JVM builtin, so this is the one legitimate Python crossing.

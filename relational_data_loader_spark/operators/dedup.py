@@ -1,0 +1,159 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, token-Jaccard.
+
+Beyond-the-reference operators for large-scale training-data pipelines
+(the reference dedups implicitly by primary key only; these dedup by
+*content*). All are pure DataFrame compositions — shuffles are on
+fingerprint / band keys, which are uniformly distributed by construction
+(md5), so no skew handling is needed; and every hash is md5 so the DuckDB
+oracle can reproduce results bit-for-bit.
+
+Scale notes:
+- exact dedup: one groupBy on the 128-bit fingerprint — a single shuffle,
+  partial-aggregated map-side.
+- MinHash/LSH: doc→token explode is the large intermediate; the per-doc
+  signature groupBy reduces it immediately (min() partial-aggregates).
+  Candidate pairs come from self-joining band buckets; band keys are
+  md5-uniform so the join shuffles evenly. At 10^10 docs you'd salt the
+  rare giant bucket (boilerplate text) — the bucket-size cap below is the
+  guard.
+- SimHash: same explode, then 16 conditional sums per doc — one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relational_data_loader_spark.functions.text import fingerprint, normalize
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) texts: fingerprint, keeper id, copy count."""
+    return (
+        df.groupBy(fingerprint(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize(F.col(text_col)), " ")).alias("tok"),
+    ).distinct()
+
+
+# 8 fixed seeds -> 8 minhash components -> 4 bands of 2 (b=4, r=2)
+MINHASH_SEEDS = ["a", "b", "c", "d", "e", "f", "g", "h"]
+LSH_BANDS = [("band1", ("h_a", "h_b")), ("band2", ("h_c", "h_d")),
+             ("band3", ("h_e", "h_f")), ("band4", ("h_g", "h_h"))]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc MinHash signature: min(md5(seed||token)) per seed.
+
+    md5(seed || token) is a uniform 128-bit hash family indexed by seed;
+    the min over a doc's token set is the classic MinHash estimator
+    (P[min_a == min_b] = Jaccard(a,b) per component).
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"h_{s}")
+        for s in MINHASH_SEEDS
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, max_bucket: int = 1000
+) -> DataFrame:
+    """Banded LSH: docs sharing any band hash become candidate pairs.
+
+    ``max_bucket`` drops degenerate buckets (e.g. empty-text docs or
+    boilerplate) whose quadratic blowup would dominate at scale — the
+    standard guard in production LSH.
+    """
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(*[F.col(c) for c in cols])).alias(name)
+            for name, cols in LSH_BANDS
+        ],
+    )
+    out = None
+    for name, _ in LSH_BANDS:
+        b = bands.select("doc_id", F.col(name).alias("band_key"))
+        sized = b.groupBy("band_key").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).filter(F.col("_n") <= max_bucket)
+        b = b.join(sized.select("band_key"), "band_key")
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), "band_key")
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(name).alias("band"),
+            )
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash: bit i = majority of (high bit of hex digit i of md5(tok)).
+
+    Each hex digit of a token's md5 contributes its high bit (digit >= 8) as
+    one signature dimension; the per-doc majority vote over tokens is the
+    SimHash. Near-dup docs differ in few bits (compare with hamming()).
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    h = F.md5(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    bits = [
+        F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(16)
+    ]
+    return per_doc.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def token_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.2
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs sharing ≥1 token (n-gram n=1).
+
+    The inverted-index self-join: |A∩B| from joining doc→token postings,
+    |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — at scale this runs
+    *after* LSH candidate generation, not instead of it (tests pair them).
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
+    )

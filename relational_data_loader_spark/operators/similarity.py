@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query side is tiny and broadcast; candidates stream through a single
+  narrow projection (dot products inside codegen via zip_with/aggregate —
+  no Python), then a per-query top-k window. Cost O(|Q|·|C|·d) but fully
+  distributed and shuffle-light (only the final top-k shuffles, and only
+  |Q|·k rows survive the window's partial rank pushdown).
+- ``lsh_cosine_topk``: random-hyperplane LSH (SimHash for vectors) — the
+  scale path. Vectors bucket by sign-pattern of h deterministic
+  hyperplanes; candidates are restricted to the query's bucket (and
+  optionally neighboring buckets). Recall trades against the bucket count.
+
+Determinism: hyperplanes are generated from a fixed seed; all arithmetic is
+cast to double before accumulation so Spark and the DuckDB oracle agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    """cos(a,b) in double precision, JVM-side (zip_with + aggregate)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Exact brute-force cosine top-k of candidates per query vector.
+
+    Ranks on the *rounded* similarity with the candidate id as tie-break so
+    results are reproducible across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), round_dp)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim")
+    )
+
+
+def hyperplane_bucket_expr(emb_col: str, dim: int, n_planes: int = 8, seed: int = 42):
+    """Sign-pattern bucket id from fixed random hyperplanes (JVM-side).
+
+    The plane matrix is seeded and embedded as literals (n_planes × dim
+    doubles — tiny), so the expression stays inside codegen and every
+    executor computes identical buckets without a broadcast variable.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(emb_col),
+                F.array(*[F.lit(float(v)) for v in planes[i]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket * 2 + F.when(proj >= 0, 1).otherwise(0)
+    return bucket
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — at 10^9 candidates this
+    is the difference between O(|Q|·|C|) and O(|Q|·|C|/2^h) dot products,
+    and the join shuffles on a uniform bucket key.
+    """
+    be = lambda df: hyperplane_bucket_expr(emb_col, dim, n_planes)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        be(queries).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        be(candidates).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 3)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim")
+    )

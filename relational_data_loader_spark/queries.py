@@ -1,0 +1,601 @@
+"""Paired (Spark DataFrame, DuckDB oracle SQL) query catalog.
+
+One entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+The driver runs each Spark callable and its oracle SQL side-by-side at
+sf=0.01 and compares row count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- raw double columns pass through UNTOUCHED (bit-identical in both engines);
+- derived sums go through exact DECIMAL(18,6) arithmetic (associative, so
+  Spark's partial aggregation order cannot change the result), then round
+  to 2dp and cast back to double;
+- ratios/averages round at 4dp (FP noise ≪ quantum), similarities at 3dp;
+- rankings rank on the *rounded* value with an id tie-break;
+- all content hashing is md5 (identical in both engines).
+
+The CDC-family queries express the engine's own operators over the driver's
+``events`` table as the change log (FIXTURES.md F5): event_id≈lsn,
+user_id≈key, event_type≈op with 'error' playing the delete op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from relational_data_loader_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+    token_jaccard_pairs,
+)
+from relational_data_loader_spark.operators.lww import net_changes
+from relational_data_loader_spark.operators.similarity import cosine_topk
+from relational_data_loader_spark.functions import text as TXT
+
+# events-as-change-log convention
+DELETE_OP = "error"
+WATERMARK_LSN = 5000  # fixed demo watermark for the change-scan query
+STOPWORDS = ["data", "table", "row", "join", "value", "key", "fast", "slow"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias, dp=2):
+    """Exact associative sum: double → decimal(18,6) → sum → round → double."""
+    return (
+        F.round(F.sum(col.cast("decimal(18,6)")), dp).cast("double").alias(alias)
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC operator family (SURVEY.md §2.1 over the events log)
+
+
+def q_cdc_lww_net(spark, sf):
+    """LWW netting (engine op net_changes): final event per key."""
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id", "value", "ts")
+    net = net_changes(ev, ["user_id"], lsn_col="event_id", op_col="event_type")
+    return net.select(
+        "user_id",
+        F.col("event_id").alias("last_lsn"),
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+SQL_LWW_NET = f"""
+SELECT user_id, event_id AS last_lsn, event_type AS last_op,
+       value AS last_value, ts AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def q_cdc_apply_final_state(spark, sf):
+    """Full replay → final table state (net + drop deletes) — the W1/W2 fuse."""
+    return q_cdc_lww_net(spark, sf).filter(F.col("last_op") != DELETE_OP)
+
+
+SQL_APPLY_FINAL = f"""
+SELECT user_id, event_id AS last_lsn, event_type AS last_op,
+       value AS last_value, ts AS last_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events) t
+WHERE rn = 1 AND event_type <> '{DELETE_OP}'
+"""
+
+
+def q_cdc_watermarks(spark, sf):
+    """Per-partition watermark vector (S3/C3): max lsn + op counts per bucket."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(16)).cast("int").alias("partition_id"))
+        .agg(
+            F.max("event_id").alias("max_applied_lsn"),
+            F.count(F.when(F.col("event_type") != DELETE_OP, 1)).alias("rows_upserted"),
+            F.count(F.when(F.col("event_type") == DELETE_OP, 1)).alias("rows_deleted"),
+        )
+    )
+
+
+SQL_WATERMARKS = f"""
+SELECT CAST(user_id % 16 AS INT) AS partition_id,
+       max(event_id) AS max_applied_lsn,
+       count(*) FILTER (WHERE event_type <> '{DELETE_OP}') AS rows_upserted,
+       count(*) FILTER (WHERE event_type = '{DELETE_OP}') AS rows_deleted
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_op_split(spark, sf):
+    """Op-code split (F2): upsert vs delete classes with counts."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.when(F.col("event_type") == DELETE_OP, "D").otherwise("U").alias("op")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("event_id").alias("max_lsn"))
+    )
+
+
+SQL_OP_SPLIT = f"""
+SELECT CASE WHEN event_type = '{DELETE_OP}' THEN 'D' ELSE 'U' END AS op,
+       count(*) AS n_events, max(event_id) AS max_lsn
+FROM events GROUP BY 1
+"""
+
+
+def q_cdc_change_scan(spark, sf):
+    """Version-predicate scan (S2/F1): only events past the watermark,
+    projected to the envelope. Filter + projection push into the scan."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter(F.col("event_id") > WATERMARK_LSN)
+        .select(
+            F.col("event_id").alias("lsn"),
+            F.col("event_type").alias("op"),
+            "user_id",
+            "value",
+            "ts",
+        )
+    )
+
+
+SQL_CHANGE_SCAN = f"""
+SELECT event_id AS lsn, event_type AS op, user_id, value, ts
+FROM events WHERE event_id > {WATERMARK_LSN}
+"""
+
+
+def q_cdc_projection_cast(spark, sf):
+    """Column mapping (P1/P2): rename + type casts, audit day column."""
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").cast("string").alias("user_key"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("amount"),
+        F.date_trunc("day", F.col("ts")).alias("event_day"),
+    )
+
+
+SQL_PROJECTION_CAST = """
+SELECT event_id AS lsn, CAST(user_id AS VARCHAR) AS user_key,
+       event_type AS op, value AS amount, date_trunc('day', ts) AS event_day
+FROM events
+"""
+
+
+def q_cdc_delete_keys(spark, sf):
+    """Delete propagation (W2): keys whose final netted op is a delete."""
+    return q_cdc_lww_net(spark, sf).filter(
+        F.col("last_op") == DELETE_OP
+    ).select("user_id")
+
+
+SQL_DELETE_KEYS = f"""
+SELECT user_id
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events) t
+WHERE rn = 1 AND event_type = '{DELETE_OP}'
+"""
+
+
+def q_cdc_ct_probe(spark, sf):
+    """Change-tracking probe (S3): current + min-valid version, footer-only."""
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.min("event_id").alias("min_valid_lsn"),
+        F.max("event_id").alias("current_lsn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_CT_PROBE = """
+SELECT min(event_id) AS min_valid_lsn, max(event_id) AS current_lsn,
+       count(*) AS n_events
+FROM events
+"""
+
+
+def q_merge_full_outer(spark, sf):
+    """MERGE INTO decomposed as a PK full-outer join (W1+W2 semantics):
+    matched+upsert → new value, matched+delete → drop, unmatched batch →
+    insert, unmatched target → keep."""
+    target = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("old_value")
+    )
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id", "value")
+    batch = net_changes(ev, ["user_id"], "event_id", "event_type").select(
+        F.col("user_id").alias("bkey"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("new_value"),
+    )
+    j = target.join(batch, target["key"] == batch["bkey"], "full_outer")
+    return (
+        j.filter(F.col("op").isNull() | (F.col("op") != DELETE_OP))
+        .select(
+            F.coalesce(F.col("key"), F.col("bkey")).alias("key"),
+            F.when(F.col("bkey").isNotNull(), F.col("new_value"))
+            .otherwise(F.col("old_value"))
+            .alias("value"),
+        )
+    )
+
+
+SQL_MERGE_FULL_OUTER = f"""
+WITH batch AS (
+  SELECT user_id AS bkey, event_type AS op, value AS new_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events) t WHERE rn = 1)
+SELECT COALESCE(c.c_custkey, b.bkey) AS key,
+       CASE WHEN b.bkey IS NOT NULL THEN b.new_value ELSE c.c_acctbal END AS value
+FROM customer c FULL OUTER JOIN batch b ON c.c_custkey = b.bkey
+WHERE b.op IS NULL OR b.op <> '{DELETE_OP}'
+"""
+
+
+def q_salted_hot_key_agg(spark, sf):
+    """Skew-safe two-phase aggregation: salt → partial agg → final agg.
+    Exact DECIMAL sums make the two-phase result equal the plain GROUP BY
+    (the oracle) regardless of combination order."""
+    ev = _t(spark, sf, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        F.count(F.lit(1)).alias("pc"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+        F.sum("pc").alias("n_events"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT user_id,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (the joins/aggs/windows MERGE decomposes into)
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-style aggregate over lineitem (bench headline)."""
+    li = _t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+  CAST(round(avg(l_quantity), 4) AS DOUBLE) AS avg_qty,
+  CAST(round(avg(l_discount), 4) AS DOUBLE) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf):
+    """orders ⋈ customer ⋈ nation with explicit broadcast of the dims."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("o_totalprice"), "revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders_per_customer(spark, sf):
+    """Window top-k (the LWW-netting pattern generalized): top 3 orders."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) t
+WHERE rk <= 3
+"""
+
+
+def q_sessionize(spark, sf):
+    """Sessionization: lag + gap>30min cumulative counting per user."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts arrives as TIMESTAMP_NTZ; session TZ is pinned UTC so the
+    # LTZ cast is the identity on the underlying micros
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_s = F.when(gap_us > 30 * 60 * 1_000_000, 1).otherwise(0)
+    return (
+        ev.withColumn("_n", new_s)
+        .groupBy("user_id")
+        .agg((F.sum("_n") + 1).alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline operators (documents / embeddings)
+
+
+def q_dedup_exact(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_signatures(spark, sf):
+    return minhash_signatures(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+SQL_MINHASH = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents)
+SELECT doc_id,
+  min(md5('a' || tok)) AS h_a, min(md5('b' || tok)) AS h_b,
+  min(md5('c' || tok)) AS h_c, min(md5('d' || tok)) AS h_d,
+  min(md5('e' || tok)) AS h_e, min(md5('f' || tok)) AS h_f,
+  min(md5('g' || tok)) AS h_g, min(md5('h' || tok)) AS h_h
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    sigs = minhash_signatures(_t(spark, sf, "documents"), "text", "doc_id")
+    return lsh_candidate_pairs(sigs)
+
+
+SQL_LSH_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+sigs AS (
+  SELECT doc_id,
+    min(md5('a' || tok)) AS h_a, min(md5('b' || tok)) AS h_b,
+    min(md5('c' || tok)) AS h_c, min(md5('d' || tok)) AS h_d,
+    min(md5('e' || tok)) AS h_e, min(md5('f' || tok)) AS h_f,
+    min(md5('g' || tok)) AS h_g, min(md5('h' || tok)) AS h_h
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h_a || h_b) AS band1, md5(h_c || h_d) AS band2,
+         md5(h_e || h_f) AS band3, md5(h_g || h_h) AS band4
+  FROM sigs)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'band1' AS band
+  FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+UNION ALL
+SELECT a.doc_id, b.doc_id, 'band2'
+  FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+UNION ALL
+SELECT a.doc_id, b.doc_id, 'band3'
+  FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+UNION ALL
+SELECT a.doc_id, b.doc_id, 'band4'
+  FROM bands a JOIN bands b ON a.band4 = b.band4 AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash_signatures(spark, sf):
+    return simhash_signatures(_t(spark, sf, "documents"), "text", "doc_id")
+
+
+def _simhash_sql() -> str:
+    sums = ",\n    ".join(
+        "sum(CASE WHEN strpos('89abcdef', substr(md5(tok), %d, 1)) > 0 THEN 1 ELSE -1 END) AS s%d"
+        % (i + 1, i)
+        for i in range(16)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END" for i in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM sums
+"""
+
+
+def q_token_jaccard_pairs(spark, sf):
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return token_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+
+
+SQL_JACCARD = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 100),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+"""
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        TXT.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+  len(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+  CAST(round(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0 / length(text), 4) AS DOUBLE) AS alpha_ratio
+FROM documents WHERE length(text) > 0
+"""
+
+
+def q_lang_stopword_ratio(spark, sf):
+    """Language-ID heuristic: domain-stopword hit ratio per document."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("tok").isin(STOPWORDS), 1)).alias("n_stopwords"),
+        F.round(
+            F.count(F.when(F.col("tok").isin(STOPWORDS), 1)) / F.count(F.lit(1)), 4
+        )
+        .cast("double")
+        .alias("stopword_ratio"),
+    )
+
+
+SQL_STOPWORD_RATIO = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents)
+SELECT doc_id, count(*) AS n_tokens,
+  count(*) FILTER (WHERE tok IN ({",".join(repr(s) for s in STOPWORDS)})) AS n_stopwords,
+  CAST(round(count(*) FILTER (WHERE tok IN ({",".join(repr(s) for s in STOPWORDS)})) * 1.0
+             / count(*), 4) AS DOUBLE) AS stopword_ratio
+FROM toks GROUP BY doc_id
+"""
+
+
+def q_embedding_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=5
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+sims AS (
+  SELECT q_id, c_id,
+         CAST(round(list_cosine_similarity(q_emb::DOUBLE[], c_emb::DOUBLE[]), 3) AS DOUBLE) AS sim
+  FROM q CROSS JOIN c WHERE q_id <> c_id)
+SELECT q_id, c_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) rk FROM sims)
+WHERE rk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# catalog
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
+    "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
+    "cdc_watermarks": (q_cdc_watermarks, SQL_WATERMARKS),
+    "cdc_op_split": (q_cdc_op_split, SQL_OP_SPLIT),
+    "cdc_change_scan": (q_cdc_change_scan, SQL_CHANGE_SCAN),
+    "cdc_projection_cast": (q_cdc_projection_cast, SQL_PROJECTION_CAST),
+    "cdc_delete_keys": (q_cdc_delete_keys, SQL_DELETE_KEYS),
+    "cdc_ct_probe": (q_cdc_ct_probe, SQL_CT_PROBE),
+    "merge_full_outer": (q_merge_full_outer, SQL_MERGE_FULL_OUTER),
+    "salted_hot_key_agg": (q_salted_hot_key_agg, SQL_SALTED_AGG),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),
+    "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
+    "simhash_signatures": (q_simhash_signatures, _simhash_sql()),
+    "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_STOPWORD_RATIO),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_COSINE_TOPK),
+}
