@@ -302,10 +302,22 @@ class SnapshotTable:
         sink's, not the engine's, and is documented in sinks/iceberg.py.
         """
         if renames:
-            df = self.read()
+            m = self.current_manifest()
+            # read the existing files with the schema they were WRITTEN with
+            # (the manifest's), not the new spec's — read-by-name would
+            # resolve the renamed column to NULL otherwise
+            from pyspark.sql import types as T
+
+            old_schema = T.StructType.fromJson(json.loads(m["schema"]))
+            rels = [p for files in m["buckets"].values() for p in files]
+            if rels:
+                df = self.spark.read.schema(old_schema).parquet(
+                    *[os.path.join(self.path, p) for p in rels]
+                )
+            else:
+                df = self.spark.createDataFrame([], old_schema)
             for old, new in renames:
                 df = df.withColumnRenamed(old, new)
-            m = self.current_manifest()
             old_spec = self.spec
             self.spec = new_spec
             self.bucket_key = new_spec.primary_keys[0]

@@ -1,0 +1,99 @@
+"""Structured Streaming ingest: change-log tailer → foreachBatch MERGE.
+
+The reference is a *polling* loader — each CLI run reads CHANGETABLE deltas
+since the tracker's last version and applies them (SURVEY.md §3.2). This
+module is that loop made resident: a Structured Streaming file source tails
+the LSN-ordered change-log directory (micro-batch = ``maxFilesPerTrigger``
+log segments, the reference's batch_size analog), and ``foreachBatch``
+applies each micro-batch through exactly the same netting+merge path the
+batch manager uses.
+
+Exactly-once story (north_star):
+- Spark's streaming checkpoint makes source progress durable and replays a
+  failed micro-batch with the SAME epoch_id after restart;
+- the sink's commit manifest records applied epoch ids atomically with the
+  data commit, so a replayed epoch is a detected no-op (merge → skipped);
+- together: at-least-once delivery × idempotent commit = exactly-once apply.
+  The two pieces of state (checkpoint dir, target manifest) must be kept or
+  deleted together — same contract as Delta/Iceberg + checkpoint.
+
+Late events (lsn ≤ target watermark after a full refresh raced the stream)
+are dropped by an explicit watermark filter — idempotent, per SURVEY.md §2.2
+"Streaming ops".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.spec import IngestSpec
+
+
+class StreamingIngest:
+    def __init__(
+        self,
+        manager: DataLoadManager,
+        spec: IngestSpec,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 4,
+    ):
+        self.mgr = manager
+        self.spec = spec
+        self.checkpoint_dir = checkpoint_dir
+        self.max_files_per_trigger = max_files_per_trigger
+
+    # -- micro-batch apply (also unit-testable without a running stream) ----
+
+    def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        table = self.mgr.table(self.spec)
+        if not table.exists():
+            # bootstrap an empty snapshot so merge has a base (the reference
+            # creates the destination table before its first batch — W5)
+            table.full_refresh(
+                self.mgr.spark.createDataFrame([], self.spec.destination_schema()),
+                epoch_id=-1,
+                watermark=-1,
+            )
+        # drop events at/below the committed watermark (full-refresh race)
+        batch_df = batch_df.filter(
+            F.col(self.spec.lsn_column) > F.lit(table.watermark())
+        )
+        netted = self.mgr.prepare_batch(self.spec, batch_df)
+        stats = table.merge(netted, int(epoch_id))
+        if not stats.skipped:
+            self.mgr.state.append(
+                self.spec.name,
+                int(epoch_id),
+                stats.bucket_stats or [],
+                stats.wall_ms,
+                kind="stream_merge",
+            )
+
+    # -- stream lifecycle ------------------------------------------------------
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        scheme, _, path = self.spec.source.partition("://")
+        if scheme != "parquet":
+            raise ValueError(f"streaming source must be parquet://, got {scheme!r}")
+        stream = (
+            self.mgr.spark.readStream.schema(self.spec.change_schema())
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .option("latestFirst", "false")
+            .parquet(path)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"rdl-ingest-{self.spec.name}")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_until_caught_up(self) -> None:
+        """Process everything currently in the log, then stop (poll-style run)."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
