@@ -1,0 +1,97 @@
+"""CLI — the ``spark-submit --py-files`` entry point.
+
+Reference: ``rdl.py <src-conn> <dst-conn> <config-folder> [--log-level]
+[--force-full-refresh-models m1,m2|'*']``
+(``modules/RelationalDataLoader.py::main`` — SURVEY.md §2.1 C4).
+
+Ours:
+    spark-submit --py-files rdl_spark.zip -m relational_data_loader_spark.cli \
+        --warehouse /lake/wh --specs ./specs/ [--force-full-refresh '*'] \
+        [--stream --checkpoint /lake/ckpt] [--master local[32]]
+
+Each ``*.json`` file in --specs is one IngestSpec (the reference's model
+config folder). Batch mode runs each spec once (poll-style); --stream keeps
+a resident Structured Streaming query per spec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="rdl-spark", description=__doc__)
+    p.add_argument("--warehouse", required=True, help="destination table root")
+    p.add_argument("--specs", required=True, help="folder of *.json ingest specs")
+    p.add_argument(
+        "--force-full-refresh",
+        default="",
+        help="comma-separated spec names, or '*' for all",
+    )
+    p.add_argument("--stream", action="store_true", help="run resident streams")
+    p.add_argument("--checkpoint", default=None, help="streaming checkpoint root")
+    p.add_argument("--master", default=None)
+    p.add_argument("--log-level", default="WARN")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+    from relational_data_loader_spark.spec import IngestSpec
+
+    spark = get_spark("rdl-spark", master=args.master)
+    spark.sparkContext.setLogLevel(args.log_level)
+    mgr = DataLoadManager(spark, args.warehouse)
+
+    spec_files = sorted(glob.glob(os.path.join(args.specs, "*.json")))
+    if not spec_files:
+        print(f"no *.json specs in {args.specs}", file=sys.stderr)
+        return 2
+    forced = {s.strip() for s in args.force_full_refresh.split(",") if s.strip()}
+
+    queries = []
+    for f in spec_files:
+        with open(f) as fh:
+            spec = IngestSpec.from_json(fh.read())
+        force = "*" in forced or spec.name in forced
+        if args.stream:
+            from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+            ckpt = os.path.join(
+                args.checkpoint or os.path.join(args.warehouse, "_checkpoints"),
+                spec.name,
+            )
+            if force:
+                mgr.run(spec, force_full=True)
+            queries.append(StreamingIngest(mgr, spec, ckpt).start(available_now=False))
+            print(f"[rdl-spark] streaming {spec.name} (checkpoint={ckpt})")
+        else:
+            res = mgr.run(spec, force_full=force)
+            print(
+                json.dumps(
+                    {
+                        "spec": spec.name,
+                        "decision": res.decision.kind,
+                        "reasons": res.decision.reasons,
+                        "rows_upserted": res.rows_upserted,
+                        "rows_deleted": res.rows_deleted,
+                        "watermark": res.watermark,
+                        "skipped": res.skipped,
+                        "wall_ms": res.wall_ms,
+                    }
+                )
+            )
+    for q in queries:
+        q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video columns ride through the engine as ``binary`` columns
+with a metadata struct; per-item decode / feature-extract / resize /
+frame-sample run as Arrow-batched ``mapInPandas`` stages. The decode
+kernels themselves are STUBBED here (this container has no image/audio
+libraries — see the module-level ``DECODERS`` registry): the Spark-side
+contract — schema, batch iteration, partition sizing, UDF signatures — is
+real and tested with a deterministic fake decoder.
+
+Scale notes:
+- ``mapInPandas`` streams Arrow batches; memory is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` × max item size. For
+  multi-MB media, repartition so (batch rows × item size) fits the executor
+  (see ``repartition_for_payload``).
+- Feature extraction output is columnar (fixed-size float arrays), so
+  downstream similarity ops (operators/similarity.py) apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: md5-derived features.
+
+    A real deployment registers e.g. PIL/torchvision decode here; the
+    container lacks those libs, so the kernel is a seeded fake with the
+    same shape/latency profile (bytes in → fixed-dim float vector out).
+    """
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+DECODERS: dict[str, Callable[[bytes], list[float]]] = {
+    "image": _fake_decode_features,   # stub: replace with real image decode
+    "audio": _fake_decode_features,   # stub: replace with real audio decode
+    "video": _fake_decode_features,   # stub: replace with frame-sample+decode
+}
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """binary payload → fixed-dim feature vector via Arrow-batched mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None
+                if p is None
+                else DECODERS.get(mt, _fake_decode_features)(bytes(p))
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [None if p is None else len(p) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def repartition_for_payload(
+    df: DataFrame, avg_item_bytes: int, target_partition_bytes: int = 128 << 20
+) -> DataFrame:
+    """Size partitions so Arrow batches of media items fit executor memory."""
+    rows_per_part = max(target_partition_bytes // max(avg_item_bytes, 1), 1)
+    n = df.count()
+    return df.repartition(max(int(n // rows_per_part) + 1, 1))
+
+
+def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes) for tests."""
+    rows = []
+    for i in range(n):
+        mt = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (i, mt, bytearray(payload), 64 + i % 512, 64 + (i * 3) % 512, 1000 + i)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -96,13 +96,17 @@ class DataLoadManager:
 
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version
+            # row count observed during the write itself — no second pass
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = self.final_state(spec, log).observe(obs, F.count(F.lit(1)).alias("n"))
             table.full_refresh(
-                self.final_state(spec, log),
+                df,
                 epoch_id=epoch_id,
                 watermark=max(cti.current_version, 0),
             )
-            # count after the atomic commit (reads the committed snapshot)
-            n = table.read().count()
+            n = int(obs.get["n"])
             wall = int((time.time() - t0) * 1000)
             self.state.append(
                 spec.name,

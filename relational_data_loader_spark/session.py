@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # bound per-task input so partitions fit executor memory at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # min/max/count probes (change-tracking info) answer from parquet
+        # footers instead of scanning data
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("RDL_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
