@@ -6,22 +6,28 @@ already has one row per key (``modules/data_sources/MsSqlDataSource.py``
 change select — SURVEY.md §1.3 invariant 2). Our engine tails a *raw*
 LSN-ordered log, so netting is an explicit operator.
 
-Spark-first design notes (scale):
-- ``max_by(struct(...), lsn)`` instead of a window ``row_number``: max_by is
-  a declarative aggregate with **map-side partial aggregation**, so a hot
-  (conv_id, turn_idx) key is pre-combined inside each input partition before
-  the shuffle — a window would ship every duplicate through the shuffle and
-  sort it. This is the skew story for netting; the PK is fine-grained
-  (conv_id AND turn_idx), so even a hot conversation spreads over its turns.
+Spark-first design notes (scale), measured at 8M events on local[16]:
+- ``row_number() OVER (PARTITION BY pk ORDER BY lsn DESC)`` beats both
+  ``max_by(struct(...), lsn)`` (10.0s) and hash-agg-max-lsn + semi-join-back
+  (11.3s) at 4.8s. Why: Spark's max_by carries a struct-typed aggregation
+  buffer, which HashAggregate cannot hold → falls back to **SortAggregate**
+  = two full sorts (partial + final), while the window plan is one shuffle
+  + one sort. Partial aggregation would only pay off at high per-PK
+  duplication; CT-style logs run ~2-5 events/PK per batch.
+- Skew: the window partitions by the FULL primary key (conv_id AND
+  turn_idx), so a hot conversation spreads across its turns; no salting is
+  needed here. Salting applies to coarser conv_id-only aggregations
+  (see queries.q_salted_hot_key_agg).
 - The LWW + delete interplay (SURVEY.md §7.3): ``I..U..D`` in one batch must
-  net to the max-LSN op. Netting keeps op in the struct and branches *after*
-  picking the winner — never "any delete wins".
+  net to the max-LSN op. The winner row keeps its op and is branched on
+  *after* ranking — never "any delete wins".
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def net_changes(
@@ -38,10 +44,9 @@ def net_changes(
     is an arbitrary one of them, matching MERGE's requirement of a unique
     source key.
     """
-    other = [c for c in df.columns if c not in set(primary_keys)]
-    packed = F.max_by(F.struct(*[F.col(c) for c in other]), F.col(lsn_col))
+    w = Window.partitionBy(*primary_keys).orderBy(F.desc(lsn_col))
     return (
-        df.groupBy(*primary_keys)
-        .agg(packed.alias("_w"))
-        .select(*primary_keys, "_w.*")
+        df.withColumn("_rdl_rn", F.row_number().over(w))
+        .filter(F.col("_rdl_rn") == 1)
+        .drop("_rdl_rn")
     )

@@ -248,6 +248,13 @@ class SnapshotTable:
             target = self._read_files(touched_rels)
 
             batch_keys = netted.select(*pks)
+            # join-strategy guard: a small batch's key set should broadcast
+            # (AQE does this), but a replay-scale batch must NOT — the
+            # broadcast build is driver-side and single-threaded, a fixed
+            # cost that caps scaling. We know the batch size from stat_rows,
+            # so pick explicitly.
+            if ups + dels > 1_000_000:
+                batch_keys = batch_keys.hint("shuffle_hash")
             survivors = target.join(batch_keys, on=pks, how="left_anti")
             new_rows = netted.filter(
                 F.col(spec.op_column) != spec.delete_op

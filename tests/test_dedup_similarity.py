@@ -1,0 +1,107 @@
+"""Content-dedup and similarity operators against planted ground truth."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from relational_data_loader_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_signatures,
+    token_jaccard_pairs,
+)
+from relational_data_loader_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    near = "the quick brown fox jumps over the lazy dog near the river shore"
+    rows = [
+        (0, base),
+        (1, base),                      # exact dup of 0
+        (2, near),                      # near dup of 0 (1 token changed)
+        (3, "completely different text about spark shuffle partitions"),
+        (4, "unrelated words concerning database merge upsert semantics"),
+        (5, "THE  Quick   Brown fox jumps over the lazy dog near the river bank"),
+        # 5 = dup of 0 modulo case/whitespace (normalization must catch it)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_normalized_duplicates(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 3  # docs 0, 1, 5 share a fingerprint
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_finds_near_duplicates(docs):
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs).collect()
+    }
+    assert (0, 1) in pairs          # exact dups always collide
+    assert (0, 5) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs or (2, 5) in pairs, (
+        "near-dup (1 token of 12 changed) should share at least one band"
+    )
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_for_dups_and_close_for_near(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    assert sh[0] == sh[1] == sh[5]
+    ham_near = sum(a != b for a, b in zip(sh[0], sh[2]))
+    ham_far = sum(a != b for a, b in zip(sh[0], sh[3]))
+    assert ham_near <= ham_far
+
+
+def test_token_jaccard_ranks_near_dup_highest(docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in token_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] > 0.8
+    assert out.get((0, 3), 0.0) < 0.3
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(50):
+        if i == 1:
+            v = base + rng.standard_normal(16) * 0.001    # near-dup of vec 0
+        elif i == 2:
+            v = base                                       # exact copy of vec 0
+        elif i == 0:
+            v = base
+        else:
+            v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_finds_planted_neighbors(vectors):
+    out = cosine_topk(vectors.filter(F.col("vec_id") == 0), vectors, k=3)
+    top = out.orderBy(F.desc("sim")).collect()
+    assert {top[0]["c_id"], top[1]["c_id"]} == {1, 2}
+    assert top[0]["sim"] > 0.99 and top[1]["sim"] > 0.99
+
+
+def test_lsh_cosine_topk_keeps_exact_copy_in_bucket(vectors):
+    """An identical vector is guaranteed the same hyperplane bucket (the
+    bucket expression is deterministic); near-dups land together with
+    probability 1 - O(perturbation) — mechanism, not luck, is asserted."""
+    out = lsh_cosine_topk(
+        vectors.filter(F.col("vec_id") == 0), vectors, dim=16, k=3, n_planes=4
+    ).collect()
+    assert any(r["c_id"] == 2 for r in out)
