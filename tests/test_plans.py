@@ -1,0 +1,76 @@
+"""Physical-plan quality gates: pushdown, pruning, join strategy.
+
+These assert the *plan*, not the result — the properties that decide
+whether the engine survives a 100× scale-up (SURVEY.md §4).
+"""
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.queries import (
+    q_cdc_change_scan,
+    q_cdc_projection_cast,
+    q_revenue_by_nation,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_change_scan_pushes_filter_and_prunes_columns(spark):
+    df = q_cdc_change_scan(spark, SF)
+    plan = _optimized(df)
+    assert "PushedFilters: [IsNotNull(event_id), GreaterThan(event_id" in plan, plan
+    # props (unused) must not be read
+    assert "props" not in plan.split("ReadSchema")[-1]
+
+
+def test_projection_prunes_to_selected_columns(spark):
+    df = q_cdc_projection_cast(spark, SF)
+    read_schema = _optimized(df).split("ReadSchema: ")[-1]
+    assert "props" not in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_merge_uses_shuffle_hash_for_large_batches(spark):
+    """The >1M-row guard swaps broadcast for shuffled hash join."""
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    spec = transcripts_spec(source="parquet:///dev/null", target_buckets=8)
+    target = spark.createDataFrame([], spec.destination_schema())
+    keys = (
+        spark.range(10)
+        .select(
+            F.concat(F.lit("c"), F.col("id").cast("string")).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+        )
+        .hint("shuffle_hash")
+    )
+    plan = _plan(target.join(keys, ["conv_id", "turn_idx"], "left_anti"))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_netting_is_single_shuffle_no_sort_aggregate(spark):
+    """LWW netting must not plan as SortAggregate (the max_by trap)."""
+    from relational_data_loader_spark.operators.lww import net_changes
+
+    df = spark.range(100).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        (F.col("id") % 10).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    plan = _plan(net_changes(df, ["k"]))
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange") == 1, plan
