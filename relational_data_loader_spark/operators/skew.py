@@ -1,0 +1,79 @@
+"""Skew handling: detection + salted two-phase aggregation.
+
+Reference: none — RDL is a single stream with no parallelism, so skew is
+unhandled by construction (SURVEY.md §4 "None (skew unhandled)"). Our
+engine meets the north_rule's explicit "partitioning / shuffle / skew
+handled explicitly" requirement with:
+
+1. fine-grained keys where possible — LWW netting partitions on the FULL
+   primary key (conv_id, turn_idx), so hot conversations spread over turns;
+2. AQE skew-join splitting (enabled in session.py) for the MERGE join;
+3. the salted two-phase aggregation below for *coarse* keys (conv_id-level
+   rollups), where one conversation owning 30% of events would otherwise
+   pin one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def detect_hot_keys(
+    df: DataFrame, key_cols: list[str], threshold_frac: float = 0.05
+) -> DataFrame:
+    """Sample-based hot-key probe: keys owning > threshold of all rows.
+
+    The control plane uses this to pick a salt factor (SURVEY.md §4
+    "skew detector"); it is one cheap count aggregation.
+    """
+    total = df.count()
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * threshold_frac)
+        .withColumn("frac", F.round(F.col("n") / F.lit(total), 4))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation with salted partial phase.
+
+    Phase 1 groups on (keys, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 re-aggregates the tiny partials on
+    the true keys. Only algebraic aggregates compose this way; callers pass
+    the *phase-1* aggregate per output column and the matching re-aggregate
+    is inferred (sum→sum, count→sum, max→max, min→min).
+
+    The salt is a hash of ``salt_source`` (a high-cardinality column, e.g.
+    the lsn) so it is deterministic — no rand() that would break retries.
+    """
+    salt = F.pmod(
+        F.xxhash64(F.col(salt_source) if salt_source else F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    ).alias("_salt")
+
+    phase1 = df.groupBy(*key_cols, salt).agg(
+        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+    )
+
+    def reagg(name: str, expr: Column) -> Column:
+        fn = expr._jc.toString().split("(")[0].lower()  # sum/count/max/min
+        p = F.col(f"_p_{name}")
+        if fn.startswith("count") or fn.startswith("sum"):
+            return F.sum(p).alias(name)
+        if fn.startswith("max"):
+            return F.max(p).alias(name)
+        if fn.startswith("min"):
+            return F.min(p).alias(name)
+        raise ValueError(f"non-algebraic aggregate for salted_agg: {fn}")
+
+    return phase1.groupBy(*key_cols).agg(
+        *[reagg(n, e) for n, e in aggs.items()]
+    )

@@ -1,0 +1,57 @@
+"""CSV source family — the reference's own integration tests run with a
+``csv://`` source (SURVEY.md §2.1 S4, §3.3); ours ingests a CSV change log
+through the identical pipeline."""
+
+import csv
+import os
+
+from relational_data_loader_spark.fixtures import generate_change_log
+from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.spec import transcripts_spec
+from tests.util import assert_tables_equal, spark_sorted_pdf
+
+
+def test_csv_change_log_full_refresh(spark, warehouse, tmp_path):
+    tbl = generate_change_log(n_events=800, n_convs=20, seed=13)
+    csvdir = str(tmp_path / "csvlog")
+    os.makedirs(csvdir)
+    pdf = tbl.to_pandas()
+    # drop exotic texts CSV can't round-trip byte-exactly (newlines are fine
+    # quoted, but keep the fixture simple: the parquet family covers unicode)
+    pdf["text"] = pdf["text"].str.replace("\n", " ", regex=False)
+    pdf.to_csv(
+        os.path.join(csvdir, "log.csv"),
+        index=False,
+        quoting=csv.QUOTE_MINIMAL,
+        date_format="%Y-%m-%d %H:%M:%S.%f",
+    )
+
+    spec = transcripts_spec(source=f"csv://{csvdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    res = mgr.run(spec)
+    assert res.decision.kind == "full_refresh"
+
+    got = spark_sorted_pdf(mgr.table(spec).read())
+
+    import duckdb
+
+    want = duckdb.sql(
+        f"""
+        WITH src AS (
+          SELECT * FROM read_csv('{csvdir}/log.csv', header=true,
+            columns={{'lsn':'BIGINT','op':'VARCHAR','conv_id':'VARCHAR',
+                      'turn_idx':'INT','role':'VARCHAR','text':'VARCHAR',
+                      'tool':'VARCHAR','ts':'TIMESTAMP'}})),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+          FROM src)
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        ORDER BY conv_id, turn_idx
+        """
+    ).df()
+    # CSV cannot distinguish empty string from NULL; normalize both sides
+    for c in ("role", "text", "tool"):
+        got[c] = got[c].fillna("")
+        want[c] = want[c].fillna("")
+    assert_tables_equal(got, want)

@@ -1,0 +1,44 @@
+"""salted_agg + detect_hot_keys: salted two-phase equals plain groupBy."""
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.skew import detect_hot_keys, salted_agg
+
+
+def _skewed_df(spark, n=20000):
+    return spark.range(n).select(
+        F.col("id").alias("lsn"),
+        F.when(F.col("id") % 10 < 3, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 500).cast("string"))
+        ).alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_salted_agg_equals_plain_groupby(spark):
+    df = _skewed_df(spark)
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "total": F.sum(F.col("v").cast("decimal(18,6)")),
+            "n": F.count(F.lit(1)),
+            "mx": F.max("v"),
+        },
+        salt_buckets=8,
+        salt_source="lsn",
+    )
+    plain = df.groupBy("k").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("v").alias("mx"),
+    )
+    a = {r["k"]: (r["total"], r["n"], r["mx"]) for r in salted.collect()}
+    b = {r["k"]: (r["total"], r["n"], r["mx"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_detect_hot_keys_finds_the_hot_one(spark):
+    hot = detect_hot_keys(_skewed_df(spark), ["k"], threshold_frac=0.05).collect()
+    assert [r["k"] for r in hot] == ["hot"]
+    assert hot[0]["frac"] > 0.25
