@@ -326,6 +326,25 @@ class SnapshotTable:
 
                 shutil.rmtree(stage_dir, ignore_errors=True)
 
+    # ---- maintenance -----------------------------------------------------------
+
+    def vacuum(self, keep_manifests: int = 3) -> int:
+        """Delete data files unreferenced by the last ``keep_manifests``
+        manifests (snapshot expiry). Returns files removed."""
+        manifests = self._manifest_files()[-keep_manifests:]
+        referenced: set[str] = set()
+        for mf in manifests:
+            with open(mf) as f:
+                doc = json.load(f)
+            for files in doc["buckets"].values():
+                referenced.update(files)
+        removed = 0
+        for f in glob(os.path.join(self.path, "data", "*", f"{_BUCKET_COL}=*", "*.parquet")):
+            if os.path.relpath(f, self.path) not in referenced:
+                os.remove(f)
+                removed += 1
+        return removed
+
     # ---- schema evolution ------------------------------------------------------
 
     def evolve(self, new_spec: IngestSpec, renames: list[tuple[str, str]]) -> None:
