@@ -571,6 +571,71 @@ WHERE rk <= 5
 """
 
 
+def q_set_ops_inactive_customers(spark, sf):
+    """Set ops (absent in the reference): customers EXCEPT order-placers,
+    and the intersection count as a cross-check."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    inactive = c.exceptAll(o.distinct())
+    return inactive.select(F.col("c_custkey").alias("inactive_custkey"))
+
+
+SQL_SET_OPS = """
+SELECT c_custkey AS inactive_custkey FROM customer
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders
+"""
+
+
+def q_top_orders_global(spark, sf):
+    """Sort + limit with deterministic tie-break (transport-level ORDER BY /
+    TOP(n) of the reference's keyset pagination, as a user-facing op)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_asof_last_click_before_error(spark, sf):
+    """As-of join pattern (Spark lacks a native one): for each error event,
+    the most recent prior click by the same user — running-max window with
+    an explicit frame."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_lsn", prev_click)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.col("event_id").alias("err_lsn"), "prev_click_lsn")
+    )
+
+
+SQL_ASOF = """
+SELECT user_id, event_id AS err_lsn, prev_click_lsn
+FROM (
+  SELECT user_id, event_id, event_type,
+         max(CASE WHEN event_type = 'click' THEN event_id END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_lsn
+  FROM events) t
+WHERE event_type = 'error'
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -598,4 +663,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_STOPWORD_RATIO),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_COSINE_TOPK),
+    "set_ops_inactive_customers": (q_set_ops_inactive_customers, SQL_SET_OPS),
+    "top_orders_global": (q_top_orders_global, SQL_TOP_ORDERS),
+    "asof_last_click_before_error": (q_asof_last_click_before_error, SQL_ASOF),
 }
