@@ -41,9 +41,22 @@ def _to_table(events: list) -> pa.Table:
             }
         )
     df = pd.DataFrame(rows)
-    df["turn_idx"] = df["turn_idx"].astype("int32")
     df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    schema = pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("op", pa.string()),
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    # explicit schema: an all-delete log has all-None payload columns, which
+    # pandas would otherwise infer as a non-string type
+    return pa.Table.from_pandas(df[schema.names], schema=schema, preserve_index=False)
 
 
 def _pandas_oracle(events: list) -> pd.DataFrame:
@@ -64,6 +77,7 @@ def _pandas_oracle(events: list) -> pd.DataFrame:
 @settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,  # deterministic for the driver's pytest gate
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
