@@ -35,6 +35,7 @@ def net_changes(
     primary_keys: list[str],
     lsn_col: str = "lsn",
     op_col: str = "op",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Reduce a change batch to one winning row per primary key.
 
@@ -43,7 +44,27 @@ def net_changes(
     (lsn is unique); if the input ever had duplicate lsns per PK the result
     is an arbitrary one of them, matching MERGE's requirement of a unique
     source key.
+
+    ``salt_buckets > 1`` switches to a two-phase salted plan for batches
+    where a single PK is itself hot (one turn updated millions of times in
+    one epoch — the full-PK partitioning above can't spread *that*):
+    phase 1 ranks within ``(pk, salt)`` groups — the hot key's rows spread
+    over ``salt_buckets`` reducers — and phase 2 ranks the ≤``salt_buckets``
+    survivors per PK. The salt is a deterministic hash of the lsn (no
+    ``rand()``: retries and the exactly-once replay must re-derive identical
+    plans). Max-lsn commutes through the phases, so the result is identical
+    to the unsalted plan. Two shuffles instead of one — only worth it when
+    the skew is real, which is why the engine gates it on spec.salt_buckets
+    or sampled hot-key detection (plans/manager.py).
     """
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*primary_keys, salt).orderBy(F.desc(lsn_col))
+        df = (
+            df.withColumn("_rdl_rn", F.row_number().over(w1))
+            .filter(F.col("_rdl_rn") == 1)
+            .drop("_rdl_rn")
+        )
     w = Window.partitionBy(*primary_keys).orderBy(F.desc(lsn_col))
     return (
         df.withColumn("_rdl_rn", F.row_number().over(w))

@@ -20,16 +20,25 @@ from pyspark.sql import functions as F
 
 
 def detect_hot_keys(
-    df: DataFrame, key_cols: list[str], threshold_frac: float = 0.05
+    df: DataFrame,
+    key_cols: list[str],
+    threshold_frac: float = 0.05,
+    sample_fraction: float = 0.01,
+    seed: int = 42,
 ) -> DataFrame:
     """Sample-based hot-key probe: keys owning > threshold of all rows.
 
     The control plane uses this to pick a salt factor (SURVEY.md §4
-    "skew detector"); it is one cheap count aggregation.
+    "skew detector"). Both passes (total + per-key counts) run over a
+    Bernoulli **sample**, never the full input — a key owning ≥5% of
+    10^10 rows owns ≥5% of any 1% sample with overwhelming probability,
+    so sampling loses nothing while cutting the probe to ~1/100 of a scan.
+    The sample is seeded: retries see the same verdict.
     """
-    total = df.count()
+    s = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else df
+    total = max(s.count(), 1)
     return (
-        df.groupBy(*key_cols)
+        s.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > total * threshold_frac)
         .withColumn("frac", F.round(F.col("n") / F.lit(total), 4))

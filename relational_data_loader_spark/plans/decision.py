@@ -40,6 +40,18 @@ def decide(
         reasons.append("destination table missing")
     if ct_force_full and target_exists:
         reasons.append("change tracking invalid: log truncated past watermark")
+    if (
+        target_exists
+        and stored_spec is not None
+        and stored_spec.target_buckets != spec.target_buckets
+    ):
+        # the committed files are laid out with the OLD bucket count; an
+        # incremental merge under the new count would look up the wrong
+        # buckets and leave stale duplicates — re-bucket via full refresh
+        reasons.append(
+            f"bucket layout changed (target_buckets "
+            f"{stored_spec.target_buckets} -> {spec.target_buckets}): re-bucket"
+        )
 
     renames: list[tuple[str, str]] = []
     added = False

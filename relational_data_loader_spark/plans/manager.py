@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from relational_data_loader_spark.operators.lww import net_changes
 from relational_data_loader_spark.operators.project import project_cast
+from relational_data_loader_spark.operators.skew import detect_hot_keys
 from relational_data_loader_spark.plans.decision import LoadDecision, decide
 from relational_data_loader_spark.sinks.snapshot import SnapshotTable
 from relational_data_loader_spark.sources.readers import (
@@ -29,6 +30,13 @@ from relational_data_loader_spark.sources.readers import (
 )
 from relational_data_loader_spark.spec import IngestSpec
 from relational_data_loader_spark.state import StateTable
+
+# Auto-salt gate: only batches big enough for one hot PK to pin a reducer
+# are worth a sampled detection pass; the factor spreads that key's rows
+# over this many reducers in the pre-netting phase (operators/lww.py).
+_AUTO_SALT_MIN_ROWS = 2_000_000
+_AUTO_SALT_SAMPLE = 0.005
+_AUTO_SALT_FACTOR = 16
 
 
 @dataclass
@@ -40,6 +48,8 @@ class RunResult:
     epoch_id: int
     skipped: bool
     wall_ms: int
+    n_chunks: int = 1            # incremental apply chunks (spec.batch_size)
+    salt_buckets: int = 0        # salt factor the netting actually used
 
 
 class DataLoadManager:
@@ -53,11 +63,20 @@ class DataLoadManager:
 
     # -- the four dataflow stages, reused by batch + streaming ---------------
 
-    def prepare_batch(self, spec: IngestSpec, changes: DataFrame) -> DataFrame:
-        """envelope scan → column mapping/cast/transform → LWW netting."""
+    def prepare_batch(
+        self, spec: IngestSpec, changes: DataFrame, salt_buckets: int | None = None
+    ) -> DataFrame:
+        """envelope scan → column mapping/cast/transform → LWW netting.
+
+        ``salt_buckets`` defaults to the spec's declared value; ``run``
+        overrides it with the sampled hot-key verdict when the spec leaves
+        it at 0 (auto).
+        """
         mapped = project_cast(changes, spec, include_envelope=True)
+        salt = spec.salt_buckets if salt_buckets is None else salt_buckets
         return net_changes(
-            mapped, spec.primary_keys, spec.lsn_column, spec.op_column
+            mapped, spec.primary_keys, spec.lsn_column, spec.op_column,
+            salt_buckets=salt,
         )
 
     def final_state(self, spec: IngestSpec, log: DataFrame) -> DataFrame:
@@ -125,20 +144,68 @@ class DataLoadManager:
             return RunResult(decision, n, 0, table.watermark(), epoch_id, False, wall)
 
         # incremental: only events past the committed watermark
-        epoch_id = cti.current_version
-        changes = log.filter(F.col(spec.lsn_column) > F.lit(last))
-        netted = self.prepare_batch(spec, changes)
-        stats = table.merge(netted, epoch_id)
-        if not stats.skipped:
-            self.state.append(
-                spec.name, epoch_id, stats.bucket_stats or [], stats.wall_ms, "merge"
+        lsn = spec.lsn_column
+        changes = log.filter(F.col(lsn) > F.lit(last))
+        # one control-plane count over the unapplied range (parquet row-group
+        # stats prune the scan to the tail segments); it drives both the
+        # chunking decision and the auto-salt gate below
+        n_unapplied = changes.count()
+
+        # skew: spec.salt_buckets > 0 pins the factor; 0 means auto — probe a
+        # seeded sample for a PK hot enough to pin a netting reducer
+        # (reference has no analog: it is single-threaded by construction)
+        salt = spec.salt_buckets
+        if salt == 0 and n_unapplied >= _AUTO_SALT_MIN_ROWS:
+            pk_sources = [c.source for c in spec.columns if c.primary_key]
+            hot = detect_hot_keys(
+                changes, pk_sources, threshold_frac=0.05,
+                sample_fraction=_AUTO_SALT_SAMPLE,
             )
+            if hot.limit(1).count() > 0:
+                salt = _AUTO_SALT_FACTOR
+
+        # chunked apply (reference C2's batch loop, spec.batch_size): a large
+        # unapplied range splits into lsn-bounded chunks, each netted and
+        # manifest-committed separately — a 10^10-event backlog replays with
+        # bounded per-epoch state and resumes mid-backlog from the last
+        # committed chunk's watermark. Chunk bounds come from one
+        # approx-quantile pass over the lsn column; each chunk's epoch key is
+        # its upper bound, which is replay-safe: a committed chunk covering
+        # (lo, hi] advanced the watermark to its max lsn, so a recomputed
+        # chunk ending at the same hi after a crash can only be empty.
+        bounds: list[int] = [cti.current_version]
+        if spec.batch_size and 0 < spec.batch_size < n_unapplied:
+            k = -(-n_unapplied // spec.batch_size)
+            cuts = changes.approxQuantile(lsn, [i / k for i in range(1, k)], 0.001)
+            bounds = sorted({int(c) for c in cuts} | {cti.current_version})
+
+        total_up = total_del = 0
+        applied_any = False
+        chunks_run = 0
+        lo = last
+        for hi in bounds:
+            if hi <= lo:
+                continue
+            chunks_run += 1
+            chunk = log.filter((F.col(lsn) > F.lit(lo)) & (F.col(lsn) <= F.lit(hi)))
+            netted = self.prepare_batch(spec, chunk, salt_buckets=salt)
+            stats = table.merge(netted, hi)
+            if not stats.skipped:
+                applied_any = True
+                self.state.append(
+                    spec.name, hi, stats.bucket_stats or [], stats.wall_ms, "merge"
+                )
+            total_up += stats.rows_upserted
+            total_del += stats.rows_deleted
+            lo = hi
         return RunResult(
             decision,
-            stats.rows_upserted,
-            stats.rows_deleted,
-            stats.watermark,
-            epoch_id,
-            stats.skipped,
+            total_up,
+            total_del,
+            table.watermark(),
+            cti.current_version,
+            not applied_any,
             int((time.time() - t0) * 1000),
+            n_chunks=max(chunks_run, 1),
+            salt_buckets=salt,
         )

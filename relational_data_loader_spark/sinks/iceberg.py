@@ -3,7 +3,9 @@
 This sandbox has no Iceberg runtime jars and no network (SURVEY.md §7.4),
 so this module is code-complete but only exercised where the jars exist
 (``iceberg_available()`` gates it; tests fall back to SnapshotTable, which
-implements the same contract over plain parquet). On a real cluster:
+implements the same contract over plain parquet; the exactly-once plumbing
+here IS unit-tested against a recording fake — tests/test_iceberg_sink.py).
+On a real cluster:
 
     spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<v> \
       --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions \
@@ -19,16 +21,57 @@ Design notes for the 10^10-event target:
   rewrites into delete-file appends, compacted asynchronously;
 - rename/add-column are metadata-only (field-id based), which is why the
   engine's evolution policy maps the reference's "model config change" to
-  Iceberg DDL instead of a reload;
-- exactly-once: epoch ids are recorded in the table's snapshot summary
-  properties atomically with the commit, mirroring SnapshotTable manifests.
+  Iceberg DDL instead of a reload.
+
+Exactly-once bookkeeping — the one-commit rule
+----------------------------------------------
+The epoch id and watermark are stamped into the **snapshot summary of the
+data commit itself**, via Iceberg's write-audit-publish session conf
+``spark.wap.id``: any Iceberg write that runs while it is set records its
+value as the snapshot-summary key ``wap.id`` (public Iceberg Spark
+behavior; with ``write.wap.enabled`` left false — which ``ensure_table``
+guarantees — the snapshot publishes normally). That gives us an arbitrary
+string carried atomically with MERGE INTO / INSERT OVERWRITE, with no
+second ``ALTER TABLE`` commit and therefore no crash window between data
+and bookkeeping. The read side (``applied_epochs`` / ``watermark``) parses
+the SAME key back from the ``.snapshots`` metadata table; the payload
+format is owned by ``_encode_stamp``/``_decode_stamp`` so writer and reader
+cannot drift.
+
+Epoch keys are namespaced exactly like SnapshotTable manifests
+(``batch:<lsn>`` vs ``stream:<batchId>``) — see sinks/snapshot.py.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
+from relational_data_loader_spark.sinks.snapshot import epoch_key
 from relational_data_loader_spark.spec import IngestSpec
+
+_WAP_CONF = "spark.wap.id"
+_STAMP_PREFIX = "rdl/"
+
+
+def _encode_stamp(key: str, watermark: int) -> str:
+    """Snapshot-summary payload: ``rdl/<namespace>:<epoch>/<watermark>``."""
+    return f"{_STAMP_PREFIX}{key}/{int(watermark)}"
+
+
+def _decode_stamp(payload: str | None) -> tuple[str, int] | None:
+    """Inverse of ``_encode_stamp``; None for foreign/absent wap ids."""
+    if not payload or not payload.startswith(_STAMP_PREFIX):
+        return None
+    body = payload[len(_STAMP_PREFIX):]
+    key, sep, wm = body.rpartition("/")
+    if not sep:
+        return None
+    try:
+        return key, int(wm)
+    except ValueError:
+        return None
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -44,8 +87,14 @@ def iceberg_available(spark: SparkSession) -> bool:
 class IcebergTable:
     """Same contract as SnapshotTable, implemented with Iceberg SQL."""
 
-    def __init__(self, spark: SparkSession, identifier: str, spec: IngestSpec):
-        if not iceberg_available(spark):
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        spec: IngestSpec,
+        check_runtime: bool = True,
+    ):
+        if check_runtime and not iceberg_available(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the classpath; use SnapshotTable "
                 "(sinks/snapshot.py) in jar-less environments"
@@ -60,6 +109,9 @@ class IcebergTable:
         cols = ", ".join(
             f"{c.destination} {c.spark_type.simpleString()}" for c in self.spec.columns
         )
+        # 'write.wap.enabled' must stay false: the epoch stamp rides the
+        # spark.wap.id conf, and enabling WAP would STAGE commits instead of
+        # publishing them (see module docstring)
         self.spark.sql(
             f"""
             CREATE TABLE IF NOT EXISTS {self.identifier} ({cols})
@@ -69,32 +121,56 @@ class IcebergTable:
               'write.merge.mode' = 'merge-on-read',
               'write.update.mode' = 'merge-on-read',
               'write.delete.mode' = 'merge-on-read',
-              'write.distribution-mode' = 'hash'
+              'write.distribution-mode' = 'hash',
+              'write.wap.enabled' = 'false'
             )
             """
         )
 
     # -- exactly-once epoch bookkeeping -------------------------------------
 
-    def applied_epochs(self) -> set[int]:
+    @contextmanager
+    def _stamped(self, key: str, watermark: int):
+        """Run a write with the epoch stamp riding the commit (atomic)."""
+        self.spark.conf.set(_WAP_CONF, _encode_stamp(key, watermark))
+        try:
+            yield
+        finally:
+            self.spark.conf.unset(_WAP_CONF)
+
+    def _snapshot_stamps(self) -> list[tuple[str, int]]:
         rows = self.spark.sql(
-            f"SELECT summary['rdl.epoch'] AS e FROM {self.identifier}.snapshots"
+            f"SELECT summary['wap.id'] AS stamp FROM {self.identifier}.snapshots"
         ).collect()
-        return {int(r["e"]) for r in rows if r["e"] is not None}
+        out = []
+        for r in rows:
+            decoded = _decode_stamp(r["stamp"])
+            if decoded is not None:
+                out.append(decoded)
+        return out
+
+    def applied_epochs(self) -> set[str]:
+        """Namespaced epoch keys of every committed snapshot (replay guard)."""
+        return {key for key, _ in self._snapshot_stamps()}
 
     def watermark(self) -> int:
-        rows = self.spark.sql(
-            f"SELECT max(CAST(summary['rdl.watermark'] AS BIGINT)) AS w "
-            f"FROM {self.identifier}.snapshots"
-        ).collect()
-        return rows[0]["w"] if rows and rows[0]["w"] is not None else -1
+        stamps = self._snapshot_stamps()
+        return max((wm for _, wm in stamps), default=-1)
 
     # -- MERGE (reference W1 upsert + W2 delete fused) -----------------------
 
-    def merge(self, netted: DataFrame, epoch_id: int, watermark: int) -> bool:
+    def merge(
+        self,
+        netted: DataFrame,
+        epoch_id: int,
+        watermark: int,
+        namespace: str = "batch",
+    ) -> bool:
         """Apply a netted batch via a single MERGE INTO. Returns False if the
-        epoch was already applied (idempotent replay)."""
-        if epoch_id in self.applied_epochs():
+        epoch was already applied (idempotent replay). The epoch/watermark
+        stamp commits atomically with the MERGE snapshot (module docstring)."""
+        key = epoch_key(epoch_id, namespace)
+        if key in self.applied_epochs():
             return False
         spec = self.spec
         on = " AND ".join(f"t.{k} = s.{k}" for k in spec.primary_keys)
@@ -104,34 +180,32 @@ class IcebergTable:
         cols = ", ".join(c.destination for c in spec.columns)
         svals = ", ".join(f"s.{c.destination}" for c in spec.columns)
         netted.createOrReplaceTempView("_rdl_batch")
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t
-            USING _rdl_batch s
-            ON {on}
-            WHEN MATCHED AND s.{spec.op_column} = '{spec.delete_op}' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET {sets}
-            WHEN NOT MATCHED AND s.{spec.op_column} != '{spec.delete_op}'
-              THEN INSERT ({cols}) VALUES ({svals})
-            """
-        )
-        # stamp the snapshot with the epoch id + watermark (atomic with the
-        # commit on Iceberg >= 1.2 via snapshot summary properties; set via
-        # the commit's write options on older versions)
-        self.spark.sql(
-            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('rdl.last_epoch' = '{epoch_id}', 'rdl.watermark' = '{watermark}')"
-        )
+        with self._stamped(key, watermark):
+            self.spark.sql(
+                f"""
+                MERGE INTO {self.identifier} t
+                USING _rdl_batch s
+                ON {on}
+                WHEN MATCHED AND s.{spec.op_column} = '{spec.delete_op}' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET {sets}
+                WHEN NOT MATCHED AND s.{spec.op_column} != '{spec.delete_op}'
+                  THEN INSERT ({cols}) VALUES ({svals})
+                """
+            )
         return True
 
-    def full_refresh(self, df: DataFrame, epoch_id: int, watermark: int) -> None:
-        """Atomic snapshot swap: CREATE OR REPLACE ... AS SELECT (W4)."""
+    def full_refresh(
+        self,
+        df: DataFrame,
+        epoch_id: int,
+        watermark: int,
+        namespace: str = "batch",
+    ) -> None:
+        """Atomic snapshot swap: single INSERT OVERWRITE commit carrying the
+        epoch stamp (W4)."""
         df.createOrReplaceTempView("_rdl_full")
         self.ensure_table()
-        self.spark.sql(
-            f"INSERT OVERWRITE {self.identifier} SELECT * FROM _rdl_full"
-        )
-        self.spark.sql(
-            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('rdl.last_epoch' = '{epoch_id}', 'rdl.watermark' = '{watermark}')"
-        )
+        with self._stamped(epoch_key(epoch_id, namespace), watermark):
+            self.spark.sql(
+                f"INSERT OVERWRITE {self.identifier} SELECT * FROM _rdl_full"
+            )

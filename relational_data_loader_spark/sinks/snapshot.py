@@ -24,6 +24,17 @@ format:
   (``merge(...)`` returns ``skipped=True``). This formalizes the reference's
   commit-version-after-apply ordering contract (SURVEY.md §3.2 note) into a
   transactional idempotence key, which `foreachBatch` (at-least-once) needs.
+  Epoch ids are **namespaced by producer** (``batch:<lsn>`` for the batch
+  manager, whose epochs are log positions; ``stream:<id>`` for Structured
+  Streaming, whose batchIds count 0,1,2,…) — one shared un-namespaced set
+  would let a long-lived stream's batchId collide with a committed batch
+  LSN and silently skip real data.
+- **Layout pinning** — every manifest records the ``n_buckets`` the files
+  were laid out with. MERGE always prunes/rewrites against the *committed*
+  layout, never the live spec: a spec edit to ``target_buckets`` must not
+  make bucket lookups miss the files that actually hold matching PKs
+  (silent stale-duplicate corruption). Re-bucketing happens only through a
+  full refresh (``plans/decision.py`` forces one on a layout change).
 
 Single-writer per table, like the reference. Manifests accumulate epoch ids
 and file references; a production deployment compacts old manifests/files
@@ -47,6 +58,18 @@ from relational_data_loader_spark.operators.watermark import bucket_expr
 from relational_data_loader_spark.spec import IngestSpec
 
 _BUCKET_COL = "_bucket"
+
+
+def epoch_key(epoch_id: int, namespace: str) -> str:
+    """Namespaced idempotence key for the applied-epochs set."""
+    if namespace not in ("batch", "stream"):
+        raise ValueError(f"unknown epoch namespace {namespace!r}")
+    return f"{namespace}:{int(epoch_id)}"
+
+
+def _normalize_epoch_keys(keys: list) -> set[str]:
+    # round-1 manifests stored bare ints (all written by the batch manager)
+    return {k if isinstance(k, str) and ":" in k else f"batch:{k}" for k in keys}
 
 
 @dataclass
@@ -108,7 +131,9 @@ class SnapshotTable:
 
     # ---- write paths ---------------------------------------------------------
 
-    def _write_buckets(self, df: DataFrame) -> dict[str, list[str]]:
+    def _write_buckets(
+        self, df: DataFrame, n_buckets: int | None = None
+    ) -> dict[str, list[str]]:
         """Write df grouped into per-bucket parquet files under a fresh commit dir.
 
         Hash-repartitioning on ``_bucket`` before ``partitionBy`` is the
@@ -119,12 +144,13 @@ class SnapshotTable:
         here: 1024 files → 64 files per commit, and every later MERGE reads
         the touched buckets back, so file count compounds per epoch.
         """
+        n = self.n_buckets if n_buckets is None else n_buckets
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         (
             df.withColumn(
-                _BUCKET_COL, bucket_expr(self.bucket_key, self.n_buckets)
+                _BUCKET_COL, bucket_expr(self.bucket_key, n)
             )
-            .repartition(self.n_buckets, F.col(_BUCKET_COL))
+            .repartition(n, F.col(_BUCKET_COL))
             .write.partitionBy(_BUCKET_COL)
             .parquet(commit_dir)
         )
@@ -135,14 +161,20 @@ class SnapshotTable:
         return buckets
 
     def full_refresh(
-        self, df: DataFrame, epoch_id: int = 0, watermark: int = 0
+        self, df: DataFrame, epoch_id: int = 0, watermark: int = 0,
+        namespace: str = "batch",
     ) -> dict[str, Any]:
-        """Atomic whole-table (re)load — the reference's stage + rename swap (W4)."""
+        """Atomic whole-table (re)load — the reference's stage + rename swap (W4).
+
+        This is also the only point where the bucket layout may change: the
+        whole table is rewritten, so the live spec's ``target_buckets``
+        becomes the committed layout."""
         buckets = self._write_buckets(df.select(*self._dest_cols()))
         return self._commit(
             {
                 "buckets": buckets,
-                "applied_epochs": [epoch_id],
+                "n_buckets": self.n_buckets,
+                "applied_epochs": [epoch_key(epoch_id, namespace)],
                 "watermark": watermark,
                 "spec_checksum": self.spec.checksum(),
                 "spec_json": self.spec.to_json(),
@@ -176,13 +208,22 @@ class SnapshotTable:
         m = self.current_manifest()
         return int(m["watermark"]) if m else -1
 
-    def applied_epochs(self) -> set[int]:
+    def applied_epochs(self) -> set[str]:
         m = self.current_manifest()
-        return set(m.get("applied_epochs", [])) if m else set()
+        return _normalize_epoch_keys(m.get("applied_epochs", [])) if m else set()
+
+    def layout_buckets(self) -> int:
+        """Bucket count the committed files were actually laid out with."""
+        m = self.current_manifest()
+        if m is None:
+            return self.n_buckets
+        return int(m.get("n_buckets", self.n_buckets))
 
     # ---- MERGE ---------------------------------------------------------------
 
-    def merge(self, netted: DataFrame, epoch_id: int) -> MergeStats:
+    def merge(
+        self, netted: DataFrame, epoch_id: int, namespace: str = "batch"
+    ) -> MergeStats:
         """Apply a netted change batch (one row per PK, max-lsn op wins).
 
         Contract of ``netted``: columns = (lsn, op, pk..., payload...) with a
@@ -206,8 +247,14 @@ class SnapshotTable:
             raise RuntimeError(
                 f"target {spec.name!r} has no committed snapshot; run full_refresh first"
             )
-        if epoch_id in set(m.get("applied_epochs", [])):
+        key = epoch_key(epoch_id, namespace)
+        if key in _normalize_epoch_keys(m.get("applied_epochs", [])):
             return MergeStats(epoch_id, True, 0, 0, 0, int(m["watermark"]), 0)
+        # prune and rewrite against the layout the files were COMMITTED with,
+        # never the live spec — a target_buckets edit must not desync bucket
+        # lookups from file placement (that would leave stale duplicates);
+        # re-bucketing is full_refresh's job (decision.py forces it).
+        layout = int(m.get("n_buckets", self.n_buckets))
 
         # The netted batch feeds three consumers (stats, anti-join keys,
         # upsert rows). Small batches cache in memory; replay-scale batches
@@ -224,7 +271,7 @@ class SnapshotTable:
             # also tells us the batch size, which drives the staging choice
             stat_rows = (
                 netted.groupBy(
-                    bucket_expr(self.bucket_key, self.n_buckets).alias("b")
+                    bucket_expr(self.bucket_key, layout).alias("b")
                 )
                 .agg(
                     F.max(spec.lsn_column).alias("max_lsn"),
@@ -239,7 +286,9 @@ class SnapshotTable:
             )
             if not stat_rows:
                 manifest = dict(m)
-                manifest["applied_epochs"] = sorted(set(m["applied_epochs"]) | {epoch_id})
+                manifest["applied_epochs"] = sorted(
+                    _normalize_epoch_keys(m["applied_epochs"]) | {key}
+                )
                 manifest["kind"] = "merge_empty"
                 self._commit(manifest)
                 return MergeStats(
@@ -281,7 +330,7 @@ class SnapshotTable:
             ).select(*self._dest_cols())
             merged = survivors.unionByName(new_rows)
 
-            new_buckets = self._write_buckets(merged)
+            new_buckets = self._write_buckets(merged, n_buckets=layout)
 
             buckets = {
                 b: files
@@ -291,7 +340,10 @@ class SnapshotTable:
             buckets.update(new_buckets)
             manifest = {
                 "buckets": buckets,
-                "applied_epochs": sorted(set(m["applied_epochs"]) | {epoch_id}),
+                "n_buckets": layout,
+                "applied_epochs": sorted(
+                    _normalize_epoch_keys(m["applied_epochs"]) | {key}
+                ),
                 "watermark": max(int(m["watermark"]), batch_max_lsn),
                 "spec_checksum": spec.checksum(),
                 "spec_json": spec.to_json(),
@@ -380,11 +432,17 @@ class SnapshotTable:
             for c in new_spec.columns:
                 if c.destination not in df.columns:
                     df = df.withColumn(c.destination, F.lit(None).cast(c.spark_type))
-            buckets = self._write_buckets(df.select(*self._dest_cols()))
+            # a rename rewrites rows but keeps the committed bucket layout
+            # (hashing is on values, which are unchanged)
+            layout = int(m.get("n_buckets", self.n_buckets))
+            buckets = self._write_buckets(
+                df.select(*self._dest_cols()), n_buckets=layout
+            )
             self._commit(
                 {
                     "buckets": buckets,
-                    "applied_epochs": m["applied_epochs"],
+                    "n_buckets": layout,
+                    "applied_epochs": sorted(_normalize_epoch_keys(m["applied_epochs"])),
                     "watermark": m["watermark"],
                     "spec_checksum": new_spec.checksum(),
                     "spec_json": new_spec.to_json(),
@@ -397,6 +455,7 @@ class SnapshotTable:
             m = self.current_manifest()
             self.spec = new_spec
             manifest = dict(m)
+            manifest["n_buckets"] = int(m.get("n_buckets", self.n_buckets))
             manifest["spec_checksum"] = new_spec.checksum()
             manifest["spec_json"] = new_spec.to_json()
             manifest["schema"] = new_spec.destination_schema().json()

@@ -84,13 +84,22 @@ class IngestSpec:
     name: str                               # destination table name
     source: str                             # source locator, e.g. parquet:///path, csv:///path
     columns: list[ColumnSpec] = field(default_factory=list)
-    batch_size: int = 100_000               # micro-batch sizing hint (maxFilesPerTrigger analog)
+    # Max change events applied per epoch (reference C2's batch_size).
+    # Batch mode: a larger unapplied range is split into lsn-bounded chunks,
+    # each committed separately (plans/manager.py). Streaming: drives the
+    # default maxFilesPerTrigger (streaming/runner.py). 0 disables chunking.
+    # Default sized for Spark executors, not pandas: ~5M events ≈ a few
+    # hundred MB per epoch across the cluster.
+    batch_size: int = 5_000_000
     lsn_column: str = "lsn"                 # change-version column (SYS_CHANGE_VERSION analog)
     op_column: str = "op"                   # change-operation column (SYS_CHANGE_OPERATION analog)
     delete_op: str = "D"
     upsert_ops: tuple[str, ...] = ("I", "U")
     target_buckets: int = 16                # hash buckets on first PK col for the snapshot sink
-    salt_buckets: int = 0                   # >0: salt pre-aggregation repartition for hot keys
+    # Skew salt for LWW netting (operators/lww.py): >1 forces the two-phase
+    # salted plan; 0 = auto (manager probes a sample of large batches and
+    # salts only when a hot PK is detected — plans/manager.py).
+    salt_buckets: int = 0
     transforms: dict[str, str] = field(default_factory=dict)
     # destination column -> named vectorized transform (functions/registry.py);
     # the reference has no user extension point (SURVEY.md §2.2 "UDF surface");
@@ -206,7 +215,7 @@ class IngestSpec:
             name=doc["name"],
             source=doc["source"],
             columns=[ColumnSpec(**c) for c in doc["columns"]],
-            batch_size=doc.get("batch_size", 100_000),
+            batch_size=doc.get("batch_size", 5_000_000),
             lsn_column=doc.get("lsn_column", "lsn"),
             op_column=doc.get("op_column", "op"),
             delete_op=doc.get("delete_op", "D"),

@@ -38,11 +38,17 @@ class StreamingIngest:
         manager: DataLoadManager,
         spec: IngestSpec,
         checkpoint_dir: str,
-        max_files_per_trigger: int = 4,
+        max_files_per_trigger: int | None = None,
+        rows_per_file_hint: int = 250_000,
     ):
         self.mgr = manager
         self.spec = spec
         self.checkpoint_dir = checkpoint_dir
+        if max_files_per_trigger is None:
+            # derive micro-batch size from the spec's batch_size (the
+            # reference C2 knob): the file source is bounded in files, not
+            # rows, so convert via a declared rows-per-log-segment hint
+            max_files_per_trigger = max(1, spec.batch_size // rows_per_file_hint)
         self.max_files_per_trigger = max_files_per_trigger
 
     # -- micro-batch apply (also unit-testable without a running stream) ----
@@ -56,13 +62,18 @@ class StreamingIngest:
                 self.mgr.spark.createDataFrame([], self.spec.destination_schema()),
                 epoch_id=-1,
                 watermark=-1,
+                namespace="stream",
             )
         # drop events at/below the committed watermark (full-refresh race)
         batch_df = batch_df.filter(
             F.col(self.spec.lsn_column) > F.lit(table.watermark())
         )
         netted = self.mgr.prepare_batch(self.spec, batch_df)
-        stats = table.merge(netted, int(epoch_id))
+        # "stream" namespace: Structured Streaming batchIds count 0,1,2,…
+        # while batch-manager epochs are log positions — an un-namespaced
+        # shared set would let a long-lived stream's batchId hit a committed
+        # batch LSN and silently drop that micro-batch
+        stats = table.merge(netted, int(epoch_id), namespace="stream")
         if not stats.skipped:
             self.mgr.state.append(
                 self.spec.name,
