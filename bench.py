@@ -13,7 +13,13 @@ Prints ONE JSON line:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     RDL_BENCH_EVENTS (default 1_500_000).
+     RDL_BENCH_EVENTS (default 1_500_000),
+     RDL_BENCH_CACHE (default <repo>/.bench_cache; point at /dev/shm/... to
+     take the single-virtio-disk wall out of replay numbers — BENCH.md).
+
+The JSON line reports ``storage`` ("disk"/"shm") because this sandbox's disk
+is invariant in core count: disk-backed replay numbers are an I/O statement,
+shm-backed ones an engine statement (BENCH.md round 1).
 """
 
 from __future__ import annotations
@@ -37,7 +43,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("RDL_BENCH_EVENTS", "1500000"))
 N_CONVS = max(N_EVENTS // 100, 100)
-CACHE = os.path.join(REPO, ".bench_cache")
+CACHE = os.environ.get("RDL_BENCH_CACHE", os.path.join(REPO, ".bench_cache"))
+STORAGE = "shm" if CACHE.startswith(("/dev/shm", "/run/shm")) else "disk"
 
 
 def _evaluate(df) -> None:
@@ -53,6 +60,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[str, float] = {}
+
+    # 0. warm-up: absorb session/JIT/codegen startup in a throwaway run so
+    # the first timed query measures the plan, not the JVM (round-1
+    # cdc_lww_net carried ~2s of warm-up — VERDICT bench-hygiene item)
+    warm_fn, _ = next(iter(QUERIES.values()))
+    _evaluate(warm_fn(spark, SF_DIR))
 
     # 1. catalog queries
     for name, (fn, _) in QUERIES.items():
@@ -105,6 +118,7 @@ def main() -> None:
                 "cdc_replay_events_per_sec": round(replay_eps, 1),
                 "cdc_replay_events": N_EVENTS,
                 "cpus": CPUS,
+                "storage": STORAGE,
             }
         )
     )

@@ -33,6 +33,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="comma-separated spec names, or '*' for all",
     )
     p.add_argument("--stream", action="store_true", help="run resident streams")
+    p.add_argument(
+        "--once",
+        action="store_true",
+        help="with --stream: drain what's in the log (availableNow) and exit "
+        "— the reference's poll-style run",
+    )
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint root")
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
@@ -70,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
             )
             if force:
                 mgr.run(spec, force_full=True)
-            queries.append(StreamingIngest(mgr, spec, ckpt).start(available_now=False))
+            queries.append(
+                StreamingIngest(mgr, spec, ckpt).start(available_now=args.once)
+            )
             print(f"[rdl-spark] streaming {spec.name} (checkpoint={ckpt})")
         else:
             res = mgr.run(spec, force_full=force)
@@ -84,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
                         "rows_deleted": res.rows_deleted,
                         "watermark": res.watermark,
                         "skipped": res.skipped,
+                        "n_chunks": res.n_chunks,
+                        "salt_buckets": res.salt_buckets,
                         "wall_ms": res.wall_ms,
                     }
                 )

@@ -35,8 +35,13 @@ from relational_data_loader_spark.operators.dedup import (
     token_jaccard_pairs,
 )
 from relational_data_loader_spark.operators.lww import net_changes
-from relational_data_loader_spark.operators.similarity import cosine_topk
+from relational_data_loader_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from relational_data_loader_spark.functions import text as TXT
+from relational_data_loader_spark.functions.registry import get_transform
+from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT
 
 # events-as-change-log convention
 DELETE_OP = "error"
@@ -636,6 +641,104 @@ WHERE event_type = 'error'
 """
 
 
+def q_cdc_audit_columns(spark, sf):
+    """Per-row audit columns (P3 — sinks append _rdl_exec_id/_rdl_loaded_at):
+    final state stamped with the epoch that wrote it. One full-refresh epoch
+    (the log's max lsn) stamps every row; the timestamp is epoch-DERIVED so
+    replays are byte-stable (never current_timestamp())."""
+    final = q_cdc_apply_final_state(spark, sf)
+    mx = _t(spark, sf, "events").agg(F.max("event_id").alias(AUDIT_EXEC_ID))
+    return final.crossJoin(F.broadcast(mx)).withColumn(
+        AUDIT_LOADED_AT,
+        F.timestamp_seconds(F.col(AUDIT_EXEC_ID)).cast("timestamp_ntz"),
+    )
+
+
+SQL_AUDIT_COLUMNS = f"""
+SELECT t.user_id, t.last_lsn, t.last_op, t.last_value, t.last_ts,
+       m.{AUDIT_EXEC_ID},
+       make_timestamp(CAST(m.{AUDIT_EXEC_ID} AS BIGINT) * 1000000) AS {AUDIT_LOADED_AT}
+FROM (
+  SELECT user_id, event_id AS last_lsn, event_type AS last_op,
+         value AS last_value, ts AS last_ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events) r
+  WHERE rn = 1 AND event_type <> '{DELETE_OP}') t
+CROSS JOIN (SELECT max(event_id) AS {AUDIT_EXEC_ID} FROM events) m
+"""
+
+
+def q_normalize_text_nfc(spark, sf):
+    """The north_star's mandated text normalization (Unicode NFC + whitespace
+    collapse + trim) — the engine's one Arrow-batched Python crossing
+    (functions/registry.py normalize_text). md5 output so the value hash is
+    encoding-robust across engines."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(get_transform("normalize_text")(F.col("text"))).alias("norm_md5"),
+    )
+
+
+SQL_NORMALIZE_NFC = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS norm_md5
+FROM documents
+"""
+
+
+def _lsh_planes(n_planes: int, dim: int, seed: int = 42):
+    """The SAME seeded hyperplanes operators/similarity.py embeds as literals."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+_LSH_PLANES_N = 6
+_LSH_DIM = 64  # embeddings.embedding is float[64] at every sf (TESTDATA.md)
+
+
+def q_lsh_cosine_topk(spark, sf):
+    """ANN scale path: hyperplane-LSH bucketed cosine top-k — the bucket
+    equi-join replaces embedding_cosine_topk's cross join (operators/
+    similarity.py lsh_cosine_topk). Oracle = brute-force top-k restricted to
+    the same seeded buckets."""
+    emb = _t(spark, sf, "embeddings")
+    return lsh_cosine_topk(
+        emb.filter(F.col("vec_id") < 5), emb, dim=_LSH_DIM, k=5,
+        n_planes=_LSH_PLANES_N,
+    )
+
+
+def _lsh_sql() -> str:
+    """DuckDB twin: identical seeded planes as literals; the dot product is
+    an explicit left-to-right term chain so FP accumulation order matches
+    Spark's aggregate fold exactly (sign flips would move bucket ids)."""
+    planes = _lsh_planes(_LSH_PLANES_N, _LSH_DIM)
+    cases = []
+    for i in range(_LSH_PLANES_N):
+        dot = " + ".join(
+            f"emb[{j + 1}]*{float(v)!r}" for j, v in enumerate(planes[i])
+        )
+        weight = 2 ** (_LSH_PLANES_N - 1 - i)
+        cases.append(f"(CASE WHEN ({dot}) >= 0 THEN {weight} ELSE 0 END)")
+    bucket = " + ".join(cases)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, CAST({bucket} AS BIGINT) AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket FROM b),
+sims AS (
+  SELECT q_id, c_id,
+         CAST(round(list_cosine_similarity(q_emb, c_emb), 3) AS DOUBLE) AS sim
+  FROM q JOIN c USING (bucket) WHERE q_id <> c_id)
+SELECT q_id, c_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) rk
+      FROM sims)
+WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -666,4 +769,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "set_ops_inactive_customers": (q_set_ops_inactive_customers, SQL_SET_OPS),
     "top_orders_global": (q_top_orders_global, SQL_TOP_ORDERS),
     "asof_last_click_before_error": (q_asof_last_click_before_error, SQL_ASOF),
+    "cdc_audit_columns": (q_cdc_audit_columns, SQL_AUDIT_COLUMNS),
+    "normalize_text_nfc": (q_normalize_text_nfc, SQL_NORMALIZE_NFC),
+    "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
 }

@@ -49,7 +49,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 from relational_data_loader_spark.sinks.snapshot import epoch_key
-from relational_data_loader_spark.spec import IngestSpec
+from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT, IngestSpec
 
 _WAP_CONF = "spark.wap.id"
 _STAMP_PREFIX = "rdl/"
@@ -107,7 +107,8 @@ class IcebergTable:
 
     def ensure_table(self) -> None:
         cols = ", ".join(
-            f"{c.destination} {c.spark_type.simpleString()}" for c in self.spec.columns
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.spec.destination_schema().fields
         )
         # 'write.wap.enabled' must stay false: the epoch stamp rides the
         # spark.wap.id conf, and enabling WAP would STAGE commits instead of
@@ -174,11 +175,24 @@ class IcebergTable:
             return False
         spec = self.spec
         on = " AND ".join(f"t.{k} = s.{k}" for k in spec.primary_keys)
+        # per-row audit stamps (P3) are literals of THIS epoch — the netted
+        # batch doesn't carry them; epoch-derived so replays are byte-stable
+        audit_sets = {
+            AUDIT_EXEC_ID: f"{int(epoch_id)}L",
+            AUDIT_LOADED_AT: f"timestamp_seconds({int(epoch_id)})",
+        }
         sets = ", ".join(
-            f"t.{c} = s.{c}" for c in spec.payload_columns
+            [f"t.{c} = s.{c}" for c in spec.payload_columns]
+            + [f"t.{f.name} = {audit_sets[f.name]}" for f in spec.audit_fields]
         )
-        cols = ", ".join(c.destination for c in spec.columns)
-        svals = ", ".join(f"s.{c.destination}" for c in spec.columns)
+        cols = ", ".join(
+            [c.destination for c in spec.columns]
+            + [f.name for f in spec.audit_fields]
+        )
+        svals = ", ".join(
+            [f"s.{c.destination}" for c in spec.columns]
+            + [audit_sets[f.name] for f in spec.audit_fields]
+        )
         netted.createOrReplaceTempView("_rdl_batch")
         with self._stamped(key, watermark):
             self.spark.sql(

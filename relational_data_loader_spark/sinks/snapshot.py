@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from relational_data_loader_spark.operators.watermark import bucket_expr
-from relational_data_loader_spark.spec import IngestSpec
+from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT, IngestSpec
 
 _BUCKET_COL = "_bucket"
 
@@ -126,7 +126,18 @@ class SnapshotTable:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)  # the atomic commit point
+        # atomic commit point. link(2) fails with EEXIST if the version was
+        # already committed — a second writer loses LOUDLY instead of
+        # silently replacing a committed manifest (rename would overwrite).
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected: {final} already exists "
+                f"(single-writer contract violated for {self.path})"
+            )
+        os.unlink(tmp)
         return manifest
 
     # ---- write paths ---------------------------------------------------------
@@ -169,7 +180,9 @@ class SnapshotTable:
         This is also the only point where the bucket layout may change: the
         whole table is rewritten, so the live spec's ``target_buckets``
         becomes the committed layout."""
-        buckets = self._write_buckets(df.select(*self._dest_cols()))
+        buckets = self._write_buckets(
+            self._with_audit(df.select(*self._dest_cols()), epoch_id)
+        )
         return self._commit(
             {
                 "buckets": buckets,
@@ -187,6 +200,16 @@ class SnapshotTable:
 
     def _dest_cols(self) -> list[str]:
         return [c.destination for c in self.spec.columns]
+
+    def _with_audit(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Per-row audit stamp (reference P3). Epoch-derived, never
+        current_timestamp(): a replayed epoch must write byte-identical rows
+        or exactly-once equality breaks."""
+        if not self.spec.audit_columns:
+            return df
+        return df.withColumn(
+            AUDIT_EXEC_ID, F.lit(int(epoch_id)).cast("long")
+        ).withColumn(AUDIT_LOADED_AT, F.timestamp_seconds(F.lit(int(epoch_id))))
 
     def _read_files(self, relpaths: list[str]) -> DataFrame:
         schema = self.spec.destination_schema()
@@ -325,9 +348,14 @@ class SnapshotTable:
             if ups + dels > 1_000_000:
                 batch_keys = batch_keys.hint("shuffle_hash")
             survivors = target.join(batch_keys, on=pks, how="left_anti")
-            new_rows = netted.filter(
-                F.col(spec.op_column) != spec.delete_op
-            ).select(*self._dest_cols())
+            # survivors keep their original audit stamp (the epoch that wrote
+            # them); only rows this epoch writes get the new one
+            new_rows = self._with_audit(
+                netted.filter(F.col(spec.op_column) != spec.delete_op).select(
+                    *self._dest_cols()
+                ),
+                epoch_id,
+            )
             merged = survivors.unionByName(new_rows)
 
             new_buckets = self._write_buckets(merged, n_buckets=layout)
@@ -435,9 +463,12 @@ class SnapshotTable:
             # a rename rewrites rows but keeps the committed bucket layout
             # (hashing is on values, which are unchanged)
             layout = int(m.get("n_buckets", self.n_buckets))
-            buckets = self._write_buckets(
-                df.select(*self._dest_cols()), n_buckets=layout
-            )
+            # audit stamps ride through untouched (a rename is not a load;
+            # rows keep the epoch that actually wrote them)
+            keep = self._dest_cols() + [
+                f.name for f in new_spec.audit_fields if f.name in df.columns
+            ]
+            buckets = self._write_buckets(df.select(*keep), n_buckets=layout)
             self._commit(
                 {
                     "buckets": buckets,

@@ -17,13 +17,115 @@ Reference mapping (SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
+from urllib.parse import parse_qsl
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from relational_data_loader_spark.spec import IngestSpec
+
+# Spark JDBC options we interpret; anything else in the URI's query string is
+# passed through verbatim (Spark forwards unknown options to the driver as
+# connection properties, which is what e.g. mysql's useSSL=false needs).
+_JDBC_DEFAULT_FETCHSIZE = 10_000
+_JDBC_DEFAULT_NUM_PARTITIONS = 32
+
+
+def build_jdbc_options(
+    uri: str,
+    spec: IngestSpec | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Assemble the full Spark JDBC reader option map from a ``jdbc://`` URI.
+
+    Reference contract: ``modules/data_sources/MsSqlDataSource.py::
+    get_next_data_frame`` (SURVEY.md §2.1 S1) keyset-paginates with
+    ``SELECT TOP(n) … WHERE pk > ? ORDER BY pk``; Spark's JDBC source
+    replaces that with range-partitioned parallel reads —
+    ``partitionColumn/lowerBound/upperBound/numPartitions`` is the exact
+    analog of the reference's cursor loop, and ``fetchsize`` bounds per-task
+    transfer the way the reference's batch_size bounded its pandas frames.
+
+    URI shape: ``jdbc://<real-jdbc-url>?dbtable=schema.tbl&user=…`` — e.g.
+    ``jdbc://jdbc:sqlserver://host:1433;databaseName=src?dbtable=dbo.t``.
+    Interpreted keys: dbtable | query, user, password, driver, fetchsize,
+    partitionColumn, lowerBound, upperBound, numPartitions. Credentials fall
+    back to ``RDL_SPARK_JDBC_USER`` / ``RDL_SPARK_JDBC_PASSWORD`` env vars so
+    specs checked into VCS never embed secrets.
+
+    Pure option assembly — no SparkSession, no driver jar — so it is fully
+    unit-testable in jar-less environments (tests/test_jdbc_source.py).
+    """
+    _, _, rest = uri.partition("://")
+    url, _, qs = rest.partition("?")
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"jdbc:// URI must wrap a real JDBC url, got {url!r}")
+    opts: dict[str, str] = {"url": url}
+    opts.update(parse_qsl(qs))
+
+    if "dbtable" not in opts and "query" not in opts:
+        raise ValueError(
+            f"jdbc source needs dbtable= or query= in the URI query string: {uri!r}"
+        )
+    if "dbtable" in opts and "query" in opts:
+        raise ValueError("dbtable= and query= are mutually exclusive")
+
+    opts.setdefault("fetchsize", str(_JDBC_DEFAULT_FETCHSIZE))
+    if "user" not in opts and os.environ.get("RDL_SPARK_JDBC_USER"):
+        opts["user"] = os.environ["RDL_SPARK_JDBC_USER"]
+    if "password" not in opts and os.environ.get("RDL_SPARK_JDBC_PASSWORD"):
+        opts["password"] = os.environ["RDL_SPARK_JDBC_PASSWORD"]
+
+    # parallel-read partitioning: default to the spec's change-version column
+    # (monotone, dense — the ideal range key) unless the URI pins one
+    if "partitionColumn" not in opts and spec is not None:
+        opts["partitionColumn"] = spec.lsn_column
+    if "partitionColumn" in opts:
+        opts.setdefault(
+            "numPartitions",
+            str(num_partitions or _JDBC_DEFAULT_NUM_PARTITIONS),
+        )
+    return opts
+
+
+def jdbc_bounds_query(opts: dict[str, str]) -> str:
+    """Bounds-probe subquery for ``lowerBound``/``upperBound`` (pushed to the
+    source database, one row back — the reference's CT version probe twin)."""
+    col = opts["partitionColumn"]
+    src = opts.get("dbtable") or f"({opts['query']}) q"
+    return f"(SELECT min({col}) AS lo, max({col}) AS hi FROM {src}) bounds"
+
+
+def read_jdbc(
+    spark: SparkSession, uri: str, spec: IngestSpec | None = None
+) -> DataFrame:
+    """Partitioned JDBC scan; probes range bounds when the URI omits them.
+
+    Needs the driver jar on the classpath, so it is exercised only where one
+    exists; everything up to ``.load()`` (option assembly, bounds SQL) is
+    unit-tested without one.
+    """
+    opts = build_jdbc_options(uri, spec)
+    if "partitionColumn" in opts and (
+        "lowerBound" not in opts or "upperBound" not in opts
+    ):
+        probe = dict(opts)
+        probe.pop("dbtable", None)
+        probe.pop("query", None)
+        probe.pop("partitionColumn", None)
+        probe.pop("numPartitions", None)
+        probe["dbtable"] = jdbc_bounds_query(opts)
+        row = spark.read.format("jdbc").options(**probe).load().collect()[0]
+        if row["lo"] is None:  # empty source table: no parallel read to plan
+            for k in ("partitionColumn", "numPartitions", "lowerBound", "upperBound"):
+                opts.pop(k, None)
+        else:
+            opts["lowerBound"] = str(row["lo"])
+            opts["upperBound"] = str(row["hi"])
+    return spark.read.format("jdbc").options(**opts).load()
 
 
 def read_source(
@@ -44,14 +146,16 @@ def read_source(
             r = r.option("inferSchema", "true")
         return r.csv(path)
     if scheme == "jdbc":
-        # real-cluster path for an MSSQL/Postgres source; needs the driver jar
-        # on the classpath, so it is exercised only where one exists.
-        return spark.read.format("jdbc").option("url", path).load()
+        return read_jdbc(spark, uri)
     raise ValueError(f"unknown source scheme {scheme!r} in {uri!r}")
 
 
 def read_change_log(spark: SparkSession, spec: IngestSpec) -> DataFrame:
     """Batch scan of the LSN-ordered change log for this spec's source."""
+    if spec.source.startswith("jdbc://"):
+        # schema comes from the database; spec supplies the range-partition
+        # column (the lsn) for the parallel read
+        return read_jdbc(spark, spec.source, spec)
     return read_source(spark, spec.source, spec.change_schema())
 
 

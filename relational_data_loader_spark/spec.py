@@ -23,6 +23,10 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+# Per-row audit column names (reference P3 analog; spec.audit_columns).
+AUDIT_EXEC_ID = "_rdl_exec_id"
+AUDIT_LOADED_AT = "_rdl_loaded_at"
+
 # Model-JSON type keyword -> Spark type (SURVEY.md §1.2 type table).
 _TYPE_MAP: dict[str, T.DataType] = {
     "string": T.StringType(),
@@ -100,6 +104,13 @@ class IngestSpec:
     # salted plan; 0 = auto (manager probes a sample of large batches and
     # salts only when a hot PK is detected — plans/manager.py).
     salt_buckets: int = 0
+    # Per-row audit/lineage columns (reference P3: modules/BatchDataLoader.py
+    # appends load metadata to every destination row). When true, every
+    # written row carries _rdl_exec_id (the epoch that wrote it) and
+    # _rdl_loaded_at (epoch-derived timestamp — deterministic, replay-stable;
+    # never current_timestamp(), which would break exactly-once replay
+    # equality). Untouched rows keep the stamp of the epoch that wrote them.
+    audit_columns: bool = False
     transforms: dict[str, str] = field(default_factory=dict)
     # destination column -> named vectorized transform (functions/registry.py);
     # the reference has no user extension point (SURVEY.md §2.2 "UDF surface");
@@ -118,9 +129,19 @@ class IngestSpec:
     def payload_columns(self) -> list[str]:
         return [c.destination for c in self.columns if not c.primary_key]
 
+    @property
+    def audit_fields(self) -> list[T.StructField]:
+        if not self.audit_columns:
+            return []
+        return [
+            T.StructField(AUDIT_EXEC_ID, T.LongType(), True),
+            T.StructField(AUDIT_LOADED_AT, T.TimestampType(), True),
+        ]
+
     def destination_schema(self) -> T.StructType:
         return T.StructType(
             [T.StructField(c.destination, c.spark_type, c.nullable) for c in self.columns]
+            + self.audit_fields
         )
 
     def change_schema(self) -> T.StructType:
@@ -150,6 +171,7 @@ class IngestSpec:
         """
         doc = {
             "name": self.name,
+            "audit_columns": self.audit_columns,
             "columns": [
                 [c.source, c.destination, c.type, c.primary_key, c.nullable]
                 for c in self.columns
@@ -179,6 +201,10 @@ class IngestSpec:
         for src in old_by_src:
             if src not in new_by_src:
                 breaking.append(old_by_src[src])
+        if old.audit_columns != self.audit_columns:
+            # toggling per-row audit changes the physical schema of every
+            # row; backfilling historical stamps is impossible incrementally
+            breaking.append("audit_columns")
         return SpecDiff(added=added, renamed=renamed, breaking=breaking)
 
     # ---- (de)serialization ----------------------------------------------
@@ -194,6 +220,7 @@ class IngestSpec:
             "upsert_ops": list(self.upsert_ops),
             "target_buckets": self.target_buckets,
             "salt_buckets": self.salt_buckets,
+            "audit_columns": self.audit_columns,
             "transforms": self.transforms,
             "columns": [
                 {
@@ -222,6 +249,7 @@ class IngestSpec:
             upsert_ops=tuple(doc.get("upsert_ops", ("I", "U"))),
             target_buckets=doc.get("target_buckets", 16),
             salt_buckets=doc.get("salt_buckets", 0),
+            audit_columns=doc.get("audit_columns", False),
             transforms=doc.get("transforms", {}),
         )
 

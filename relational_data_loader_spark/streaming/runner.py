@@ -54,7 +54,22 @@ class StreamingIngest:
     # -- micro-batch apply (also unit-testable without a running stream) ----
 
     def apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import os
+
         table = self.mgr.table(self.spec)
+        if os.environ.get("RDL_DEBUG_STREAM"):
+            from pyspark.sql import functions as _F
+
+            r = batch_df.agg(
+                _F.min(self.spec.lsn_column), _F.max(self.spec.lsn_column),
+                _F.count(_F.lit(1)),
+            ).collect()[0]
+            wm = table.watermark() if table.exists() else None
+            print(
+                f"[rdl-stream] {self.spec.name} epoch={epoch_id} "
+                f"lsn=[{r[0]},{r[1]}] n={r[2]} wm_before={wm}",
+                flush=True,
+            )
         if not table.exists():
             # bootstrap an empty snapshot so merge has a base (the reference
             # creates the destination table before its first batch — W5)

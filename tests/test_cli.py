@@ -1,0 +1,107 @@
+"""CLI (reference C4: rdl.py entry point) — batch mode, forced refresh,
+stream --once smoke, and the error path. Reuses the session fixture's
+SparkSession (get_spark → getOrCreate)."""
+
+import json
+import os
+
+import pyarrow.compute as pc
+import pytest
+
+from relational_data_loader_spark.cli import main, parse_args
+from relational_data_loader_spark.fixtures import generate_change_log
+from relational_data_loader_spark.spec import transcripts_spec
+from tests.util import assert_tables_equal, duck_final_state, spark_sorted_pdf, write_log
+
+
+@pytest.fixture()
+def setup(tmp_path, spark):
+    log = generate_change_log(n_events=2500, n_convs=50, seed=31)
+    logdir = str(tmp_path / "log")
+    specdir = tmp_path / "specs"
+    specdir.mkdir()
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    (specdir / "transcripts.json").write_text(spec.to_json())
+    wh = str(tmp_path / "wh")
+    return log, logdir, str(specdir), wh, spec
+
+
+def _out_lines(capsys):
+    return [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+
+
+def test_batch_mode_full_then_incremental(setup, capsys):
+    log, logdir, specdir, wh, spec = setup
+    cut = pc.max(log["lsn"]).as_py() // 2
+    write_log(log, logdir, lsn_upto=cut)
+
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    (r1,) = _out_lines(capsys)
+    assert r1["spec"] == "transcripts" and r1["decision"] == "full_refresh"
+    assert r1["rows_upserted"] > 0 and r1["watermark"] == cut
+
+    write_log(log, logdir, lsn_from=cut)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    (r2,) = _out_lines(capsys)
+    assert r2["decision"] == "incremental" and not r2["skipped"]
+    assert r2["rows_deleted"] > 0
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_force_full_refresh_star(setup, capsys):
+    log, logdir, specdir, wh, _ = setup
+    write_log(log, logdir)
+    main(["--warehouse", wh, "--specs", specdir])
+    capsys.readouterr()
+    main(["--warehouse", wh, "--specs", specdir, "--force-full-refresh", "*"])
+    (r,) = _out_lines(capsys)
+    assert r["decision"] == "full_refresh"
+    assert any("forced by caller" in x for x in r["reasons"])
+
+
+def test_stream_once_drains_and_exits(setup, capsys, tmp_path):
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=6)
+    ckpt = str(tmp_path / "ckpt")
+    # availableNow ⇒ the query terminates on its own; main returns
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--stream", "--once",
+         "--checkpoint", ckpt]
+    ) == 0
+    assert "streaming transcripts" in capsys.readouterr().out
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+    assert os.path.isdir(os.path.join(ckpt, "transcripts"))
+
+
+def test_no_specs_is_an_error(tmp_path, capsys):
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert main(["--warehouse", str(tmp_path / "wh"), "--specs", str(empty)]) == 2
+    assert "no *.json specs" in capsys.readouterr().err
+
+
+def test_arg_wiring():
+    a = parse_args(
+        ["--warehouse", "/wh", "--specs", "/s", "--stream", "--once",
+         "--checkpoint", "/c", "--force-full-refresh", "a,b", "--log-level", "INFO"]
+    )
+    assert (a.warehouse, a.specs, a.stream, a.once, a.checkpoint) == (
+        "/wh", "/s", True, True, "/c",
+    )
+    assert a.force_full_refresh == "a,b" and a.log_level == "INFO"
