@@ -146,16 +146,17 @@ class DataLoadManager:
         # incremental: only events past the committed watermark
         lsn = spec.lsn_column
         changes = log.filter(F.col(lsn) > F.lit(last))
-        # one control-plane count over the unapplied range (parquet row-group
-        # stats prune the scan to the tail segments); it drives both the
-        # chunking decision and the auto-salt gate below
-        n_unapplied = changes.count()
+        # LSNs are unique monotone integers, so the lsn RANGE is a rigorous
+        # upper bound on unapplied rows — sizing decisions below need no
+        # counting pass over the data (a count() here would add a full scan
+        # to every incremental epoch; measured as a scaling dilutant)
+        lsn_range = max(cti.current_version - last, 0)
 
         # skew: spec.salt_buckets > 0 pins the factor; 0 means auto — probe a
         # seeded sample for a PK hot enough to pin a netting reducer
         # (reference has no analog: it is single-threaded by construction)
         salt = spec.salt_buckets
-        if salt == 0 and n_unapplied >= _AUTO_SALT_MIN_ROWS:
+        if salt == 0 and lsn_range >= _AUTO_SALT_MIN_ROWS:
             pk_sources = [c.source for c in spec.columns if c.primary_key]
             hot = detect_hot_keys(
                 changes, pk_sources, threshold_frac=0.05,
@@ -165,19 +166,24 @@ class DataLoadManager:
                 salt = _AUTO_SALT_FACTOR
 
         # chunked apply (reference C2's batch loop, spec.batch_size): a large
-        # unapplied range splits into lsn-bounded chunks, each netted and
-        # manifest-committed separately — a 10^10-event backlog replays with
-        # bounded per-epoch state and resumes mid-backlog from the last
-        # committed chunk's watermark. Chunk bounds come from one
-        # approx-quantile pass over the lsn column; each chunk's epoch key is
-        # its upper bound, which is replay-safe: a committed chunk covering
-        # (lo, hi] advanced the watermark to its max lsn, so a recomputed
-        # chunk ending at the same hi after a crash can only be empty.
+        # unapplied range splits into equal lsn-bounded chunks, each netted
+        # and manifest-committed separately — a 10^10-event backlog replays
+        # with bounded per-epoch state (≤ batch_size rows per chunk, by the
+        # range bound) and resumes mid-backlog from the last committed
+        # chunk's watermark. Pure arithmetic — no quantile/count pass; with
+        # sparse lsns chunks run under-full, and their per-chunk scans stay
+        # cheap because the lsn-ordered log prunes to each chunk's row
+        # groups. Each chunk's epoch key is its upper bound, replay-safe: a
+        # committed chunk covering (lo, hi] advanced the watermark to its
+        # max lsn, so a recomputed chunk ending at the same hi can only be
+        # empty.
         bounds: list[int] = [cti.current_version]
-        if spec.batch_size and 0 < spec.batch_size < n_unapplied:
-            k = -(-n_unapplied // spec.batch_size)
-            cuts = changes.approxQuantile(lsn, [i / k for i in range(1, k)], 0.001)
-            bounds = sorted({int(c) for c in cuts} | {cti.current_version})
+        if spec.batch_size and 0 < spec.batch_size < lsn_range:
+            k = -(-lsn_range // spec.batch_size)
+            step = -(-lsn_range // k)
+            bounds = [
+                min(last + i * step, cti.current_version) for i in range(1, k + 1)
+            ]
 
         total_up = total_del = 0
         applied_any = False

@@ -48,7 +48,11 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
-from relational_data_loader_spark.sinks.snapshot import epoch_key
+from relational_data_loader_spark.sinks.snapshot import (
+    DELETED_COL,
+    LSN_COL,
+    epoch_key,
+)
 from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT, IngestSpec
 
 _WAP_CONF = "spark.wap.id"
@@ -106,9 +110,15 @@ class IcebergTable:
     # -- DDL (reference W5: create_schema/create_table from model JSON) -----
 
     def ensure_table(self) -> None:
+        # physical schema = destination (+audit) + the version/tombstone
+        # columns that make MERGE sequence-guarded (out-of-order safety —
+        # same contract as SnapshotTable's _storage_schema)
         cols = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in self.spec.destination_schema().fields
+            [
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in self.spec.destination_schema().fields
+            ]
+            + [f"{LSN_COL} bigint", f"{DELETED_COL} boolean"]
         )
         # 'write.wap.enabled' must stay false: the epoch stamp rides the
         # spark.wap.id conf, and enabling WAP would STAGE commits instead of
@@ -167,31 +177,47 @@ class IcebergTable:
         watermark: int,
         namespace: str = "batch",
     ) -> bool:
-        """Apply a netted batch via a single MERGE INTO. Returns False if the
-        epoch was already applied (idempotent replay). The epoch/watermark
-        stamp commits atomically with the MERGE snapshot (module docstring)."""
+        """Apply a netted batch via a single sequence-guarded MERGE INTO.
+        Returns False if the epoch was already applied (idempotent replay).
+        The epoch/watermark stamp commits atomically with the MERGE snapshot
+        (module docstring).
+
+        Out-of-order safety (same contract as SnapshotTable): every UPDATE is
+        guarded by ``s.lsn > t._rdl_lsn`` so a stale permuted segment can
+        never overwrite newer state, and deletes are SOFT (tombstone rows,
+        ``_rdl_deleted``) so a stale insert cannot resurrect a newer delete.
+        Readers go through ``create_reader_view()``."""
         key = epoch_key(epoch_id, namespace)
         if key in self.applied_epochs():
             return False
         spec = self.spec
         on = " AND ".join(f"t.{k} = s.{k}" for k in spec.primary_keys)
+        lsn, op = spec.lsn_column, spec.op_column
+        guard = f"s.{lsn} > t.{LSN_COL}"
         # per-row audit stamps (P3) are literals of THIS epoch — the netted
         # batch doesn't carry them; epoch-derived so replays are byte-stable
         audit_sets = {
             AUDIT_EXEC_ID: f"{int(epoch_id)}L",
             AUDIT_LOADED_AT: f"timestamp_seconds({int(epoch_id)})",
         }
-        sets = ", ".join(
+        audit_set_sql = [f"t.{f.name} = {audit_sets[f.name]}" for f in spec.audit_fields]
+        upd_sets = ", ".join(
             [f"t.{c} = s.{c}" for c in spec.payload_columns]
-            + [f"t.{f.name} = {audit_sets[f.name]}" for f in spec.audit_fields]
+            + [f"t.{LSN_COL} = s.{lsn}", f"t.{DELETED_COL} = false"]
+            + audit_set_sql
+        )
+        del_sets = ", ".join(
+            [f"t.{LSN_COL} = s.{lsn}", f"t.{DELETED_COL} = true"] + audit_set_sql
         )
         cols = ", ".join(
             [c.destination for c in spec.columns]
             + [f.name for f in spec.audit_fields]
+            + [LSN_COL, DELETED_COL]
         )
         svals = ", ".join(
             [f"s.{c.destination}" for c in spec.columns]
             + [audit_sets[f.name] for f in spec.audit_fields]
+            + [f"s.{lsn}", f"s.{op} = '{spec.delete_op}'"]
         )
         netted.createOrReplaceTempView("_rdl_batch")
         with self._stamped(key, watermark):
@@ -200,13 +226,23 @@ class IcebergTable:
                 MERGE INTO {self.identifier} t
                 USING _rdl_batch s
                 ON {on}
-                WHEN MATCHED AND s.{spec.op_column} = '{spec.delete_op}' THEN DELETE
-                WHEN MATCHED THEN UPDATE SET {sets}
-                WHEN NOT MATCHED AND s.{spec.op_column} != '{spec.delete_op}'
-                  THEN INSERT ({cols}) VALUES ({svals})
+                WHEN MATCHED AND {guard} AND s.{op} = '{spec.delete_op}'
+                  THEN UPDATE SET {del_sets}
+                WHEN MATCHED AND {guard} THEN UPDATE SET {upd_sets}
+                WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({svals})
                 """
             )
         return True
+
+    def create_reader_view(self, view_name: str | None = None) -> str:
+        """Published read surface: tombstones filtered, internals hidden."""
+        view = view_name or f"{self.identifier}_live"
+        visible = ", ".join(f.name for f in self.spec.destination_schema().fields)
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {view} AS "
+            f"SELECT {visible} FROM {self.identifier} WHERE NOT {DELETED_COL}"
+        )
+        return view
 
     def full_refresh(
         self,
@@ -220,6 +256,10 @@ class IcebergTable:
         df.createOrReplaceTempView("_rdl_full")
         self.ensure_table()
         with self._stamped(epoch_key(epoch_id, namespace), watermark):
+            # baseline rows are stamped with the covered watermark; any later
+            # event must carry a higher lsn to win the guarded MERGE
             self.spark.sql(
-                f"INSERT OVERWRITE {self.identifier} SELECT * FROM _rdl_full"
+                f"INSERT OVERWRITE {self.identifier} "
+                f"SELECT *, CAST({int(watermark)} AS BIGINT) AS {LSN_COL}, "
+                f"false AS {DELETED_COL} FROM _rdl_full"
             )

@@ -29,6 +29,21 @@ format:
   Streaming, whose batchIds count 0,1,2,…) — one shared un-namespaced set
   would let a long-lived stream's batchId collide with a committed batch
   LSN and silently skip real data.
+- **Version-guarded MERGE (out-of-order safety)** — every stored row carries
+  its change version (``_rdl_lsn``) and deletes persist as **tombstone rows**
+  (``_rdl_deleted``). The merge is last-writer-wins *against the target*:
+  a batch row replaces a stored row only if its lsn is higher. This is what
+  makes exactly-once hold under Structured Streaming's real delivery
+  semantics — the file source orders micro-batches by file mtime, NOT by
+  lsn, and around a kill/resume it can deliver segment [1537,1920] before
+  [1153,1536] (observed in this repo's own kill/resume test). A global
+  "drop if lsn ≤ max applied" filter silently loses such permuted segments;
+  version-guarded merge applies them correctly in any order. Tombstones are
+  what keeps an out-of-order stale INSERT from resurrecting a newer DELETE.
+  Only events at or below the **full-refresh baseline** watermark are
+  dropped outright — a baseline snapshot really does cover its whole lsn
+  range. (Iceberg twin: sequence-number-guarded MERGE INTO with soft-delete
+  rows — sinks/iceberg.py.)
 - **Layout pinning** — every manifest records the ``n_buckets`` the files
   were laid out with. MERGE always prunes/rewrites against the *committed*
   layout, never the live spec: a spec edit to ``target_buckets`` must not
@@ -53,11 +68,17 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from relational_data_loader_spark.operators.watermark import bucket_expr
 from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT, IngestSpec
 
 _BUCKET_COL = "_bucket"
+# internal per-row columns (never user-visible): the row's change version
+# and the soft-delete marker that make the MERGE version-guarded
+LSN_COL = "_rdl_lsn"
+DELETED_COL = "_rdl_deleted"
 
 
 def epoch_key(epoch_id: int, namespace: str) -> str:
@@ -179,19 +200,26 @@ class SnapshotTable:
 
         This is also the only point where the bucket layout may change: the
         whole table is rewritten, so the live spec's ``target_buckets``
-        becomes the committed layout."""
-        buckets = self._write_buckets(
+        becomes the committed layout. The rewrite subsumes every event up to
+        ``watermark``, which therefore becomes the table's baseline: rows are
+        stamped with it and later arrivals at/below it are dropped, not
+        merged."""
+        stamped = (
             self._with_audit(df.select(*self._dest_cols()), epoch_id)
+            .withColumn(LSN_COL, F.lit(int(watermark)).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
         )
+        buckets = self._write_buckets(stamped)
         return self._commit(
             {
                 "buckets": buckets,
                 "n_buckets": self.n_buckets,
                 "applied_epochs": [epoch_key(epoch_id, namespace)],
                 "watermark": watermark,
+                "baseline_watermark": watermark,
                 "spec_checksum": self.spec.checksum(),
                 "spec_json": self.spec.to_json(),
-                "schema": self.spec.destination_schema().json(),
+                "schema": self._storage_schema().json(),
                 "kind": "full_refresh",
             }
         )
@@ -211,8 +239,18 @@ class SnapshotTable:
             AUDIT_EXEC_ID, F.lit(int(epoch_id)).cast("long")
         ).withColumn(AUDIT_LOADED_AT, F.timestamp_seconds(F.lit(int(epoch_id))))
 
+    def _storage_schema(self) -> T.StructType:
+        """On-disk row schema: destination (+audit) + internal version cols."""
+        return T.StructType(
+            list(self.spec.destination_schema().fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
+            ]
+        )
+
     def _read_files(self, relpaths: list[str]) -> DataFrame:
-        schema = self.spec.destination_schema()
+        schema = self._storage_schema()
         if not relpaths:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self.path, p) for p in relpaths]
@@ -221,15 +259,29 @@ class SnapshotTable:
         return self.spark.read.schema(schema).parquet(*paths)
 
     def read(self) -> DataFrame:
+        """User-visible table state: tombstones filtered, internals dropped."""
         m = self.current_manifest()
         if m is None:
             return self.spark.createDataFrame([], self.spec.destination_schema())
         rels = [p for files in m["buckets"].values() for p in files]
-        return self._read_files(rels)
+        df = self._read_files(rels)
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(*visible)
 
     def watermark(self) -> int:
         m = self.current_manifest()
         return int(m["watermark"]) if m else -1
+
+    def baseline_watermark(self) -> int:
+        """Max lsn fully covered by the last full-refresh snapshot. Events at
+        or below it are safe to drop outright (the baseline subsumes them);
+        everything above is handled by the version-guarded merge, in any
+        arrival order. Pre-round-2 manifests fall back to the (stricter,
+        old-behavior) global watermark."""
+        m = self.current_manifest()
+        if m is None:
+            return -1
+        return int(m.get("baseline_watermark", m.get("watermark", -1)))
 
     def applied_epochs(self) -> set[str]:
         m = self.current_manifest()
@@ -339,24 +391,44 @@ class SnapshotTable:
             ]
             target = self._read_files(touched_rels)
 
-            batch_keys = netted.select(*pks)
-            # join-strategy guard: a small batch's key set should broadcast
-            # (AQE does this), but a replay-scale batch must NOT — the
-            # broadcast build is driver-side and single-threaded, a fixed
-            # cost that caps scaling. We know the batch size from stat_rows,
-            # so pick explicitly.
-            if ups + dels > 1_000_000:
-                batch_keys = batch_keys.hint("shuffle_hash")
-            survivors = target.join(batch_keys, on=pks, how="left_anti")
-            # survivors keep their original audit stamp (the epoch that wrote
-            # them); only rows this epoch writes get the new one
-            new_rows = self._with_audit(
-                netted.filter(F.col(spec.op_column) != spec.delete_op).select(
-                    *self._dest_cols()
-                ),
-                epoch_id,
+            # version-guarded LWW against the target (module docstring):
+            # stored rows and batch rows become one envelope stream and the
+            # max-lsn row per PK wins; deletes win as tombstone rows. One
+            # shuffle on the FULL primary key (fine-grained — hot convs
+            # spread over turns, same argument as netting) + per-group sort
+            # of 2-3 rows. No broadcast anywhere: driver-side build cost
+            # would cap scaling at replay batch sizes.
+            t_env = (
+                target.withColumn(
+                    LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(-1)).cast("long")
+                )
+                .withColumn(
+                    DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+                .withColumn("_rdl_src", F.lit(0))
             )
-            merged = survivors.unionByName(new_rows)
+            b_env = (
+                self._with_audit(netted.select(*self._dest_cols(),
+                                               F.col(spec.lsn_column),
+                                               F.col(spec.op_column)), epoch_id)
+                .withColumn(LSN_COL, F.col(spec.lsn_column).cast("long"))
+                .withColumn(
+                    DELETED_COL, F.col(spec.op_column) == F.lit(spec.delete_op)
+                )
+                .drop(spec.lsn_column, spec.op_column)
+                .withColumn("_rdl_src", F.lit(1))
+            )
+            unioned = t_env.unionByName(b_env)
+            # tie-break on _rdl_src: equal lsns can only mean the batch
+            # re-carries what a baseline stamped — batch wins, idempotently
+            w = Window.partitionBy(*pks).orderBy(
+                F.desc(LSN_COL), F.desc("_rdl_src")
+            )
+            merged = (
+                unioned.withColumn("_rdl_rn", F.row_number().over(w))
+                .filter(F.col("_rdl_rn") == 1)
+                .drop("_rdl_rn", "_rdl_src")
+            )
 
             new_buckets = self._write_buckets(merged, n_buckets=layout)
 
@@ -373,6 +445,11 @@ class SnapshotTable:
                     _normalize_epoch_keys(m["applied_epochs"]) | {key}
                 ),
                 "watermark": max(int(m["watermark"]), batch_max_lsn),
+                # merges never raise the baseline: they only cover the lsns
+                # they actually carried, not the whole range below their max
+                "baseline_watermark": int(
+                    m.get("baseline_watermark", m.get("watermark", -1))
+                ),
                 "spec_checksum": spec.checksum(),
                 "spec_json": spec.to_json(),
                 "schema": m["schema"],
@@ -425,6 +502,47 @@ class SnapshotTable:
                 removed += 1
         return removed
 
+    def expire_tombstones(self, below_lsn: int) -> int:
+        """Drop tombstone rows with lsn ≤ ``below_lsn`` (Iceberg twin:
+        compaction). Safe once the caller knows no out-of-order event older
+        than ``below_lsn`` can still arrive (e.g. the streaming source's
+        files are fully processed up to it). Rewrites ONLY the buckets that
+        hold expirable tombstones — found by one column-pruned scan of the
+        two internal columns."""
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        layout = int(m.get("n_buckets", self.n_buckets))
+        df = self._read_files(
+            [p for files in m["buckets"].values() for p in files]
+        )
+        expirable = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.coalesce(F.col(LSN_COL), F.lit(-1)) <= below_lsn
+        )
+        hit_rows = (
+            df.filter(expirable)
+            .groupBy(bucket_expr(self.bucket_key, layout).alias("b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not hit_rows:
+            return 0
+        touched = {int(r["b"]) for r in hit_rows}
+        expired = int(sum(r["n"] for r in hit_rows))
+        keep_df = self._read_files(
+            [p for b in touched for p in m["buckets"].get(str(b), [])]
+        ).filter(~expirable)
+        new_buckets = self._write_buckets(keep_df, n_buckets=layout)
+        buckets = {
+            b: files for b, files in m["buckets"].items() if int(b) not in touched
+        }
+        buckets.update(new_buckets)
+        manifest = dict(m)
+        manifest["buckets"] = buckets
+        manifest["kind"] = "expire_tombstones"
+        self._commit(manifest)
+        return expired
+
     # ---- schema evolution ------------------------------------------------------
 
     def evolve(self, new_spec: IngestSpec, renames: list[tuple[str, str]]) -> None:
@@ -463,11 +581,16 @@ class SnapshotTable:
             # a rename rewrites rows but keeps the committed bucket layout
             # (hashing is on values, which are unchanged)
             layout = int(m.get("n_buckets", self.n_buckets))
-            # audit stamps ride through untouched (a rename is not a load;
-            # rows keep the epoch that actually wrote them)
-            keep = self._dest_cols() + [
-                f.name for f in new_spec.audit_fields if f.name in df.columns
-            ]
+            # audit stamps + version/tombstone columns ride through untouched
+            # (a rename is not a load; rows keep their epoch and lsn)
+            for name, typ in ((LSN_COL, "long"), (DELETED_COL, "boolean")):
+                if name not in df.columns:  # files from before versioning
+                    df = df.withColumn(name, F.lit(None).cast(typ))
+            keep = (
+                self._dest_cols()
+                + [f.name for f in new_spec.audit_fields if f.name in df.columns]
+                + [LSN_COL, DELETED_COL]
+            )
             buckets = self._write_buckets(df.select(*keep), n_buckets=layout)
             self._commit(
                 {
@@ -475,9 +598,12 @@ class SnapshotTable:
                     "n_buckets": layout,
                     "applied_epochs": sorted(_normalize_epoch_keys(m["applied_epochs"])),
                     "watermark": m["watermark"],
+                    "baseline_watermark": int(
+                        m.get("baseline_watermark", m.get("watermark", -1))
+                    ),
                     "spec_checksum": new_spec.checksum(),
                     "spec_json": new_spec.to_json(),
-                    "schema": new_spec.destination_schema().json(),
+                    "schema": self._storage_schema().json(),
                     "kind": "evolve_rename",
                 }
             )
@@ -489,6 +615,6 @@ class SnapshotTable:
             manifest["n_buckets"] = int(m.get("n_buckets", self.n_buckets))
             manifest["spec_checksum"] = new_spec.checksum()
             manifest["spec_json"] = new_spec.to_json()
-            manifest["schema"] = new_spec.destination_schema().json()
+            manifest["schema"] = self._storage_schema().json()
             manifest["kind"] = "evolve_add"
             self._commit(manifest)

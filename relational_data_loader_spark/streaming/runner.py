@@ -17,9 +17,10 @@ Exactly-once story (north_star):
   The two pieces of state (checkpoint dir, target manifest) must be kept or
   deleted together — same contract as Delta/Iceberg + checkpoint.
 
-Late events (lsn ≤ target watermark after a full refresh raced the stream)
-are dropped by an explicit watermark filter — idempotent, per SURVEY.md §2.2
-"Streaming ops".
+Late events at/below the full-refresh BASELINE (a refresh raced the stream)
+are dropped by an explicit filter; events above it may arrive in any order
+(the file source batches by mtime, not lsn) and are applied correctly by the
+sink's version-guarded merge — see sinks/snapshot.py "out-of-order safety".
 """
 
 from __future__ import annotations
@@ -79,9 +80,15 @@ class StreamingIngest:
                 watermark=-1,
                 namespace="stream",
             )
-        # drop events at/below the committed watermark (full-refresh race)
+        # drop only events the full-refresh BASELINE already covers — a
+        # baseline snapshot subsumes its whole lsn range. Events above it are
+        # NEVER dropped here: the file source orders micro-batches by file
+        # mtime, not lsn, so around a kill/resume a later-lsn segment can
+        # arrive first; the sink's version-guarded merge (sinks/snapshot.py)
+        # applies permuted segments correctly in any order. (Round-2 fix: a
+        # global max-watermark drop here silently lost permuted segments.)
         batch_df = batch_df.filter(
-            F.col(self.spec.lsn_column) > F.lit(table.watermark())
+            F.col(self.spec.lsn_column) > F.lit(table.baseline_watermark())
         )
         netted = self.mgr.prepare_batch(self.spec, batch_df)
         # "stream" namespace: Structured Streaming batchIds count 0,1,2,…
@@ -89,6 +96,16 @@ class StreamingIngest:
         # shared set would let a long-lived stream's batchId hit a committed
         # batch LSN and silently drop that micro-batch
         stats = table.merge(netted, int(epoch_id), namespace="stream")
+        if os.environ.get("RDL_DEBUG_STREAM"):
+            m = table.current_manifest() or {}
+            print(
+                f"[rdl-stream] {self.spec.name} epoch={epoch_id} merged: "
+                f"skipped={stats.skipped} ups={stats.rows_upserted} "
+                f"dels={stats.rows_deleted} touched={stats.touched_buckets} "
+                f"wm_after={stats.watermark} manifest_v={m.get('version')} "
+                f"buckets={sorted(m.get('buckets', {}))}",
+                flush=True,
+            )
         if not stats.skipped:
             self.mgr.state.append(
                 self.spec.name,

@@ -88,7 +88,8 @@ def test_iceberg_merge_sql_stamps_audit_literals():
     sql = next(c[1] for c in t.spark.calls if c[0] == "sql" and "MERGE INTO" in c[1])
     assert f"t.{AUDIT_EXEC_ID} = 77L" in sql
     assert f"t.{AUDIT_LOADED_AT} = timestamp_seconds(77)" in sql
-    assert sql.count("timestamp_seconds(77)") == 2  # UPDATE SET + INSERT VALUES
+    # delete-tombstone SET + update SET + INSERT VALUES
+    assert sql.count("timestamp_seconds(77)") == 3
 
     ddl_t = IcebergTable(FakeSpark(), "lake.db.t", spec, check_runtime=False)
     ddl_t.ensure_table()

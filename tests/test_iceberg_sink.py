@@ -103,10 +103,21 @@ def test_merge_stamps_epoch_atomically_with_the_commit():
     payload = calls[set_idx][2]
     assert _decode_stamp(payload) == ("batch:42", 41)
 
-    # generated MERGE: delete clause before update, insert guards op
+    # generated MERGE: every clause sequence-guarded; deletes are SOFT
+    # tombstones (out-of-order safety — stale segments can't overwrite or
+    # resurrect newer state)
     sql = calls[merge_idx][1]
-    assert re.search(r"WHEN MATCHED AND s\.op = 'D' THEN DELETE", sql)
-    assert "WHEN NOT MATCHED AND s.op != 'D'" in sql
+    assert re.search(
+        r"WHEN MATCHED AND s\.lsn > t\._rdl_lsn AND s\.op = 'D' THEN UPDATE SET "
+        r"t\._rdl_lsn = s\.lsn, t\._rdl_deleted = true",
+        sql,
+    )
+    assert "WHEN MATCHED AND s.lsn > t._rdl_lsn THEN UPDATE SET" in sql
+    assert "t._rdl_deleted = false" in sql
+    assert "THEN DELETE" not in sql  # hard delete would break ordering safety
+    # unmatched rows insert unconditionally — including D as a tombstone
+    assert re.search(r"WHEN NOT MATCHED THEN INSERT \(.*_rdl_lsn, _rdl_deleted\)", sql)
+    assert "s.op = 'D'" in sql.split("VALUES")[-1]
     assert "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx" in sql
 
 
@@ -150,6 +161,15 @@ def test_wap_conf_unset_even_when_the_commit_throws():
     assert t.applied_epochs() == set()
 
 
+def test_reader_view_filters_tombstones():
+    t = _table()
+    view = t.create_reader_view()
+    sql = next(c[1] for c in t.spark.calls if "CREATE OR REPLACE VIEW" in c[1])
+    assert view == "lake.db.transcripts_live"
+    assert "WHERE NOT _rdl_deleted" in sql
+    assert "_rdl_lsn" not in sql.split("SELECT")[1].split("FROM")[0]
+
+
 def test_full_refresh_single_stamped_commit():
     t = _table()
     t.full_refresh(_FakeDF(), epoch_id=100, watermark=100)
@@ -157,6 +177,9 @@ def test_full_refresh_single_stamped_commit():
     assert any("CREATE TABLE IF NOT EXISTS" in s for s in sqls)
     assert any("INSERT OVERWRITE" in s for s in sqls)
     assert not any("ALTER TABLE" in s for s in sqls)
+    # baseline rows stamped with the covered watermark
+    ins = next(s for s in sqls if "INSERT OVERWRITE" in s)
+    assert "CAST(100 AS BIGINT) AS _rdl_lsn" in ins and "false AS _rdl_deleted" in ins
     # ensure_table keeps WAP publishing on (stamp rides spark.wap.id)
     ddl = next(s for s in sqls if "CREATE TABLE" in s)
     assert "'write.wap.enabled' = 'false'" in ddl
