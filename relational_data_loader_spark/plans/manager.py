@@ -63,21 +63,47 @@ class DataLoadManager:
 
     # -- the four dataflow stages, reused by batch + streaming ---------------
 
+    def project(self, spec: IngestSpec, changes: DataFrame) -> DataFrame:
+        """envelope scan → column mapping/cast/transform (no netting)."""
+        return project_cast(changes, spec, include_envelope=True)
+
     def prepare_batch(
         self, spec: IngestSpec, changes: DataFrame, salt_buckets: int | None = None
     ) -> DataFrame:
-        """envelope scan → column mapping/cast/transform → LWW netting.
+        """project + explicit LWW netting — one row per PK.
+
+        Needed where the consumer REQUIRES a unique source key (Iceberg
+        MERGE INTO; final_state). The SnapshotTable path skips this: its
+        version-guarded merge window nets as a side effect, and pre-netting
+        would add a redundant shuffle of every batch (see merge_batch).
 
         ``salt_buckets`` defaults to the spec's declared value; ``run``
         overrides it with the sampled hot-key verdict when the spec leaves
         it at 0 (auto).
         """
-        mapped = project_cast(changes, spec, include_envelope=True)
+        mapped = self.project(spec, changes)
         salt = spec.salt_buckets if salt_buckets is None else salt_buckets
         return net_changes(
             mapped, spec.primary_keys, spec.lsn_column, spec.op_column,
             salt_buckets=salt,
         )
+
+    def merge_batch(self, spec: IngestSpec, changes: DataFrame, salt: int = 0):
+        """The shuffle-minimal batch plan for the snapshot sink: project only
+        — the merge's own window is the netting (fused: one shuffle instead
+        of two per epoch). Spark 4 plans the row_number()≤1 window with
+        WindowGroupLimit Partial (map-side top-1 per PK before the
+        shuffle), which also bounds what a hot PK can contribute to any
+        reducer; an explicitly salted pre-net is only worth its extra
+        shuffle when that partial limit is unavailable or the spec pins it.
+        """
+        mapped = self.project(spec, changes)
+        if salt and salt > 1:
+            return net_changes(
+                mapped, spec.primary_keys, spec.lsn_column, spec.op_column,
+                salt_buckets=salt,
+            )
+        return mapped
 
     def final_state(self, spec: IngestSpec, log: DataFrame) -> DataFrame:
         """Replay a whole log to its final table state (full-refresh source)."""
@@ -194,8 +220,7 @@ class DataLoadManager:
                 continue
             chunks_run += 1
             chunk = log.filter((F.col(lsn) > F.lit(lo)) & (F.col(lsn) <= F.lit(hi)))
-            netted = self.prepare_batch(spec, chunk, salt_buckets=salt)
-            stats = table.merge(netted, hi)
+            stats = table.merge(self.merge_batch(spec, chunk, salt), hi)
             if not stats.skipped:
                 applied_any = True
                 self.state.append(

@@ -297,22 +297,26 @@ class SnapshotTable:
     # ---- MERGE ---------------------------------------------------------------
 
     def merge(
-        self, netted: DataFrame, epoch_id: int, namespace: str = "batch"
+        self, batch: DataFrame, epoch_id: int, namespace: str = "batch"
     ) -> MergeStats:
-        """Apply a netted change batch (one row per PK, max-lsn op wins).
+        """Apply a change batch: version-guarded LWW merge into the table.
 
-        Contract of ``netted``: columns = (lsn, op, pk..., payload...) with a
-        single row per primary key (see operators/lww.net_changes). Envelope
+        Contract of ``batch``: change envelopes (lsn, op, pk..., payload...).
+        One OR MORE rows per primary key — netting is FUSED into the merge
+        window (max-lsn row per PK wins across target ∪ batch), so callers
+        need not pre-net; doing so only adds a redundant shuffle. Envelope
         semantics mirror the reference's staged upsert+delete
         (``modules/DestinationTableManager.py::upsert_table_from_stage`` W1 +
-        delete builder W2), fused into one plan:
+        delete builder W2), generalized to out-of-order delivery:
 
-          survivors = touched_target ANTI JOIN batch_keys   (AQE broadcasts
-                      the key side when small — no shuffle of the target)
-          new_rows  = batch where op != D                   (full-row payload,
-                      exactly the reference's full-row upsert)
-          bucket data = survivors UNION new_rows            (rewrite touched
-                      buckets only; untouched buckets carried by reference)
+          winners = LWW by (lsn, batch-over-target tie) per PK over
+                    touched_target ∪ batch          (one shuffle on full PK;
+                    WindowGroupLimit partial-limits map-side, so hot PKs
+                    cannot pin a reducer)
+          deletes persist as tombstone rows          (stale permuted inserts
+                    can never resurrect a newer delete)
+          bucket data = winners                      (rewrite touched buckets
+                    only; untouched buckets carried by reference)
         """
         t0 = time.time()
         spec = self.spec
@@ -331,13 +335,13 @@ class SnapshotTable:
         # re-bucketing is full_refresh's job (decision.py forces it).
         layout = int(m.get("n_buckets", self.n_buckets))
 
-        # The netted batch feeds three consumers (stats, anti-join keys,
-        # upsert rows). Small batches cache in memory; replay-scale batches
-        # STAGE to scratch parquet instead — the reference's staging table
-        # (W3) reborn: caching tens of millions of rows thrashes the unified
-        # memory manager (storage eviction → full netting recompute per
-        # consumer), measured as a 6× collapse at 16M-row batches on 32
-        # cores. ``stage_threshold`` rows ≈ a few GB of cached columns.
+        # The batch feeds two consumers (stats pass, merge window). Small
+        # batches cache in memory; replay-scale batches STAGE to scratch
+        # parquet instead — the reference's staging table (W3) reborn:
+        # caching tens of millions of rows thrashes the unified memory
+        # manager (storage eviction → full recompute per consumer), measured
+        # as a 6× collapse at 16M-row batches on 32 cores.
+        # ``stage_threshold`` rows ≈ a few GB of cached columns.
         stage_threshold = 4_000_000
         stage_dir: str | None = None
         persisted = False
@@ -345,7 +349,7 @@ class SnapshotTable:
             # pass 1 — per-bucket stats (touched buckets, counts, max lsn);
             # also tells us the batch size, which drives the staging choice
             stat_rows = (
-                netted.groupBy(
+                batch.groupBy(
                     bucket_expr(self.bucket_key, layout).alias("b")
                 )
                 .agg(
@@ -377,13 +381,13 @@ class SnapshotTable:
             batch_max_lsn = int(max(r["max_lsn"] for r in stat_rows))
 
             if ups + dels > stage_threshold:
-                # stage the netted batch once; downstream consumers do cheap
+                # stage the batch once; downstream consumers do cheap
                 # column-pruned scans instead of cache reads/recomputes
                 stage_dir = os.path.join(self.path, "data", f".stage-{uuid.uuid4().hex}")
-                netted.write.parquet(stage_dir)
-                netted = self.spark.read.parquet(stage_dir)
+                batch.write.parquet(stage_dir)
+                batch = self.spark.read.parquet(stage_dir)
             else:
-                netted = netted.persist()
+                batch = batch.persist()
                 persisted = True
 
             touched_rels = [
@@ -408,7 +412,7 @@ class SnapshotTable:
                 .withColumn("_rdl_src", F.lit(0))
             )
             b_env = (
-                self._with_audit(netted.select(*self._dest_cols(),
+                self._with_audit(batch.select(*self._dest_cols(),
                                                F.col(spec.lsn_column),
                                                F.col(spec.op_column)), epoch_id)
                 .withColumn(LSN_COL, F.col(spec.lsn_column).cast("long"))
@@ -477,7 +481,7 @@ class SnapshotTable:
             )
         finally:
             if persisted:
-                netted.unpersist()
+                batch.unpersist()
             if stage_dir:
                 import shutil
 

@@ -90,12 +90,12 @@ class StreamingIngest:
         batch_df = batch_df.filter(
             F.col(self.spec.lsn_column) > F.lit(table.baseline_watermark())
         )
-        netted = self.mgr.prepare_batch(self.spec, batch_df)
+        batch = self.mgr.merge_batch(self.spec, batch_df, self.spec.salt_buckets)
         # "stream" namespace: Structured Streaming batchIds count 0,1,2,…
         # while batch-manager epochs are log positions — an un-namespaced
         # shared set would let a long-lived stream's batchId hit a committed
         # batch LSN and silently drop that micro-batch
-        stats = table.merge(netted, int(epoch_id), namespace="stream")
+        stats = table.merge(batch, int(epoch_id), namespace="stream")
         if os.environ.get("RDL_DEBUG_STREAM"):
             m = table.current_manifest() or {}
             print(
