@@ -98,6 +98,9 @@ class MergeStats:
     epoch_id: int
     skipped: bool
     touched_buckets: int
+    # EVENT counts (raw envelopes applied, split by op) — the reference's
+    # tracker counted rows transferred per batch; since netting is fused
+    # into the merge window, events are what the epoch actually carried
     rows_upserted: int
     rows_deleted: int
     watermark: int

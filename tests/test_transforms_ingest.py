@@ -67,14 +67,17 @@ def test_rdl_state_per_partition_watermarks_consistent(spark, warehouse, tmp_pat
     assert len(merges) > 0
     assert merges["partition_id"].nunique() > 1, "per-partition rows expected"
     assert merges["max_applied_lsn"].max() == pc.max(tbl["lsn"]).as_py()
-    # upserted+deleted counts equal the netted tail size
+    # upserted+deleted counters equal the EVENTS applied (the reference's
+    # tracker counted rows transferred per batch; since the netting was
+    # fused into the merge window, lineage counts raw envelopes, split by op)
     import duckdb
 
-    netted_tail = duckdb.sql(
+    tail_events = duckdb.sql(
         f"""
-        SELECT count(*) n FROM (
-          SELECT conv_id, turn_idx FROM read_parquet('{logdir}/*.parquet')
-          WHERE lsn > {cut} GROUP BY conv_id, turn_idx)
+        SELECT count(*) FILTER (WHERE op <> 'D') ups,
+               count(*) FILTER (WHERE op = 'D') dels
+        FROM read_parquet('{logdir}/*.parquet') WHERE lsn > {cut}
         """
-    ).df()["n"][0]
-    assert merges["rows_upserted"].sum() + merges["rows_deleted"].sum() == netted_tail
+    ).df()
+    assert merges["rows_upserted"].sum() == tail_events["ups"][0]
+    assert merges["rows_deleted"].sum() == tail_events["dels"][0]
