@@ -53,9 +53,12 @@ def net_changes(
     survivors per PK. The salt is a deterministic hash of the lsn (no
     ``rand()``: retries and the exactly-once replay must re-derive identical
     plans). Max-lsn commutes through the phases, so the result is identical
-    to the unsalted plan. Two shuffles instead of one — only worth it when
-    the skew is real, which is why the engine gates it on spec.salt_buckets
-    or sampled hot-key detection (plans/manager.py).
+    to the unsalted plan. Two shuffles instead of one — and on Spark ≥3.5
+    usually unnecessary: the unsalted plan compiles to WindowGroupLimit
+    Partial/Final, whose MAP-SIDE top-1 per PK already caps a hot key's
+    contribution to its reducer at n_map_partitions rows. Pin
+    spec.salt_buckets only on engines without that optimization
+    (plans/manager.py documents the engine policy).
     """
     if salt_buckets and salt_buckets > 1:
         salt = F.pmod(F.xxhash64(F.col(lsn_col)), F.lit(salt_buckets))

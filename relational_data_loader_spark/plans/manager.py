@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from relational_data_loader_spark.operators.lww import net_changes
 from relational_data_loader_spark.operators.project import project_cast
-from relational_data_loader_spark.operators.skew import detect_hot_keys
 from relational_data_loader_spark.plans.decision import LoadDecision, decide
 from relational_data_loader_spark.sinks.snapshot import SnapshotTable
 from relational_data_loader_spark.sources.readers import (
@@ -30,13 +29,6 @@ from relational_data_loader_spark.sources.readers import (
 )
 from relational_data_loader_spark.spec import IngestSpec
 from relational_data_loader_spark.state import StateTable
-
-# Auto-salt gate: only batches big enough for one hot PK to pin a reducer
-# are worth a sampled detection pass; the factor spreads that key's rows
-# over this many reducers in the pre-netting phase (operators/lww.py).
-_AUTO_SALT_MIN_ROWS = 2_000_000
-_AUTO_SALT_SAMPLE = 0.005
-_AUTO_SALT_FACTOR = 16
 
 
 @dataclass
@@ -178,18 +170,15 @@ class DataLoadManager:
         # to every incremental epoch; measured as a scaling dilutant)
         lsn_range = max(cti.current_version - last, 0)
 
-        # skew: spec.salt_buckets > 0 pins the factor; 0 means auto — probe a
-        # seeded sample for a PK hot enough to pin a netting reducer
-        # (reference has no analog: it is single-threaded by construction)
+        # skew: spec.salt_buckets > 1 pins an explicit salted pre-net
+        # (operators/lww.py — insurance for engines without window group
+        # limits); the default fused plan needs none: Spark 4 plans the
+        # merge's row_number()≤1 window with WindowGroupLimit Partial, which
+        # top-1-limits every PK per MAP partition before the shuffle, so a
+        # hot PK contributes at most n_map_partitions rows to its reducer at
+        # any batch size. detect_hot_keys (operators/skew.py) remains the
+        # sampled observability probe for coarse-key aggregations.
         salt = spec.salt_buckets
-        if salt == 0 and lsn_range >= _AUTO_SALT_MIN_ROWS:
-            pk_sources = [c.source for c in spec.columns if c.primary_key]
-            hot = detect_hot_keys(
-                changes, pk_sources, threshold_frac=0.05,
-                sample_fraction=_AUTO_SALT_SAMPLE,
-            )
-            if hot.limit(1).count() > 0:
-                salt = _AUTO_SALT_FACTOR
 
         # chunked apply (reference C2's batch loop, spec.batch_size): a large
         # unapplied range splits into equal lsn-bounded chunks, each netted

@@ -101,8 +101,10 @@ class IngestSpec:
     upsert_ops: tuple[str, ...] = ("I", "U")
     target_buckets: int = 16                # hash buckets on first PK col for the snapshot sink
     # Skew salt for LWW netting (operators/lww.py): >1 forces the two-phase
-    # salted plan; 0 = auto (manager probes a sample of large batches and
-    # salts only when a hot PK is detected — plans/manager.py).
+    # salted pre-net. 0 (default) = rely on the fused merge window, whose
+    # WindowGroupLimit partial top-1 already bounds hot-PK reducer load on
+    # Spark ≥3.5 (plans/manager.py) — pin a factor only on engines without
+    # that optimization.
     salt_buckets: int = 0
     # Per-row audit/lineage columns (reference P3: modules/BatchDataLoader.py
     # appends load metadata to every destination row). When true, every

@@ -277,13 +277,13 @@ def test_spec_salt_buckets_drives_engine_path(spark, warehouse, tmp_path):
     assert_tables_equal(got, want)
 
 
-def test_auto_salt_detection_on_sampled_hot_key(spark, tmp_path, warehouse, monkeypatch):
-    """salt_buckets=0 (auto): a hot PK in a large-enough batch flips the engine
-    to the salted plan via the sampled detector."""
-    import relational_data_loader_spark.plans.manager as mgr_mod
-
-    monkeypatch.setattr(mgr_mod, "_AUTO_SALT_MIN_ROWS", 1000)
-    monkeypatch.setattr(mgr_mod, "_AUTO_SALT_SAMPLE", 0.5)
+def test_hot_pk_unsalted_uses_window_group_limit(spark, tmp_path, warehouse):
+    """salt_buckets=0 (default): a hot PK needs NO salted pre-net — the fused
+    merge window plans with WindowGroupLimit Partial (map-side top-1 per PK
+    before the shuffle), which bounds what any PK can send to a reducer.
+    Asserts both the plan property and final-state correctness on the skewed
+    fixture (40% of events on one PK)."""
+    from relational_data_loader_spark.spec import transcripts_spec as _ts
 
     tbl = _hot_pk_log()
     logdir = str(tmp_path / "log")
@@ -291,12 +291,25 @@ def test_auto_salt_detection_on_sampled_hot_key(spark, tmp_path, warehouse, monk
     cut = max_lsn // 2
     write_log(tbl, logdir, lsn_upto=cut)
 
-    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    spec = _ts(source=f"parquet://{logdir}", target_buckets=8)
     mgr = DataLoadManager(spark, warehouse)
     mgr.run(spec)
     write_log(tbl, logdir, lsn_from=cut)
+
+    # the skew-critical plan property: partial (map-side) group limit
+    from relational_data_loader_spark.operators.lww import net_changes
+
+    tail = mgr.spark.read.schema(spec.change_schema()).parquet(logdir).filter(
+        f"lsn > {cut}"
+    )
+    plan = (
+        net_changes(mgr.project(spec, tail), spec.primary_keys)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+
     res = mgr.run(spec)
-    assert res.salt_buckets == mgr_mod._AUTO_SALT_FACTOR
+    assert res.salt_buckets == 0, "default path must not pay the salt shuffles"
 
     got = spark_sorted_pdf(mgr.table(spec).read())
     want = duck_final_state(f"{logdir}/*.parquet")
