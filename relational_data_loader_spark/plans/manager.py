@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from relational_data_loader_spark.operators.lww import net_changes
 from relational_data_loader_spark.operators.project import project_cast
 from relational_data_loader_spark.plans.decision import LoadDecision, decide
+from relational_data_loader_spark.sinks.iceberg import IcebergTable
 from relational_data_loader_spark.sinks.snapshot import SnapshotTable
 from relational_data_loader_spark.sources.readers import (
     change_tracking_info,
@@ -50,7 +51,30 @@ class DataLoadManager:
         self.warehouse = warehouse
         self.state = StateTable(os.path.join(warehouse, "_rdl_state"))
 
-    def table(self, spec: IngestSpec) -> SnapshotTable:
+    def table(self, spec: IngestSpec):
+        """Sink routing (reference: the dst-conn CLI arg picking the writer).
+
+        ``spec.sink`` selects the destination: ``snapshot`` (default) is the
+        parquet fallback table under the warehouse; ``iceberg://cat.db.tbl``
+        is the production Iceberg sink — its constructor fails loudly when
+        the runtime jars are absent rather than silently writing to a
+        different physical table. Both implement the same surface
+        (exists/watermark/stored_*/merge→MergeStats/full_refresh/evolve);
+        the one declared difference is ``needs_unique_source``, which
+        ``run``/``apply_chunk`` honor by feeding Iceberg the netted
+        ``prepare_batch`` (MERGE INTO rejects duplicate source keys) and the
+        snapshot sink the cheaper fused ``merge_batch``.
+        """
+        if spec.sink.startswith("iceberg://"):
+            identifier = spec.sink[len("iceberg://"):]
+            if not identifier:
+                raise ValueError(
+                    f"spec {spec.name!r}: iceberg:// sink needs a "
+                    "catalog.db.table identifier"
+                )
+            return IcebergTable(self.spark, identifier, spec)
+        if spec.sink not in ("", "snapshot"):
+            raise ValueError(f"spec {spec.name!r}: unknown sink {spec.sink!r}")
         return SnapshotTable(self.spark, os.path.join(self.warehouse, spec.name), spec)
 
     # -- the four dataflow stages, reused by batch + streaming ---------------
@@ -69,9 +93,11 @@ class DataLoadManager:
         version-guarded merge window nets as a side effect, and pre-netting
         would add a redundant shuffle of every batch (see merge_batch).
 
-        ``salt_buckets`` defaults to the spec's declared value; ``run``
-        overrides it with the sampled hot-key verdict when the spec leaves
-        it at 0 (auto).
+        ``salt_buckets`` defaults to the spec's declared value — a pin-only
+        policy: the engine never auto-salts, because the unsalted plan's
+        WindowGroupLimit partial already bounds hot-PK reducer load
+        (plan-property-tested); ``detect_hot_keys`` (operators/skew.py) is
+        the sampled observability probe an operator uses to decide a pin.
         """
         mapped = self.project(spec, changes)
         salt = spec.salt_buckets if salt_buckets is None else salt_buckets
@@ -112,16 +138,17 @@ class DataLoadManager:
         table = self.table(spec)
         log = read_change_log(self.spark, spec)
 
-        m = table.current_manifest()
-        last = int(m["watermark"]) if m else -1
+        # sink-generic control surface (manifest for SnapshotTable, snapshot
+        # summaries + table properties for IcebergTable)
+        exists = table.exists()
+        last = table.watermark() if exists else -1
         cti = change_tracking_info(log, last, spec.lsn_column)
-        stored_spec = (
-            IngestSpec.from_json(m["spec_json"]) if m and m.get("spec_json") else None
-        )
+        stored_json = table.stored_spec_json() if exists else None
+        stored_spec = IngestSpec.from_json(stored_json) if stored_json else None
         decision = decide(
             spec,
-            target_exists=m is not None,
-            stored_checksum=m["spec_checksum"] if m else None,
+            target_exists=exists,
+            stored_checksum=table.stored_checksum() if exists else None,
             stored_spec=stored_spec,
             ct_force_full=cti.force_full,
             forced=force_full,
@@ -129,7 +156,6 @@ class DataLoadManager:
 
         if decision.kind == "incremental" and (decision.evolve_added or decision.evolve_renames):
             table.evolve(spec, decision.evolve_renames)
-            m = table.current_manifest()
 
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version
@@ -161,9 +187,9 @@ class DataLoadManager:
             )
             return RunResult(decision, n, 0, table.watermark(), epoch_id, False, wall)
 
-        # incremental: only events past the committed watermark
+        # incremental: only events past the committed watermark (each chunk
+        # below filters the log on its own lsn range directly).
         lsn = spec.lsn_column
-        changes = log.filter(F.col(lsn) > F.lit(last))
         # LSNs are unique monotone integers, so the lsn RANGE is a rigorous
         # upper bound on unapplied rows — sizing decisions below need no
         # counting pass over the data (a count() here would add a full scan
@@ -204,12 +230,21 @@ class DataLoadManager:
         applied_any = False
         chunks_run = 0
         lo = last
+        # the Iceberg sink needs unique source keys (MERGE INTO cardinality):
+        # feed it the explicitly netted prepare_batch; the snapshot sink gets
+        # the shuffle-minimal fused path (netting inside its merge window)
+        needs_unique = getattr(table, "needs_unique_source", False)
         for hi in bounds:
             if hi <= lo:
                 continue
             chunks_run += 1
             chunk = log.filter((F.col(lsn) > F.lit(lo)) & (F.col(lsn) <= F.lit(hi)))
-            stats = table.merge(self.merge_batch(spec, chunk, salt), hi)
+            prepared = (
+                self.prepare_batch(spec, chunk, salt)
+                if needs_unique
+                else self.merge_batch(spec, chunk, salt)
+            )
+            stats = table.merge(prepared, hi, netted=needs_unique)
             if not stats.skipped:
                 applied_any = True
                 self.state.append(

@@ -113,6 +113,11 @@ class MergeStats:
 class SnapshotTable:
     """A versioned parquet table addressed by manifest, bucketed on the first PK."""
 
+    # the fused merge window nets internally, so raw multi-row-per-PK batches
+    # are welcome (the Iceberg sink declares the opposite — MERGE INTO
+    # cardinality; plans/manager.py routes on this attribute)
+    needs_unique_source = False
+
     def __init__(self, spark: SparkSession, path: str, spec: IngestSpec):
         self.spark = spark
         self.path = path
@@ -290,6 +295,16 @@ class SnapshotTable:
         m = self.current_manifest()
         return _normalize_epoch_keys(m.get("applied_epochs", [])) if m else set()
 
+    def stored_checksum(self) -> str | None:
+        """Checksum of the spec the table was committed with (sink-generic
+        surface — the Iceberg twin serves it from table properties)."""
+        m = self.current_manifest()
+        return m.get("spec_checksum") if m else None
+
+    def stored_spec_json(self) -> str | None:
+        m = self.current_manifest()
+        return m.get("spec_json") if m else None
+
     def layout_buckets(self) -> int:
         """Bucket count the committed files were actually laid out with."""
         m = self.current_manifest()
@@ -300,9 +315,14 @@ class SnapshotTable:
     # ---- MERGE ---------------------------------------------------------------
 
     def merge(
-        self, batch: DataFrame, epoch_id: int, namespace: str = "batch"
+        self, batch: DataFrame, epoch_id: int, namespace: str = "batch",
+        netted: bool = False,
     ) -> MergeStats:
         """Apply a change batch: version-guarded LWW merge into the table.
+
+        ``netted`` exists for sink-interface parity (the Iceberg sink needs
+        the distinction — MERGE INTO cardinality); here it is ignored: the
+        fused merge window below nets as a side effect either way.
 
         Contract of ``batch``: change envelopes (lsn, op, pk..., payload...).
         One OR MORE rows per primary key — netting is FUSED into the merge

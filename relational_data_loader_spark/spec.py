@@ -88,6 +88,14 @@ class IngestSpec:
     name: str                               # destination table name
     source: str                             # source locator, e.g. parquet:///path, csv:///path
     columns: list[ColumnSpec] = field(default_factory=list)
+    # Destination sink (reference: the dst-conn CLI arg picking the Postgres
+    # writer). "snapshot" = the parquet fallback table under the manager's
+    # warehouse; "iceberg://<catalog.db.table>" = the production Iceberg sink
+    # (needs the runtime jars — plans/manager.py routes and fails loudly when
+    # they're absent). Not part of checksum(): switching sinks is a
+    # deployment change, not a schema change — the new sink's missing table
+    # forces the initial full refresh by itself.
+    sink: str = "snapshot"
     # Max change events applied per epoch (reference C2's batch_size).
     # Batch mode: a larger unapplied range is split into lsn-bounded chunks,
     # each committed separately (plans/manager.py). Streaming: drives the
@@ -215,6 +223,7 @@ class IngestSpec:
         doc: dict[str, Any] = {
             "name": self.name,
             "source": self.source,
+            "sink": self.sink,
             "batch_size": self.batch_size,
             "lsn_column": self.lsn_column,
             "op_column": self.op_column,
@@ -243,6 +252,7 @@ class IngestSpec:
         return cls(
             name=doc["name"],
             source=doc["source"],
+            sink=doc.get("sink", "snapshot"),
             columns=[ColumnSpec(**c) for c in doc["columns"]],
             batch_size=doc.get("batch_size", 5_000_000),
             lsn_column=doc.get("lsn_column", "lsn"),

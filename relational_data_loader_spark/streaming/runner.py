@@ -97,7 +97,7 @@ class StreamingIngest:
         # batch LSN and silently drop that micro-batch
         stats = table.merge(batch, int(epoch_id), namespace="stream")
         if os.environ.get("RDL_DEBUG_STREAM"):
-            m = table.current_manifest() or {}
+            m = getattr(table, "current_manifest", dict)() or {}
             print(
                 f"[rdl-stream] {self.spec.name} epoch={epoch_id} merged: "
                 f"skipped={stats.skipped} ups={stats.rows_upserted} "

@@ -187,11 +187,11 @@ def test_kill_between_chunks_resumes_to_same_state(spark, warehouse, tmp_path, l
     real_table = table_factory(spec)
     real_merge = real_table.merge
 
-    def dying_merge(netted, epoch_id, namespace="batch"):
+    def dying_merge(batch, epoch_id, namespace="batch", netted=False):
         calls["n"] += 1
         if calls["n"] > 2:
             raise Boom("simulated crash between chunk commits")
-        return real_merge(netted, epoch_id, namespace)
+        return real_merge(batch, epoch_id, namespace, netted=netted)
 
     real_table.merge = dying_merge
     mgr.table = lambda s: real_table  # first run sees the dying table
