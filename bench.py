@@ -5,15 +5,20 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 - per-query seconds for every catalog query (full evaluation via the noop
-  sink — nothing is collected to the driver);
+  sink — nothing is collected to the driver); every number is the MEDIAN of
+  RDL_BENCH_TRIALS runs (default 3) — this host's minute-scale 4× load
+  swings made single-shot numbers fabricate ±30% "regressions" on untouched
+  queries in rounds 1-2 (BENCH.md), and medians are the cheap fix;
 - cdc_full_refresh / cdc_incremental_merge: the engine's flagship path over
-  a deterministic JVM-generated transcript change log (cached on first run);
-- cdc_replay_events_per_sec: headline throughput (events applied / wall sec
-  across the full replay).
+  a deterministic JVM-generated transcript change log (cached on first run),
+  each trial against a fresh warehouse, medians reported;
+- cdc_replay_events_per_sec: headline throughput (median across trials of
+  events applied / replay wall sec).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      RDL_BENCH_EVENTS (default 1_500_000),
+     RDL_BENCH_TRIALS (default 3; set 1 for a quick smoke pass),
      RDL_BENCH_CACHE (default <repo>/.bench_cache; point at /dev/shm/... to
      take the single-virtio-disk wall out of replay numbers — BENCH.md).
 
@@ -27,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
@@ -42,6 +48,7 @@ from relational_data_loader_spark.spec import transcripts_spec  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("RDL_BENCH_EVENTS", "1500000"))
+TRIALS = max(int(os.environ.get("RDL_BENCH_TRIALS", "3")), 1)
 N_CONVS = max(N_EVENTS // 100, 100)
 CACHE = os.environ.get("RDL_BENCH_CACHE", os.path.join(REPO, ".bench_cache"))
 STORAGE = "shm" if CACHE.startswith(("/dev/shm", "/run/shm")) else "disk"
@@ -67,44 +74,59 @@ def main() -> None:
     warm_fn, _ = next(iter(QUERIES.values()))
     _evaluate(warm_fn(spark, SF_DIR))
 
-    # 1. catalog queries
-    for name, (fn, _) in QUERIES.items():
-        t0 = time.time()
-        _evaluate(fn(spark, SF_DIR))
-        results[name] = round(time.time() - t0, 3)
+    # 1. catalog queries — interleaved round-robin trials (trial t of every
+    # query before trial t+1 of any) so a transient host-load spike degrades
+    # ONE trial of many queries instead of all trials of one query; the
+    # median then shrugs it off
+    samples: dict[str, list[float]] = {name: [] for name in QUERIES}
+    for _ in range(TRIALS):
+        for name, (fn, _) in QUERIES.items():
+            t0 = time.time()
+            _evaluate(fn(spark, SF_DIR))
+            samples[name].append(time.time() - t0)
+    for name, xs in samples.items():
+        results[name] = round(statistics.median(xs), 3)
 
-    # 2. CDC replay: cached deterministic change log, fresh warehouse
+    # 2. CDC replay: cached deterministic change log, fresh warehouse/trial
     log_dir = os.path.join(CACHE, f"changelog_{N_EVENTS}")
     if not os.path.exists(os.path.join(log_dir, "_SUCCESS")):
         write_bench_log(spark, log_dir, N_EVENTS, N_CONVS)
 
-    wh = os.path.join(CACHE, "bench_wh")
-    shutil.rmtree(wh, ignore_errors=True)
-    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=64)
-    mgr = DataLoadManager(spark, wh)
-
-    # full refresh over the first half of the log
     half = N_EVENTS // 2
     import pyspark.sql.functions as F
 
-    full_log = mgr.spark.read.parquet(log_dir)
     head_dir = os.path.join(CACHE, f"changelog_head_{N_EVENTS}")
     if not os.path.exists(os.path.join(head_dir, "_SUCCESS")):
-        full_log.filter(F.col("lsn") <= half).write.mode("overwrite").parquet(head_dir)
+        spark.read.parquet(log_dir).filter(F.col("lsn") <= half).write.mode(
+            "overwrite"
+        ).parquet(head_dir)
 
-    spec_head = transcripts_spec(source=f"parquet://{head_dir}", target_buckets=64)
-    t0 = time.time()
-    mgr.run(spec_head)
-    t_full = time.time() - t0
-    results["cdc_full_refresh"] = round(t_full, 3)
+    fulls, incrs, eps_trials = [], [], []
+    for trial in range(TRIALS):
+        wh = os.path.join(CACHE, f"bench_wh_{trial}")
+        shutil.rmtree(wh, ignore_errors=True)
+        mgr = DataLoadManager(spark, wh)
+        spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=64)
+        spec_head = transcripts_spec(
+            source=f"parquet://{head_dir}", target_buckets=64
+        )
+        # full refresh over the first half of the log
+        t0 = time.time()
+        mgr.run(spec_head)
+        t_full = time.time() - t0
+        # incremental merge of the tail against the existing snapshot
+        # (same table name; full log source; watermark skips the head)
+        t0 = time.time()
+        mgr.run(spec)
+        t_incr = time.time() - t0
+        fulls.append(t_full)
+        incrs.append(t_incr)
+        eps_trials.append(N_EVENTS / (t_full + t_incr))
+        shutil.rmtree(wh, ignore_errors=True)
 
-    # incremental merge of the tail against the existing snapshot
-    t0 = time.time()
-    mgr.run(spec)  # same table name; full log source; watermark skips the head
-    t_incr = time.time() - t0
-    results["cdc_incremental_merge"] = round(t_incr, 3)
-
-    replay_eps = N_EVENTS / (t_full + t_incr)
+    results["cdc_full_refresh"] = round(statistics.median(fulls), 3)
+    results["cdc_incremental_merge"] = round(statistics.median(incrs), 3)
+    replay_eps = statistics.median(eps_trials)
     total = round(sum(results.values()), 3)
 
     print(
@@ -119,6 +141,7 @@ def main() -> None:
                 "cdc_replay_events": N_EVENTS,
                 "cpus": CPUS,
                 "storage": STORAGE,
+                "trials": TRIALS,
             }
         )
     )

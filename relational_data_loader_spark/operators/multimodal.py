@@ -68,15 +68,45 @@ DECODERS: dict[str, Callable[[bytes], list[float]]] = {
 }
 
 
+def register_decoder(media_type: str, fn: Callable[[bytes], list[float]]) -> None:
+    """Deployment seam: inject a real decode kernel (PIL, torchaudio, …)
+    without editing this module. Register BEFORE building the plan —
+    ``extract_features`` snapshots the registry into its closure so the
+    kernels ship to executors with the serialized task (a module-global
+    lookup would resolve against each executor's fresh module import and
+    silently miss driver-side registrations on a real cluster)."""
+    DECODERS[media_type] = fn
+
+
+def load_decoders_from_env(env_var: str = "RDL_MEDIA_DECODERS") -> list[str]:
+    """Optional entry-point hook: ``RDL_MEDIA_DECODERS=pkg.mod:factory`` where
+    ``factory()`` returns ``{media_type: decode_fn}``. Lets a spark-submit
+    deployment wire real kernels via --conf spark.executorEnv/env alone."""
+    import importlib
+    import os
+
+    spec = os.environ.get(env_var, "")
+    if not spec:
+        return []
+    mod_name, _, fn_name = spec.partition(":")
+    factory = getattr(importlib.import_module(mod_name), fn_name or "decoders")
+    loaded = []
+    for media_type, fn in factory().items():
+        register_decoder(media_type, fn)
+        loaded.append(media_type)
+    return loaded
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """binary payload → fixed-dim feature vector via Arrow-batched mapInPandas."""
+    decoders = dict(DECODERS)  # snapshot: ships with the closure (see above)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
                 None
                 if p is None
-                else DECODERS.get(mt, _fake_decode_features)(bytes(p))
+                else decoders.get(mt, _fake_decode_features)(bytes(p))
                 for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(

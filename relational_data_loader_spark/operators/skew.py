@@ -25,6 +25,7 @@ def detect_hot_keys(
     threshold_frac: float = 0.05,
     sample_fraction: float = 0.01,
     seed: int = 42,
+    min_sample_rows: int = 20_000,
 ) -> DataFrame:
     """Sample-based hot-key probe: keys owning > threshold of all rows.
 
@@ -34,14 +35,31 @@ def detect_hot_keys(
     10^10 rows owns ≥5% of any 1% sample with overwhelming probability,
     so sampling loses nothing while cutting the probe to ~1/100 of a scan.
     The sample is seeded: retries see the same verdict.
+
+    Small inputs are NOT sampled: a 1% draw of a few thousand rows is too
+    thin to trust (it can miss a hot key outright), so when the sample
+    lands under ``min_sample_rows`` the probe falls back to the full input
+    — cheap by definition at that size. ``n`` is always an **estimated
+    absolute** row count (sample counts scaled by 1/fraction), so callers
+    sizing salt factors see the same units regardless of the path taken.
     """
-    s = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else df
-    total = max(s.count(), 1)
+    sampled = sample_fraction < 1.0
+    s = df.sample(fraction=sample_fraction, seed=seed) if sampled else df
+    total = s.count()
+    if sampled and total < min_sample_rows:
+        s, sampled = df, False
+        total = s.count()
+    total = max(total, 1)
+    scale = 1.0 / sample_fraction if sampled else 1.0
     return (
         s.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > total * threshold_frac)
-        .withColumn("frac", F.round(F.col("n") / F.lit(total), 4))
+        .agg(F.count(F.lit(1)).alias("_n_raw"))
+        .filter(F.col("_n_raw") > total * threshold_frac)
+        .select(
+            *key_cols,
+            F.round(F.col("_n_raw") * F.lit(scale)).cast("long").alias("n"),
+            F.round(F.col("_n_raw") / F.lit(total), 4).alias("frac"),
+        )
     )
 
 

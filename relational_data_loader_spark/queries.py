@@ -275,6 +275,29 @@ FROM events GROUP BY user_id
 """
 
 
+def q_hot_key_probe(spark, sf):
+    """Skew observability probe (operators/skew.py detect_hot_keys): keys
+    owning >1% of the events log, with absolute-count semantics (``n``).
+    sample_fraction=1.0 pins the deterministic full-scan path — the sampled
+    path is the 10^10-row variant, probabilistic by design and covered by
+    tests/test_skew_operator.py instead."""
+    from relational_data_loader_spark.operators.skew import detect_hot_keys
+
+    ev = _t(spark, sf, "events")
+    return detect_hot_keys(ev, ["user_id"], threshold_frac=0.01, sample_fraction=1.0)
+
+
+SQL_HOT_KEY_PROBE = """
+WITH tot AS (SELECT count(*) AS t FROM events)
+SELECT user_id,
+       count(*) AS n,
+       round(count(*) * 1.0 / t, 4) AS frac
+FROM events, tot
+GROUP BY user_id, t
+HAVING count(*) > t * 0.01
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (the joins/aggs/windows MERGE decomposes into)
 
@@ -754,6 +777,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_ct_probe": (q_cdc_ct_probe, SQL_CT_PROBE),
     "merge_full_outer": (q_merge_full_outer, SQL_MERGE_FULL_OUTER),
     "salted_hot_key_agg": (q_salted_hot_key_agg, SQL_SALTED_AGG),
+    "hot_key_probe": (q_hot_key_probe, SQL_HOT_KEY_PROBE),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
     "topk_orders_per_customer": (q_topk_orders_per_customer, SQL_TOPK_ORDERS),

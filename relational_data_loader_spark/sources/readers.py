@@ -99,6 +99,20 @@ def jdbc_bounds_query(opts: dict[str, str]) -> str:
     return f"(SELECT min({col}) AS lo, max({col}) AS hi FROM {src}) bounds"
 
 
+def jdbc_probe_options(opts: dict[str, str]) -> dict[str, str]:
+    """Option map for the 1-row bounds probe: the real source swapped for the
+    bounds subquery, and the WHOLE partition-option group dropped — Spark's
+    JDBC source all-or-none-checks (partitionColumn, lowerBound, upperBound),
+    so a URI pinning exactly one bound would otherwise make the probe itself
+    throw before the real read ever plans."""
+    probe = dict(opts)
+    for k in ("dbtable", "query", "partitionColumn", "numPartitions",
+              "lowerBound", "upperBound"):
+        probe.pop(k, None)
+    probe["dbtable"] = jdbc_bounds_query(opts)
+    return probe
+
+
 def read_jdbc(
     spark: SparkSession, uri: str, spec: IngestSpec | None = None
 ) -> DataFrame:
@@ -112,12 +126,7 @@ def read_jdbc(
     if "partitionColumn" in opts and (
         "lowerBound" not in opts or "upperBound" not in opts
     ):
-        probe = dict(opts)
-        probe.pop("dbtable", None)
-        probe.pop("query", None)
-        probe.pop("partitionColumn", None)
-        probe.pop("numPartitions", None)
-        probe["dbtable"] = jdbc_bounds_query(opts)
+        probe = jdbc_probe_options(opts)
         row = spark.read.format("jdbc").options(**probe).load().collect()[0]
         if row["lo"] is None:  # empty source table: no parallel read to plan
             for k in ("partitionColumn", "numPartitions", "lowerBound", "upperBound"):
@@ -139,7 +148,16 @@ def read_source(
             r = r.schema(schema)
         return r.parquet(path)
     if scheme == "csv":
-        r = spark.read.option("header", "true")
+        # same csv conventions as the streaming tail (streaming/runner.py):
+        # \N nulls (csv cannot otherwise tell NULL from ""), whole-file
+        # parse for newline-carrying texts, microsecond timestamps
+        r = (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .option("nullValue", "\\N")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        )
         if schema is not None:
             r = r.schema(schema)
         else:

@@ -118,15 +118,48 @@ class StreamingIngest:
     # -- stream lifecycle ------------------------------------------------------
 
     def start(self, available_now: bool = True) -> StreamingQuery:
+        """Tail the change-log directory as a stream.
+
+        File sources: ``parquet://`` (the lake-native log) and ``csv://``
+        (the reference's CsvDataSource S4, streamed). A polled *database*
+        source (the reference's primary mode, S2) intentionally has no
+        readStream analog — Spark's JDBC source is batch-only — and maps to
+        repeated batch runs instead: ``cli.py --stream --once`` drains the
+        log and exits, and each batch-mode ``manager.run`` is one CT poll
+        (watermark → CHANGETABLE-analog scan → merge). That equivalence is
+        tested in tests/test_streaming.py::test_jdbc_style_poll_loop.
+        """
         scheme, _, path = self.spec.source.partition("://")
-        if scheme != "parquet":
-            raise ValueError(f"streaming source must be parquet://, got {scheme!r}")
-        stream = (
+        reader = (
             self.mgr.spark.readStream.schema(self.spec.change_schema())
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
             .option("latestFirst", "false")
-            .parquet(path)
         )
+        if scheme == "parquet":
+            stream = reader.parquet(path)
+        elif scheme == "csv":
+            # multiLine: transcript text legitimately carries newlines (the
+            # writer quotes them, the reader must parse whole files).
+            # nullValue \N (the COPY/LOAD DATA classic): csv cannot otherwise
+            # distinguish NULL from "" — delete envelopes carry NULL payloads
+            # while "" is a legitimate transcript text, so producers must
+            # write nulls as \N (spark: .option("nullValue", "\\N")).
+            # timestampFormat: the csv default truncates to milliseconds;
+            # transcript ts carries microseconds, which LWW replay equality
+            # (north_rule byte-for-byte) cannot afford to lose.
+            stream = (
+                reader.option("header", "true")
+                .option("multiLine", "true")
+                .option("nullValue", "\\N")
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                .csv(path)
+            )
+        else:
+            raise ValueError(
+                f"streaming source must be parquet:// or csv://, got {scheme!r} "
+                "(database sources poll via batch runs — see docstring)"
+            )
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

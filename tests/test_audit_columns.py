@@ -78,13 +78,13 @@ def test_toggling_audit_flag_is_breaking(spark, warehouse, tmp_path, log_tbl):
     assert AUDIT_EXEC_ID in mgr.table(audited).read().columns
 
 
-def test_iceberg_merge_sql_stamps_audit_literals():
+def test_iceberg_merge_sql_stamps_audit_literals(spark):
     from tests.test_iceberg_sink import FakeSpark, _FakeDF
     from relational_data_loader_spark.sinks.iceberg import IcebergTable
 
     spec = transcripts_spec(source="parquet:///dev/null", audit_columns=True)
     t = IcebergTable(FakeSpark(), "lake.db.t", spec, check_runtime=False)
-    t.merge(_FakeDF(), epoch_id=77, watermark=76)
+    t.merge(_FakeDF(mx=76), epoch_id=77, netted=True)
     sql = next(c[1] for c in t.spark.calls if c[0] == "sql" and "MERGE INTO" in c[1])
     assert f"t.{AUDIT_EXEC_ID} = 77L" in sql
     assert f"t.{AUDIT_LOADED_AT} = timestamp_seconds(77)" in sql

@@ -19,11 +19,14 @@ def test_csv_change_log_full_refresh(spark, warehouse, tmp_path):
     # drop exotic texts CSV can't round-trip byte-exactly (newlines are fine
     # quoted, but keep the fixture simple: the parquet family covers unicode)
     pdf["text"] = pdf["text"].str.replace("\n", " ", regex=False)
+    # the engine's csv conventions (sources/readers.py): \N nulls, ISO-8601
+    # 'T' timestamps with microseconds
     pdf.to_csv(
         os.path.join(csvdir, "log.csv"),
         index=False,
         quoting=csv.QUOTE_MINIMAL,
-        date_format="%Y-%m-%d %H:%M:%S.%f",
+        na_rep="\\N",
+        date_format="%Y-%m-%dT%H:%M:%S.%f",
     )
 
     spec = transcripts_spec(source=f"csv://{csvdir}", target_buckets=4)
@@ -39,6 +42,7 @@ def test_csv_change_log_full_refresh(spark, warehouse, tmp_path):
         f"""
         WITH src AS (
           SELECT * FROM read_csv('{csvdir}/log.csv', header=true,
+            nullstr='\\N',
             columns={{'lsn':'BIGINT','op':'VARCHAR','conv_id':'VARCHAR',
                       'turn_idx':'INT','role':'VARCHAR','text':'VARCHAR',
                       'tool':'VARCHAR','ts':'TIMESTAMP'}})),

@@ -6,6 +6,7 @@ import pytest
 from relational_data_loader_spark.sources.readers import (
     build_jdbc_options,
     jdbc_bounds_query,
+    jdbc_probe_options,
 )
 from relational_data_loader_spark.spec import transcripts_spec
 
@@ -57,6 +58,22 @@ def test_query_source_and_validation():
         build_jdbc_options("jdbc://jdbc:postgresql://h/db?dbtable=a&query=b")
     with pytest.raises(ValueError, match="real JDBC url"):
         build_jdbc_options("jdbc://not-a-jdbc-url?dbtable=t")
+
+
+def test_probe_drops_the_whole_partition_option_group():
+    """ADVICE r2: a URI pinning exactly ONE bound must not leak it into the
+    probe read — Spark all-or-none-checks the partition options."""
+    uri = (
+        "jdbc://jdbc:postgresql://h/db?dbtable=public.t"
+        "&partitionColumn=id&lowerBound=7"  # upperBound deliberately absent
+    )
+    opts = build_jdbc_options(uri, spec=transcripts_spec())
+    probe = jdbc_probe_options(opts)
+    for k in ("partitionColumn", "numPartitions", "lowerBound", "upperBound",
+              "query"):
+        assert k not in probe
+    assert probe["dbtable"] == "(SELECT min(id) AS lo, max(id) AS hi FROM public.t) bounds"
+    assert probe["url"] == opts["url"]
 
 
 def test_bounds_probe_sql():

@@ -29,3 +29,47 @@ def test_null_payload_passthrough(spark):
     assert all(
         (r["feature"] is None) == (r["item_id"] % 3 == 0) for r in out
     )
+
+
+def test_register_decoder_seam(spark):
+    """A deployment-injected kernel must be used by plans built AFTER
+    registration (the registry snapshots into the closure — cluster-safe)."""
+    from relational_data_loader_spark.operators.multimodal import (
+        DECODERS,
+        FEATURE_DIM,
+        extract_features,
+        register_decoder,
+        synthesize_media,
+    )
+
+    before = dict(DECODERS)
+    try:
+        register_decoder("image", lambda payload: [42.0] * FEATURE_DIM)
+        df = synthesize_media(spark, n=30)
+        out = extract_features(df).filter("media_type = 'image'").collect()
+        assert out and all(r["feature"] == [42.0] * FEATURE_DIM for r in out)
+        # non-registered types keep the deterministic fake
+        other = extract_features(df).filter("media_type = 'audio'").limit(1).collect()
+        assert other[0]["feature"] != [42.0] * FEATURE_DIM
+    finally:
+        DECODERS.clear()
+        DECODERS.update(before)
+
+
+def test_load_decoders_from_env(monkeypatch):
+    import sys
+    import types
+
+    from relational_data_loader_spark.operators import multimodal as mm
+
+    mod = types.ModuleType("_fake_decoder_pkg")
+    mod.decoders = lambda: {"image": lambda b: [1.0] * mm.FEATURE_DIM}
+    monkeypatch.setitem(sys.modules, "_fake_decoder_pkg", mod)
+    monkeypatch.setenv("RDL_MEDIA_DECODERS", "_fake_decoder_pkg:decoders")
+    before = dict(mm.DECODERS)
+    try:
+        assert mm.load_decoders_from_env() == ["image"]
+        assert mm.DECODERS["image"](b"x") == [1.0] * mm.FEATURE_DIM
+    finally:
+        mm.DECODERS.clear()
+        mm.DECODERS.update(before)

@@ -42,3 +42,18 @@ def test_detect_hot_keys_finds_the_hot_one(spark):
     hot = detect_hot_keys(_skewed_df(spark), ["k"], threshold_frac=0.05).collect()
     assert [r["k"] for r in hot] == ["hot"]
     assert hot[0]["frac"] > 0.25
+    # n is an ABSOLUTE count estimate (20k rows, 30% hot) — small inputs skip
+    # sampling entirely, so here it is exact
+    assert hot[0]["n"] == 6000
+
+
+def test_detect_hot_keys_sampled_counts_are_absolute_scale(spark):
+    """With sampling active, n must be scaled back to input-row units
+    (ADVICE r2: sample-scale counts silently changed caller semantics)."""
+    df = _skewed_df(spark, n=300_000)
+    hot = detect_hot_keys(
+        df, ["k"], threshold_frac=0.05, sample_fraction=0.1, min_sample_rows=1000
+    ).collect()
+    assert [r["k"] for r in hot] == ["hot"]
+    assert 0.25 < hot[0]["frac"] < 0.35
+    assert 75_000 < hot[0]["n"] < 105_000  # ~90k ± sampling noise

@@ -93,6 +93,68 @@ def test_replayed_epoch_is_noop(spark, warehouse, tmp_path, log_tbl):
     assert m1["buckets"] == m2["buckets"]
 
 
+def test_csv_stream_matches_oracle(spark, warehouse, tmp_path, log_tbl):
+    """S4 (CsvDataSource) streamed: a csv:// change-log tail must replay to
+    the same final state as the parquet path — including NULL payloads on
+    deletes and newline-carrying texts (multiLine)."""
+    pqdir = str(tmp_path / "pq")
+    write_log(log_tbl, pqdir)
+    csvdir = str(tmp_path / "csvlog")
+    (
+        spark.read.parquet(pqdir)
+        .repartitionByRange(4, "lsn")
+        .write.option("header", "true")
+        .option("nullValue", "\\N")  # the engine's csv null convention
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(csvdir)
+    )
+    spec = transcripts_spec(source=f"csv://{csvdir}", target_buckets=8)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = StreamingIngest(mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    ing.run_until_caught_up()
+
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{pqdir}/*.parquet")
+    assert_tables_equal(got, want)
+    assert len(mgr.table(spec).applied_epochs()) >= 2  # really micro-batched
+
+
+def test_unknown_stream_scheme_rejected(spark, warehouse, tmp_path):
+    spec = transcripts_spec(source="jdbc://jdbc:sqlserver://h?dbtable=t")
+    ing = StreamingIngest(DataLoadManager(spark, warehouse), spec, str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="poll via batch runs"):
+        ing.start()
+
+
+def test_jdbc_style_poll_loop(spark, warehouse, tmp_path, log_tbl):
+    """The reference's primary source is a polled database (S2) — Spark has
+    no JDBC readStream, so the engine's documented analog is the poll loop:
+    every batch-mode run() is one CT poll (version probe → scan past the
+    watermark → merge), exactly what `cli.py` without --stream does per
+    invocation. N polls over a growing log must equal one full replay, and
+    a poll with nothing new must be a detected no-op."""
+    logdir = str(tmp_path / "log")
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    mgr = DataLoadManager(spark, warehouse)
+
+    max_lsn = pc.max(log_tbl["lsn"]).as_py()
+    cuts = [max_lsn // 3, 2 * max_lsn // 3, max_lsn]
+    lo = None
+    decisions = []
+    for hi in cuts:
+        write_log(log_tbl, logdir, lsn_upto=hi, lsn_from=lo)
+        decisions.append(mgr.run(spec).decision.kind)
+        lo = hi
+    assert decisions == ["full_refresh", "incremental", "incremental"]
+
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{logdir}/*.parquet")
+    assert_tables_equal(got, want)
+
+    assert mgr.run(spec).skipped is True  # idle poll: no new versions
+
+
 def test_late_events_below_watermark_dropped(spark, warehouse, tmp_path, log_tbl):
     """Events at/below the committed watermark (e.g. replayed segments after a
     full refresh) must not re-apply."""
