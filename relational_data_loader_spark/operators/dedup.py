@@ -126,6 +126,55 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return per_doc.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The full near-dup pipeline as one operator: MinHash → banded LSH
+    candidates → exact Jaccard verification computed ONLY for candidate
+    pairs.
+
+    This is the 100 TB-correct composition: the exact verifier
+    (``token_jaccard_pairs``) is quadratic over the corpus if run alone, so
+    at scale it must consume LSH's candidate set instead. The intersection
+    is computed by joining each candidate pair to its two posting lists —
+    work is Σ_candidates |tokens(a)|, linear in the (LSH-pruned) candidate
+    count, never in corpus².
+    """
+    sigs = minhash_signatures(df, text_col, id_col)
+    cand = (
+        lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    toks = _distinct_tokens(df, text_col, id_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.2
 ) -> DataFrame:

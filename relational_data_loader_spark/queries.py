@@ -31,6 +31,7 @@ from relational_data_loader_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
+    near_dup_pairs,
     simhash_signatures,
     token_jaccard_pairs,
 )
@@ -277,14 +278,16 @@ FROM events GROUP BY user_id
 
 def q_hot_key_probe(spark, sf):
     """Skew observability probe (operators/skew.py detect_hot_keys): keys
-    owning >1% of the events log, with absolute-count semantics (``n``).
+    owning >0.7% of the events log (the top tail of its near-uniform
+    key distribution — real hot keys would clear this by an order of
+    magnitude), with absolute-count semantics (``n``).
     sample_fraction=1.0 pins the deterministic full-scan path — the sampled
     path is the 10^10-row variant, probabilistic by design and covered by
     tests/test_skew_operator.py instead."""
     from relational_data_loader_spark.operators.skew import detect_hot_keys
 
     ev = _t(spark, sf, "events")
-    return detect_hot_keys(ev, ["user_id"], threshold_frac=0.01, sample_fraction=1.0)
+    return detect_hot_keys(ev, ["user_id"], threshold_frac=0.007, sample_fraction=1.0)
 
 
 SQL_HOT_KEY_PROBE = """
@@ -294,7 +297,7 @@ SELECT user_id,
        round(count(*) * 1.0 / t, 4) AS frac
 FROM events, tot
 GROUP BY user_id, t
-HAVING count(*) > t * 0.01
+HAVING count(*) > t * 0.007
 """
 
 
@@ -480,6 +483,66 @@ SELECT a.doc_id, b.doc_id, 'band3'
 UNION ALL
 SELECT a.doc_id, b.doc_id, 'band4'
   FROM bands a JOIN bands b ON a.band4 = b.band4 AND a.doc_id < b.doc_id
+"""
+
+
+def q_near_dup_pairs(spark, sf):
+    """End-to-end near-dup pipeline: MinHash → LSH candidates → exact
+    Jaccard verification restricted to candidates (operators/dedup.py
+    near_dup_pairs — the composition a 100 TB corpus requires; the
+    standalone quadratic verifier is token_jaccard_pairs). doc_id < 500 is
+    a visible cap in BOTH engines: it keeps the full sf0.01 correctness
+    corpus (500 docs) while bounding the bench-time candidate set at
+    sf≥0.1 — this synthetic corpus is near-dup-SATURATED (~78% of all
+    pairs collide in some band), so candidates grow ~quadratically with
+    the cap, unlike a real corpus."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+SQL_NEAR_DUP = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 500),
+sigs AS (
+  SELECT doc_id,
+    min(md5('a' || tok)) AS h_a, min(md5('b' || tok)) AS h_b,
+    min(md5('c' || tok)) AS h_c, min(md5('d' || tok)) AS h_d,
+    min(md5('e' || tok)) AS h_e, min(md5('f' || tok)) AS h_f,
+    min(md5('g' || tok)) AS h_g, min(md5('h' || tok)) AS h_h
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h_a || h_b) AS band1, md5(h_c || h_d) AS band2,
+         md5(h_e || h_f) AS band3, md5(h_g || h_h) AS band4
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band4 = b.band4 AND a.doc_id < b.doc_id
+  )),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 """
 
 
@@ -785,6 +848,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
+    "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, _simhash_sql()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),

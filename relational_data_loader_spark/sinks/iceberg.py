@@ -554,3 +554,23 @@ class IcebergTable:
         self.spark.sql(
             f"CALL {catalog}.system.rewrite_data_files(table => '{table}')"
         )
+
+    def expire_snapshots(self, retain_last: int = 100) -> None:
+        """Snapshot expiry — the SnapshotTable.vacuum twin.
+
+        Expiring snapshots also deletes their summaries, i.e. the replay
+        guard forgets epochs older than the retained window. That is SAFE
+        here, by the same argument that makes out-of-order delivery safe:
+        a re-applied ancient epoch meets the sequence guard
+        (``s.lsn > t._rdl_lsn``) on every row and its deletes re-assert
+        tombstones that already exist — wasted work, never wrong data. The
+        guard set is an optimization horizon, not a correctness horizon;
+        ``retain_last`` only needs to cover the window in which replays are
+        *likely* (a streaming restart, a re-run backlog).
+        """
+        catalog, _, table = self.identifier.partition(".")
+        self.spark.sql(
+            f"CALL {catalog}.system.expire_snapshots(table => '{table}', "
+            f"retain_last => {int(retain_last)})"
+        )
+        self._meta_cache = None  # stamps may have been dropped: re-read
