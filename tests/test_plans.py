@@ -74,3 +74,42 @@ def test_netting_is_single_shuffle_no_sort_aggregate(spark):
     plan = _plan(net_changes(df, ["k"]))
     assert "SortAggregate" not in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_merge_window_and_write_share_one_shuffle(spark):
+    """Round-3 fused merge: the LWW window over target ∪ batch and the
+    bucketed write must ride a SINGLE exchange (the bucket repartition) —
+    HashPartitioning([_bucket]) satisfies the window's clustering since
+    _bucket prefixes the partition spec. WindowGroupLimit plans in Final
+    mode only (Spark does not push the Partial below a user repartition);
+    the hot-PK bound therefore comes from chunking + the salt pin — see
+    _lww_merge_plan's docstring for the measured trade."""
+    from relational_data_loader_spark.sinks.snapshot import (
+        DELETED_COL,
+        LSN_COL,
+        SnapshotTable,
+    )
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    spec = transcripts_spec(source="parquet:///dev/null", target_buckets=8)
+    t = SnapshotTable(spark, "/tmp/_plan_probe", spec)
+
+    def env(src):
+        return (
+            spark.range(1000)
+            .select(
+                F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("conv_id"),
+                (F.col("id") % 20).cast("int").alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.md5(F.col("id").cast("string")).alias("text"),
+                F.lit("").alias("tool"),
+                F.timestamp_seconds(F.col("id")).alias("ts"),
+                F.col("id").alias(LSN_COL),
+                F.lit(False).alias(DELETED_COL),
+                F.lit(src).alias("_rdl_src"),
+            )
+        )
+
+    plan = _plan(t._lww_merge_plan(env(0), env(1), layout=8))
+    assert plan.count("Exchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
