@@ -159,17 +159,25 @@ class DataLoadManager:
 
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version
-            # row count observed during the write itself — no second pass
-            from pyspark.sql import Observation
+            wm = max(cti.current_version, 0)
+            if hasattr(table, "full_refresh_from_envelopes") and not spec.salt_buckets:
+                # fused initial load: net + drop-deletes + bucketed write on
+                # one exchange, survivor count observed during the write
+                # (sinks/snapshot.py). A salt_buckets pin falls through to
+                # the unfused path so the salted pre-net is honored.
+                n = table.full_refresh_from_envelopes(
+                    self.project(spec, log), epoch_id=epoch_id, watermark=wm
+                )
+            else:
+                # row count observed during the write itself — no second pass
+                from pyspark.sql import Observation
 
-            obs = Observation()
-            df = self.final_state(spec, log).observe(obs, F.count(F.lit(1)).alias("n"))
-            table.full_refresh(
-                df,
-                epoch_id=epoch_id,
-                watermark=max(cti.current_version, 0),
-            )
-            n = int(obs.get["n"])
+                obs = Observation()
+                df = self.final_state(spec, log).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+                table.full_refresh(df, epoch_id=epoch_id, watermark=wm)
+                n = int(obs.get["n"])
             wall = int((time.time() - t0) * 1000)
             self.state.append(
                 spec.name,

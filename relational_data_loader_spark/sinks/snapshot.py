@@ -220,6 +220,62 @@ class SnapshotTable:
             .withColumn(DELETED_COL, F.lit(False))
         )
         buckets = self._write_buckets(stamped)
+        return self._commit_full_manifest(buckets, epoch_id, watermark, namespace)
+
+    def full_refresh_from_envelopes(
+        self,
+        envelopes: DataFrame,
+        epoch_id: int,
+        watermark: int,
+        namespace: str = "batch",
+    ) -> int:
+        """Initial-load fusion: net + drop-deletes + stamp + bucketed write
+        on ONE exchange — the ``_lww_merge_plan`` argument applied to the
+        refresh path. ``envelopes`` are projected change rows
+        ``(dest cols..., lsn, op)``; the plain ``full_refresh`` path (which
+        takes pre-netted final state and pays a second shuffle) remains for
+        callers that net elsewhere — the manager uses it when a
+        ``salt_buckets`` pin demands the salted pre-net, and the Iceberg
+        sink always nets upstream (its writer owns distribution).
+
+        Returns the survivor row count, observed during the write itself
+        (no second scan). Width note: both this and the unfused path write
+        through ``n_buckets`` partitions — at 10^10 rows ``target_buckets``
+        is the initial-load parallelism knob, set it accordingly.
+        """
+        from pyspark.sql import Observation
+
+        spec = self.spec
+        lsn_col, op_col = spec.lsn_column, spec.op_column
+        env = envelopes.withColumn(
+            _BUCKET_COL, bucket_expr(self.bucket_key, self.n_buckets)
+        )
+        clustered = env.repartition(self.n_buckets, F.col(_BUCKET_COL))
+        w = Window.partitionBy(_BUCKET_COL, *spec.primary_keys).orderBy(
+            F.desc(lsn_col)
+        )
+        survivors = (
+            clustered.withColumn("_rdl_rn", F.row_number().over(w))
+            .filter(F.col("_rdl_rn") == 1)
+            .filter(F.col(op_col) != spec.delete_op)
+        )
+        obs = Observation()
+        stamped = (
+            self._with_audit(
+                survivors.select(*self._dest_cols(), _BUCKET_COL), epoch_id
+            )
+            .withColumn(LSN_COL, F.lit(int(watermark)).cast("long"))
+            .withColumn(DELETED_COL, F.lit(False))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        buckets = self._write_buckets(stamped, pre_clustered=True)
+        self._commit_full_manifest(buckets, epoch_id, watermark, namespace)
+        return int(obs.get["n"])
+
+    def _commit_full_manifest(
+        self, buckets: dict[str, list[str]], epoch_id: int, watermark: int,
+        namespace: str,
+    ) -> dict[str, Any]:
         return self._commit(
             {
                 "buckets": buckets,

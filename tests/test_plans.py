@@ -113,3 +113,54 @@ def test_merge_window_and_write_share_one_shuffle(spark):
     plan = _plan(t._lww_merge_plan(env(0), env(1), layout=8))
     assert plan.count("Exchange") == 1, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_fused_full_refresh_is_single_shuffle(spark, tmp_path):
+    """Initial-load fusion: net + drop-deletes + stamp + bucketed write must
+    plan exactly one exchange (full_refresh_from_envelopes)."""
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    spec = transcripts_spec(source="parquet:///dev/null", target_buckets=8)
+    mgr = DataLoadManager(spark, str(tmp_path / "wh"))
+    env = spark.range(500).selectExpr(
+        "id AS lsn",
+        "CASE WHEN id % 11 = 0 THEN 'D' ELSE 'U' END AS op",
+        "concat('c', id % 40) AS conv_id",
+        "CAST(id % 10 AS INT) AS turn_idx",
+        "'user' AS role",
+        "md5(CAST(id AS STRING)) AS text",
+        "'' AS tool",
+        "timestamp_seconds(id) AS ts",
+    )
+    table = mgr.table(spec)
+    # reproduce the sink's fused plan up to (not including) the write
+    from pyspark.sql import functions as FF
+    from pyspark.sql.window import Window as W
+    from relational_data_loader_spark.operators.watermark import bucket_expr
+    from relational_data_loader_spark.sinks.snapshot import _BUCKET_COL
+
+    projected = mgr.project(spec, env)
+    clustered = projected.withColumn(
+        _BUCKET_COL, bucket_expr("conv_id", 8)
+    ).repartition(8, FF.col(_BUCKET_COL))
+    w = W.partitionBy(_BUCKET_COL, "conv_id", "turn_idx").orderBy(FF.desc("lsn"))
+    plan = _plan(
+        clustered.withColumn("_rn", FF.row_number().over(w))
+        .filter("_rn = 1")
+        .filter("op <> 'D'")
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    # and the end-to-end fused refresh equals the oracle replay
+    n = table.full_refresh_from_envelopes(projected, epoch_id=500, watermark=500)
+    got = table.read()
+    assert n == got.count() > 0
+    from relational_data_loader_spark.operators.lww import net_changes
+
+    want = (
+        net_changes(mgr.project(spec, env), spec.primary_keys)
+        .filter("op <> 'D'")
+        .count()
+    )
+    assert n == want
