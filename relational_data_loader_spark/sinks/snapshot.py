@@ -442,9 +442,8 @@ class SnapshotTable:
         delete builder W2), generalized to out-of-order delivery:
 
           winners = LWW by (lsn, batch-over-target tie) per PK over
-                    touched_target ∪ batch          (one shuffle on full PK;
-                    WindowGroupLimit partial-limits map-side, so hot PKs
-                    cannot pin a reducer)
+                    touched_target ∪ batch          (ONE bucket-clustered
+                    shuffle shared with the write — _lww_merge_plan)
           deletes persist as tombstone rows          (stale permuted inserts
                     can never resurrect a newer delete)
           bucket data = winners                      (rewrite touched buckets
@@ -473,6 +472,13 @@ class SnapshotTable:
         # manager (storage eviction → full recompute per consumer), measured
         # as a 6× collapse at 16M-row batches on 32 cores.
         # ``stage_threshold`` rows ≈ a few GB of cached columns.
+        # Round-3 counter-measurement: skipping the stage for recomputable
+        # file-source batches (re-scan instead of write+read) was tried and
+        # measured SLOWER-or-equal in interleaved same-session pairs
+        # (staged [7.6, 7.3, 16.0]s vs re-scan [13.1, 7.3, 23.8]s, 8M-row
+        # batch) — the staged copy is compact and pre-projected while the
+        # re-scan decodes and range-filters the wider log twice. Keep
+        # staging unconditional.
         stage_threshold = 4_000_000
         stage_dir: str | None = None
         persisted = False
