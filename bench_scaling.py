@@ -50,10 +50,10 @@ for trial in range(trials):
     shutil.rmtree(wh, ignore_errors=True)
     mgr = DataLoadManager(spark, wh)
     t0 = time.time()
-    mgr.run(transcripts_spec(source=f"parquet://{{head_dir}}", target_buckets=64))
+    mgr.run(transcripts_spec(source=f"parquet://{{head_dir}}", target_buckets=64, batch_size=0))
     t_full = time.time() - t0
     t0 = time.time()
-    mgr.run(transcripts_spec(source=f"parquet://{{log_dir}}", target_buckets=64))
+    mgr.run(transcripts_spec(source=f"parquet://{{log_dir}}", target_buckets=64, batch_size=0))
     t_incr = time.time() - t0
     cur = {{"cores": cores, "t_full": t_full, "t_incr": t_incr,
            "events_per_sec": n_events / (t_full + t_incr), "trial": trial}}

@@ -36,6 +36,47 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish regex pre-tokenization (array<string>): letter runs, single
+    digits, single non-alphanumeric marks — the GPT-2-style split shape
+    that byte-pair merges start from, minus the byte-level merges
+    themselves. Pure regexp (codegen), and the pattern uses only portable
+    character classes so DuckDB's RE2 and Java's Pattern agree (both are
+    codepoint-aware for classes, including astral-plane emoji)."""
+    return F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col)).cast("bigint")
+
+
+# rolling-hash fingerprint parameters (shared with the DuckDB oracle SQL)
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    the whitespace-token stream, ``h = fold(h*131 + v(tok)) mod 1e9+7``
+    with ``v(tok) = codepoint(first char)*256 + len(tok)``.
+
+    Unlike the md5 ``fingerprint`` (content-identity), the rolling hash is
+    sequence-sensitive — token permutations change it — which is what
+    incremental/windowed fingerprinting schemes roll at 100 TB. Entirely
+    JVM-side (``transform`` + ``aggregate`` array expressions, no shuffle,
+    no Python); the fold starts from the first token's value (DuckDB's
+    ``list_reduce`` has no init parameter, so the oracle and engine share
+    fold-from-first semantics)."""
+    vals = F.transform(
+        tokens(col), lambda t: (F.ascii(t) * 256 + F.length(t)).cast("long")
+    )
+    return F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, v: (acc * ROLLING_BASE + v) % F.lit(ROLLING_MOD),
+    )
+
+
 def alpha_ratio(col: Column) -> Column:
     """Quality feature: fraction of characters that are ASCII letters/space."""
     return F.round(

@@ -612,6 +612,34 @@ FROM documents WHERE length(text) > 0
 """
 
 
+def q_text_fingerprints(spark, sf):
+    """Tokenizer + fingerprint family (functions/text.py): BPE-ish regex
+    pre-token count and the order-sensitive rolling-hash fingerprint,
+    alongside the md5 content fingerprint — the three primitives a 100 TB
+    text pipeline dedups/shards on."""
+    d = _t(spark, sf, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        TXT.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TXT.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+        TXT.fingerprint(F.col("text")).alias("md5_fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINTS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       list_reduce(
+         list_transform(
+           string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+           t -> CAST(ascii(t[1]) * 256 + length(t) AS BIGINT)),
+         (acc, v) -> (acc * 131 + v) % 1000000007
+       ) AS rolling_fp,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_fp
+FROM documents WHERE length(text) > 0
+"""
+
+
 def q_lang_stopword_ratio(spark, sf):
     """Language-ID heuristic: domain-stopword hit ratio per document."""
     d = _t(spark, sf, "documents")
@@ -853,6 +881,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_STOPWORD_RATIO),
+    "text_fingerprints": (q_text_fingerprints, SQL_TEXT_FINGERPRINTS),
     "embedding_cosine_topk": (q_embedding_cosine_topk, SQL_COSINE_TOPK),
     "set_ops_inactive_customers": (q_set_ops_inactive_customers, SQL_SET_OPS),
     "top_orders_global": (q_top_orders_global, SQL_TOP_ORDERS),
