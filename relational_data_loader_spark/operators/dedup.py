@@ -74,33 +74,43 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (e.g. empty-text docs or
     boilerplate) whose quadratic blowup would dominate at scale — the
     standard guard in production LSH.
+
+    Plan shape (round 3): the bands MELT into long form
+    ``(doc_id, band, band_key)`` once (``stack`` — a projection, no
+    shuffle), then ONE size-filter aggregation and ONE self-join on
+    ``(band, band_key)`` produce every band's pairs together. The previous
+    per-band loop ran 4 separate groupBy+join rounds over the same
+    signatures — 4× the exchanges and 4× the signature recomputation for
+    identical output rows.
     """
-    bands = sigs.select(
-        "doc_id",
-        *[
-            F.md5(F.concat(*[F.col(c) for c in cols])).alias(name)
-            for name, cols in LSH_BANDS
-        ],
+    band_args = ", ".join(
+        f"'{name}', {_band_hash_sql(cols)}" for name, cols in LSH_BANDS
     )
-    out = None
-    for name, _ in LSH_BANDS:
-        b = bands.select("doc_id", F.col(name).alias("band_key"))
-        sized = b.groupBy("band_key").agg(
-            F.count(F.lit(1)).alias("_n")
-        ).filter(F.col("_n") <= max_bucket)
-        b = b.join(sized.select("band_key"), "band_key")
-        pairs = (
-            b.alias("x")
-            .join(b.alias("y"), "band_key")
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("doc_a"),
-                F.col("y.doc_id").alias("doc_b"),
-                F.lit(name).alias("band"),
-            )
+    long = sigs.selectExpr(
+        "doc_id",
+        f"stack({len(LSH_BANDS)}, {band_args}) AS (band, band_key)",
+    )
+    sized = (
+        long.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    b = long.join(sized, ["band", "band_key"])
+    return (
+        b.alias("x")
+        .join(b.alias("y"), ["band", "band_key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("band"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+    )
+
+
+def _band_hash_sql(cols: tuple[str, str]) -> str:
+    return f"md5(concat({', '.join(cols)}))"
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
