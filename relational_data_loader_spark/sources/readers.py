@@ -33,6 +33,29 @@ from relational_data_loader_spark.spec import IngestSpec
 _JDBC_DEFAULT_FETCHSIZE = 10_000
 _JDBC_DEFAULT_NUM_PARTITIONS = 32
 
+# The engine's csv:// conventions — ONE definition shared by the batch reader
+# below and the streaming tail (streaming/runner.py), so the two paths cannot
+# desync on a log they must replay identically:
+# - \N nulls: csv cannot otherwise tell NULL (delete-envelope payloads) from
+#   "" (a legitimate transcript text);
+# - multiLine: transcript text legitimately carries newlines (quoted by the
+#   writer; the reader must parse whole files);
+# - ISO-8601 'T' timestamps with OPTIONAL microseconds ([.SSSSSS]): the csv
+#   default truncates to milliseconds, which LWW replay equality cannot
+#   afford to lose, while second-precision producers still parse;
+# - FAILFAST: a producer violating the convention (e.g. space-separated
+#   timestamps) must fail the load LOUDLY — the permissive default would
+#   silently load NULL payloads into LWW state (data corruption, not an
+#   error).
+CSV_OPTIONS: dict[str, str] = {
+    "header": "true",
+    "multiLine": "true",
+    "nullValue": "\\N",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]",
+    "mode": "FAILFAST",
+}
+
 
 def build_jdbc_options(
     uri: str,
@@ -148,16 +171,7 @@ def read_source(
             r = r.schema(schema)
         return r.parquet(path)
     if scheme == "csv":
-        # same csv conventions as the streaming tail (streaming/runner.py):
-        # \N nulls (csv cannot otherwise tell NULL from ""), whole-file
-        # parse for newline-carrying texts, microsecond timestamps
-        r = (
-            spark.read.option("header", "true")
-            .option("multiLine", "true")
-            .option("nullValue", "\\N")
-            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-            .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-        )
+        r = spark.read.options(**CSV_OPTIONS)
         if schema is not None:
             r = r.schema(schema)
         else:

@@ -138,23 +138,12 @@ class StreamingIngest:
         if scheme == "parquet":
             stream = reader.parquet(path)
         elif scheme == "csv":
-            # multiLine: transcript text legitimately carries newlines (the
-            # writer quotes them, the reader must parse whole files).
-            # nullValue \N (the COPY/LOAD DATA classic): csv cannot otherwise
-            # distinguish NULL from "" — delete envelopes carry NULL payloads
-            # while "" is a legitimate transcript text, so producers must
-            # write nulls as \N (spark: .option("nullValue", "\\N")).
-            # timestampFormat: the csv default truncates to milliseconds;
-            # transcript ts carries microseconds, which LWW replay equality
-            # (north_rule byte-for-byte) cannot afford to lose.
-            stream = (
-                reader.option("header", "true")
-                .option("multiLine", "true")
-                .option("nullValue", "\\N")
-                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-                .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-                .csv(path)
-            )
+            # the engine's csv conventions, shared verbatim with the batch
+            # reader (sources/readers.py CSV_OPTIONS) so batch replay and
+            # streaming replay of the same log cannot desync
+            from relational_data_loader_spark.sources.readers import CSV_OPTIONS
+
+            stream = reader.options(**CSV_OPTIONS).csv(path)
         else:
             raise ValueError(
                 f"streaming source must be parquet:// or csv://, got {scheme!r} "

@@ -59,3 +59,46 @@ def test_csv_change_log_full_refresh(spark, warehouse, tmp_path):
         got[c] = got[c].fillna("")
         want[c] = want[c].fillna("")
     assert_tables_equal(got, want)
+
+
+def test_csv_second_precision_timestamps_parse(spark, tmp_path):
+    """The convention's fractional seconds are OPTIONAL ([.SSSSSS]): a
+    second-precision producer must parse, not silently NULL the column."""
+    import pandas as pd
+
+    from relational_data_loader_spark.sources.readers import read_source
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    csvdir = tmp_path / "sec"
+    csvdir.mkdir()
+    (csvdir / "log.csv").write_text(
+        "lsn,op,conv_id,turn_idx,role,text,tool,ts\n"
+        "1,I,c0,0,user,hello,\\N,2024-01-01T00:00:00\n"
+        "2,I,c0,1,user,world,\\N,2024-01-01T00:00:01.500000\n"
+    )
+    spec = transcripts_spec(source="x://")
+    df = read_source(spark, f"csv://{csvdir}", spec.change_schema()).toPandas()
+    assert df["ts"].notna().all()
+    assert pd.Timestamp(df["ts"].iloc[1]).microsecond == 500000
+
+
+def test_csv_convention_violation_fails_loudly(spark, tmp_path):
+    """A producer writing space-separated timestamps violates the documented
+    convention: FAILFAST must raise, never silently load NULL payloads into
+    LWW state (the permissive default was measured to do exactly that)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from relational_data_loader_spark.sources.readers import read_source
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    csvdir = tmp_path / "bad"
+    csvdir.mkdir()
+    (csvdir / "log.csv").write_text(
+        "lsn,op,conv_id,turn_idx,role,text,tool,ts\n"
+        "1,I,c0,0,user,hello,\\N,2024-01-01 00:00:00\n"
+    )
+    spec = transcripts_spec(source="x://")
+    with pytest.raises(Exception) as ei:
+        read_source(spark, f"csv://{csvdir}", spec.change_schema()).collect()
+    assert "FAILFAST" in str(ei.value) or "Malformed" in str(ei.value)

@@ -256,7 +256,9 @@ def test_replayed_epoch_is_skipped_without_touching_the_table():
 def test_empty_batch_commits_nothing():
     t = _table()
     s = t.merge(_FakeDF(mx=None, ups=0, dels=0), epoch_id=7, netted=True)
-    assert (s.skipped, s.rows_upserted, s.rows_deleted) == (False, 0, 0)
+    # skipped=True: nothing applied AND nothing recorded — the manager must
+    # not write a lineage row for an epoch absent from applied_epochs()
+    assert (s.skipped, s.rows_upserted, s.rows_deleted) == (True, 0, 0)
     assert t.spark.merges() == []
     assert t.applied_epochs() == set()  # nothing stamped — replay is vacuous
 
@@ -410,6 +412,18 @@ def test_expire_snapshots_drops_guard_cache():
     # the guard set re-reads: forgotten epochs re-apply, which the sequence
     # guard makes harmless (docstring) — but the cache must not lie
     assert t.applied_epochs() == set()
+
+
+def test_sql_quote_escapes_backslashes_and_quotes():
+    """Spark SQL string literals process backslash escapes; a spec whose
+    JSON contains \\" or \\\\ must round-trip through TBLPROPERTIES."""
+    from relational_data_loader_spark.sinks.iceberg import _sql_quote
+
+    assert _sql_quote("plain") == "'plain'"
+    assert _sql_quote("it's") == "'it''s'"
+    # json.dumps('a"b') -> '"a\\"b"' — the literal must double the backslash
+    assert _sql_quote('{"name": "a\\"b"}') == "'{\"name\": \"a\\\\\"b\"}'"
+    assert _sql_quote("c:\\tmp") == "'c:\\\\tmp'"
 
 
 def test_snapshot_meta_is_cached_per_instance():
