@@ -853,6 +853,65 @@ WHERE rk <= 5
 """
 
 
+def q_cdc_debezium_parse(spark, sf):
+    """Debezium envelope round-trip (sources/debezium.py): each event is
+    serialized into a real Debezium JSON document (op c/r/u/d, before/after
+    images, source.lsn) with whole-stage-codegen format_string, then parsed
+    back through the engine's from_json path. The oracle states the expected
+    envelope SEMANTICS directly (no JSON), so it independently checks the
+    parser: op mapping c/r→I u→U d→D, delete keys from the before image,
+    payload NULL on delete."""
+    from relational_data_loader_spark.sources.debezium import parse_debezium
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    ev = _t(spark, sf, "events")
+    # integer-only payload so the JSON text is bit-identical to what any
+    # engine would build (no float formatting ambiguity)
+    img = F.format_string(
+        '{"user_id":%d,"value_cents":%d}',
+        F.col("user_id"),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    is_del = F.col("event_type") == "error"
+    dbz_op = (
+        F.when(is_del, F.lit("d"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "signup", F.lit("r"))
+        .otherwise(F.lit("u"))
+    )
+    doc = F.format_string(
+        '{"op":"%s","ts_ms":%d,"before":%s,"after":%s,"source":{"lsn":%d}}',
+        dbz_op,
+        # parquet reads as TIMESTAMP_NTZ; session TZ is pinned UTC (_t)
+        F.unix_millis(F.col("ts").cast("timestamp")),
+        F.when(is_del, img).otherwise(F.lit("null")),
+        F.when(is_del, F.lit("null")).otherwise(img),
+        F.col("event_id"),
+    )
+    spec = IngestSpec(
+        name="dbz_events",
+        source="debezium://",
+        columns=[
+            ColumnSpec("user_id", "user_id", "bigint", primary_key=True,
+                       nullable=False),
+            ColumnSpec("value_cents", "value_cents", "bigint"),
+        ],
+    )
+    return parse_debezium(ev.select(doc.alias("value")), spec)
+
+
+SQL_DEBEZIUM_PARSE = """
+SELECT event_id AS lsn,
+       CASE WHEN event_type = 'error' THEN 'D'
+            WHEN event_type IN ('click', 'signup') THEN 'I'
+            ELSE 'U' END AS op,
+       user_id,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(floor(value * 100) AS BIGINT) END AS value_cents
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -889,4 +948,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_audit_columns": (q_cdc_audit_columns, SQL_AUDIT_COLUMNS),
     "normalize_text_nfc": (q_normalize_text_nfc, SQL_NORMALIZE_NFC),
     "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
+    "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
 }

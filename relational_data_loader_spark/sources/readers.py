@@ -161,10 +161,22 @@ def read_jdbc(
 
 
 def read_source(
-    spark: SparkSession, uri: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    uri: str,
+    schema: T.StructType | None = None,
+    spec: IngestSpec | None = None,
 ) -> DataFrame:
     """URI-scheme dispatch, the factory pattern of the reference's S5."""
     scheme, _, path = uri.partition("://")
+    if scheme == "debezium":
+        # Debezium JSON-lines change events (sources/debezium.py); the
+        # envelope's row-image schema comes from the spec, so this scheme is
+        # change-log-only (it has no meaning without a spec)
+        if spec is None:
+            raise ValueError("debezium:// sources need an IngestSpec")
+        from relational_data_loader_spark.sources.debezium import parse_debezium
+
+        return parse_debezium(spark.read.text(path), spec)
     if scheme == "parquet":
         r = spark.read
         if schema is not None:
@@ -188,7 +200,7 @@ def read_change_log(spark: SparkSession, spec: IngestSpec) -> DataFrame:
         # schema comes from the database; spec supplies the range-partition
         # column (the lsn) for the parallel read
         return read_jdbc(spark, spec.source, spec)
-    return read_source(spark, spec.source, spec.change_schema())
+    return read_source(spark, spec.source, spec.change_schema(), spec)
 
 
 @dataclass

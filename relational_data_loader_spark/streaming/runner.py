@@ -120,8 +120,11 @@ class StreamingIngest:
     def start(self, available_now: bool = True) -> StreamingQuery:
         """Tail the change-log directory as a stream.
 
-        File sources: ``parquet://`` (the lake-native log) and ``csv://``
-        (the reference's CsvDataSource S4, streamed). A polled *database*
+        File sources: ``parquet://`` (the lake-native log), ``csv://``
+        (the reference's CsvDataSource S4, streamed) and ``debezium://``
+        (JSON-lines Debezium envelopes, the binlog/WAL wire format —
+        sources/debezium.py; parsed inside the stream so the foreachBatch
+        apply path is byte-identical to the other schemes). A polled *database*
         source (the reference's primary mode, S2) intentionally has no
         readStream analog — Spark's JDBC source is batch-only — and maps to
         repeated batch runs instead: ``cli.py --stream --once`` drains the
@@ -130,25 +133,40 @@ class StreamingIngest:
         tested in tests/test_streaming.py::test_jdbc_style_poll_loop.
         """
         scheme, _, path = self.spec.source.partition("://")
-        reader = (
-            self.mgr.spark.readStream.schema(self.spec.change_schema())
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .option("latestFirst", "false")
-        )
-        if scheme == "parquet":
-            stream = reader.parquet(path)
-        elif scheme == "csv":
-            # the engine's csv conventions, shared verbatim with the batch
-            # reader (sources/readers.py CSV_OPTIONS) so batch replay and
-            # streaming replay of the same log cannot desync
-            from relational_data_loader_spark.sources.readers import CSV_OPTIONS
+        if scheme == "debezium":
+            # text-source tail + the same parser the batch path uses; the
+            # envelope supplies the schema, so no .schema() on the reader
+            from relational_data_loader_spark.sources.debezium import parse_debezium
 
-            stream = reader.options(**CSV_OPTIONS).csv(path)
-        else:
-            raise ValueError(
-                f"streaming source must be parquet:// or csv://, got {scheme!r} "
-                "(database sources poll via batch runs — see docstring)"
+            raw = (
+                self.mgr.spark.readStream.option(
+                    "maxFilesPerTrigger", self.max_files_per_trigger
+                )
+                .option("latestFirst", "false")
+                .text(path)
             )
+            stream = parse_debezium(raw, self.spec)
+        else:
+            reader = (
+                self.mgr.spark.readStream.schema(self.spec.change_schema())
+                .option("maxFilesPerTrigger", self.max_files_per_trigger)
+                .option("latestFirst", "false")
+            )
+            if scheme == "parquet":
+                stream = reader.parquet(path)
+            elif scheme == "csv":
+                # the engine's csv conventions, shared verbatim with the batch
+                # reader (sources/readers.py CSV_OPTIONS) so batch replay and
+                # streaming replay of the same log cannot desync
+                from relational_data_loader_spark.sources.readers import CSV_OPTIONS
+
+                stream = reader.options(**CSV_OPTIONS).csv(path)
+            else:
+                raise ValueError(
+                    f"streaming source must be parquet://, csv:// or "
+                    f"debezium://, got {scheme!r} "
+                    "(database sources poll via batch runs — see docstring)"
+                )
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
