@@ -41,10 +41,15 @@ class StreamingIngest:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         rows_per_file_hint: int = 250_000,
+        stateful_dedup: bool = False,
     ):
         self.mgr = manager
         self.spec = spec
         self.checkpoint_dir = checkpoint_dir
+        # opt-in cross-batch per-PK monotone-LSN filter (state_filter.py):
+        # kills re-delivered/stale events before the merge shuffle. State is
+        # one long per live PK — size the state store accordingly.
+        self.stateful_dedup = stateful_dedup
         if max_files_per_trigger is None:
             # derive micro-batch size from the spec's batch_size (the
             # reference C2 knob): the file source is bounded in files, not
@@ -167,11 +172,21 @@ class StreamingIngest:
                     f"debezium://, got {scheme!r} "
                     "(database sources poll via batch runs — see docstring)"
                 )
+        if self.stateful_dedup:
+            from relational_data_loader_spark.streaming.state_filter import (
+                monotone_lsn_filter,
+            )
+
+            stream = monotone_lsn_filter(stream, self.spec)
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .queryName(f"rdl-ingest-{self.spec.name}")
         )
+        if self.stateful_dedup:
+            # the stateful operator emits in Update mode; the query-level
+            # output mode must match (foreachBatch accepts update)
+            writer = writer.outputMode("update")
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

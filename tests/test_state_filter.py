@@ -1,0 +1,139 @@
+"""Stateful cross-batch dedup (streaming/state_filter.py): per-PK monotone
+LSN filter via applyInPandasWithState.
+
+The engine family this extends: at-least-once upstreams re-deliver log
+segments across micro-batches; the sink already no-ops them (version guard +
+epoch manifest), these tests pin that the stateful filter (a) removes the
+wasted re-delivery BEFORE the merge, (b) never changes final table state —
+including the stale-delete case the version guard exists for."""
+
+import os
+import time
+
+import pyarrow.parquet as pq
+import pytest
+
+from relational_data_loader_spark.fixtures import generate_change_log
+from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.spec import transcripts_spec
+from relational_data_loader_spark.streaming.runner import StreamingIngest
+from tests.util import assert_tables_equal, duck_final_state, spark_sorted_pdf
+
+
+class RecordingIngest(StreamingIngest):
+    """StreamingIngest that records rows delivered to the sink per epoch
+    (foreachBatch runs in the driver in local mode, so a list works)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.delivered: list[int] = []
+
+    def apply_batch(self, batch_df, epoch_id):
+        batch_df = batch_df.persist()
+        try:
+            self.delivered.append(batch_df.count())
+            super().apply_batch(batch_df, epoch_id)
+        finally:
+            batch_df.unpersist()
+
+
+def _write_segments(tbl, logdir, cuts):
+    """Write lsn-slices of the log as one parquet file each, in cuts order
+    (mtimes strictly increasing so the file source batches deterministically)."""
+    os.makedirs(logdir, exist_ok=True)
+    t = 1_700_000_000
+    for i, (lo, hi) in enumerate(cuts):
+        import pyarrow.compute as pc
+
+        seg = tbl.filter(
+            pc.and_(pc.greater_equal(tbl["lsn"], lo), pc.less(tbl["lsn"], hi))
+        ).sort_by("lsn")
+        path = os.path.join(logdir, f"seg-{i:03d}.parquet")
+        pq.write_table(seg, path)
+        os.utime(path, (t + i, t + i))
+
+
+def test_redelivered_segment_filtered_before_sink(spark, warehouse, tmp_path):
+    tbl = generate_change_log(n_events=1200, n_convs=25, seed=19)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    # seg0: first half; seg1: FULL re-delivery of seg0 (duplicate) PLUS the
+    # second half — the at-least-once overlap pattern
+    _write_segments(tbl, logdir, [(0, n // 2), (0, n + 1)])
+
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = RecordingIngest(
+        mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        stateful_dedup=True,
+    )
+    ing.run_until_caught_up()
+
+    # batch 2 carried all n rows raw but only the new ones may reach the sink
+    import pyarrow.compute as pc
+
+    n_first = tbl.filter(pc.less(tbl["lsn"], n // 2)).num_rows
+    assert len(ing.delivered) == 2, ing.delivered
+    assert ing.delivered[0] == n_first
+    assert ing.delivered[1] == n - n_first, (
+        f"re-delivered prefix leaked through the state filter: {ing.delivered}"
+    )
+
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{logdir}/*.parquet")
+    assert_tables_equal(got, want)
+
+
+def test_stale_events_dropped_state_unchanged(spark, warehouse, tmp_path):
+    """A later micro-batch delivering only already-superseded events (incl.
+    stale deletes) must change nothing."""
+    tbl = generate_change_log(n_events=800, n_convs=15, seed=23)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    # seg0: everything; seg1: a stale slice from the middle (all lsn < max)
+    _write_segments(tbl, logdir, [(0, n + 1), (n // 4, n // 2)])
+
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = RecordingIngest(
+        mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        stateful_dedup=True,
+    )
+    ing.run_until_caught_up()
+
+    assert ing.delivered == [n, 0], ing.delivered  # lsns are 1..n
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{logdir}/seg-000.parquet")
+    assert_tables_equal(got, want)
+
+
+def test_stateful_resume_from_checkpoint(spark, warehouse, tmp_path):
+    """Kill between micro-batches and restart: state + sink manifests resume
+    exactly-once, final state equals the batch oracle."""
+    tbl = generate_change_log(n_events=1000, n_convs=20, seed=29)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    _write_segments(tbl, logdir, [(0, n // 3), (0, 2 * n // 3), (0, n + 1)])
+
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    ckpt = str(tmp_path / "ckpt")
+    mgr = DataLoadManager(spark, warehouse)
+
+    ing1 = RecordingIngest(mgr, spec, ckpt, max_files_per_trigger=1,
+                           stateful_dedup=True)
+    q = ing1.start(available_now=True)
+    deadline = time.time() + 120
+    while time.time() < deadline and not ing1.delivered:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    ing2 = RecordingIngest(mgr, spec, ckpt, max_files_per_trigger=1,
+                           stateful_dedup=True)
+    ing2.run_until_caught_up()
+
+    # every event reached the sink exactly once across both runs
+    assert sum(ing1.delivered) + sum(ing2.delivered) <= n + n // 3  # replayed
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{logdir}/seg-002.parquet")
+    assert_tables_equal(got, want)
