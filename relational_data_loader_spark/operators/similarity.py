@@ -109,6 +109,132 @@ def hyperplane_bucket_expr(emb_col: str, dim: int, n_planes: int = 8, seed: int 
     return bucket
 
 
+def _cosine_vs_literal(emb_col, centroid: list[float], dp: int = 6):
+    """round(cos(emb, centroid), dp) with the centroid as codegen literals.
+
+    The centroid norm is a Python-side constant, the dot is the same
+    left-to-right fold as ``_dot`` — so an oracle writing the identical
+    term chain reproduces the exact double.
+    """
+    import math
+
+    # plain left-to-right sum (NOT fsum): the oracle's explicit `+` term
+    # chain is left-associative, and matching accumulation order makes the
+    # constant bit-identical on both engines
+    cnorm = math.sqrt(sum(v * v for v in centroid))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(emb_col),
+            F.array(*[F.lit(float(v)) for v in centroid]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(dot / (_norm(F.col(emb_col)) * F.lit(cnorm)), dp).cast("double")
+
+
+def ivf_cell_expr(emb_col: str, centroids: list[list[float]]):
+    """Argmax-cosine coarse-quantizer cell id (IVF assignment), JVM-side.
+
+    A when-chain keeps (best_sim, best_cell) as the row streams through
+    codegen — one narrow projection, no shuffle, no row amplification
+    (the broadcast-cross-join alternative multiplies every row by
+    n_centroids and then shuffles it back through an argmax window).
+    Ties keep the LOWEST cell (strict ``>``).
+    """
+    best_sim = _cosine_vs_literal(emb_col, centroids[0])
+    best_cell = F.lit(0)
+    for i, c in enumerate(centroids[1:], start=1):
+        sim_i = _cosine_vs_literal(emb_col, c)
+        is_better = sim_i > best_sim
+        best_cell = F.when(is_better, F.lit(i)).otherwise(best_cell)
+        best_sim = F.when(is_better, sim_i).otherwise(best_sim)
+    return best_cell
+
+
+def ivf_probe_expr(emb_col: str, centroids: list[list[float]], nprobe: int):
+    """The query's ``nprobe`` nearest cells, as an array (IVF probe list).
+
+    sort_array on (sim, cell) structs descending — ties pick the HIGHER
+    cell, the mirror of the assignment's lower-cell tie (both documented
+    for the oracle)."""
+    entries = F.array(
+        *[
+            F.struct(
+                _cosine_vs_literal(emb_col, c).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    ranked = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cell"])
+
+
+def sample_centroids(
+    df: DataFrame, n_centroids: int, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic data-sampled coarse quantizer: the embeddings of the
+    ``n_centroids`` lowest ids. Random-sample initialization is a standard
+    (if crude) IVF quantizer; k-means refinement would slot in here without
+    touching the query path. Control-plane collect: n_centroids rows."""
+    rows = (
+        df.select(id_col, emb_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [[float(v) for v in r[emb_col]] for r in rows]
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize candidates into centroid
+    cells, probe the query's ``nprobe`` nearest cells, exact-rerank inside.
+
+    The scale shape mirrors ``lsh_cosine_topk``: assignment is a narrow
+    codegen projection over the candidate scan (centroids ride as
+    literals), the candidate restriction is a broadcast equi-join on the
+    cell id, and only |Q|·k rows survive the rerank window. Versus LSH:
+    cells adapt to the data distribution (a skewed corpus fills LSH
+    buckets unevenly; IVF cells track density when centroids are
+    k-means-refined), at the cost of the quantizer build.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        F.explode(ivf_probe_expr(emb_col, centroids, nprobe)).alias("cell"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        ivf_cell_expr(emb_col, centroids).alias("cell"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 3)
+            .cast("double")
+            .alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "c_id", "sim")
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -853,6 +853,83 @@ WHERE rk <= 5
 """
 
 
+_IVF_CENTROIDS = 8
+_IVF_NPROBE = 2
+_IVF_K = 5
+_IVF_QUERIES = 5  # vec_id < 5
+
+
+def q_ivf_cosine_topk(spark, sf):
+    """IVF ANN (operators/similarity.py ivf_cosine_topk): data-sampled
+    coarse quantizer (embeddings of the 8 lowest vec_ids), candidates
+    restricted to the query's 2 nearest cells, exact rerank inside. The
+    density-adaptive twin of lsh_cosine_topk."""
+    from relational_data_loader_spark.operators.similarity import (
+        ivf_cosine_topk,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = sample_centroids(emb, _IVF_CENTROIDS)
+    return ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < _IVF_QUERIES), emb, centroids,
+        k=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
+def _ivf_sql(dim: int = 64) -> str:
+    """DuckDB twin of ivf_cosine_topk. Every dot/norm is an explicit
+    left-to-right term chain so the doubles are bit-identical to Spark's
+    aggregate folds; assignment ties break LOW cell, probe ties HIGH cell
+    (mirroring the operator's strict-> when-chain and desc struct sort)."""
+
+    def dot(a, b):
+        return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+    def norm(a):
+        return "sqrt(" + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1)) + ")"
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})),
+sims AS (
+  SELECT e.vec_id, cen.cell,
+         round(({dot('e.emb', 'cen.cemb')}) /
+               ({norm('e.emb')} * {norm('cen.cemb')}), 6) AS csim
+  FROM e CROSS JOIN cen),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell ASC) rn
+        FROM sims)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS q_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell DESC) rn
+        FROM sims WHERE vec_id < {_IVF_QUERIES})
+  WHERE rn <= {_IVF_NPROBE}),
+pairs AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+scored AS (
+  SELECT pr.q_id, pr.c_id,
+         CAST(round(({dot('qe.emb', 'ce.emb')}) /
+                    ({norm('qe.emb')} * {norm('ce.emb')}), 3) AS DOUBLE) AS sim
+  FROM pairs pr
+  JOIN e qe ON qe.vec_id = pr.q_id
+  JOIN e ce ON ce.vec_id = pr.c_id)
+SELECT q_id, c_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, c_id) rk
+      FROM scored)
+WHERE rk <= {_IVF_K}
+"""
+
+
 def q_cdc_debezium_parse(spark, sf):
     """Debezium envelope round-trip (sources/debezium.py): each event is
     serialized into a real Debezium JSON document (op c/r/u/d, before/after
@@ -949,4 +1026,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "normalize_text_nfc": (q_normalize_text_nfc, SQL_NORMALIZE_NFC),
     "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
     "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
+    "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
 }

@@ -105,3 +105,41 @@ def test_lsh_cosine_topk_keeps_exact_copy_in_bucket(vectors):
         vectors.filter(F.col("vec_id") == 0), vectors, dim=16, k=3, n_planes=4
     ).collect()
     assert any(r["c_id"] == 2 for r in out)
+
+
+def test_ivf_cosine_topk_exact_copy_shares_cell(vectors):
+    """IVF contract: an identical vector quantizes to the same cell as its
+    copy (the cell expression is a deterministic function of the embedding),
+    so the exact copy always survives the candidate restriction; returned
+    sims are the exact rerank values; and every returned candidate lies in
+    one of the query's probed cells."""
+    from relational_data_loader_spark.operators.similarity import (
+        ivf_cell_expr,
+        ivf_cosine_topk,
+        ivf_probe_expr,
+        sample_centroids,
+    )
+
+    cents = sample_centroids(vectors.filter(F.col("vec_id") >= 40), 4)
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = ivf_cosine_topk(q, vectors, cents, k=3, nprobe=2).collect()
+    assert any(r["c_id"] == 2 for r in out)          # exact copy found
+    assert all(r["sim"] <= 1.0 for r in out)
+
+    # candidate cells ⊆ probed cells
+    probed = q.select(
+        F.explode(ivf_probe_expr("embedding", cents, 2)).alias("cell")
+    ).collect()
+    probed_cells = {r["cell"] for r in probed}
+    got_ids = [r["c_id"] for r in out]
+    cand_cells = {
+        r["cell"]
+        for r in vectors.filter(F.col("vec_id").isin(got_ids))
+        .select(ivf_cell_expr("embedding", cents).alias("cell"))
+        .collect()
+    }
+    assert cand_cells <= probed_cells
+
+    # determinism: a second run returns the identical result set
+    again = ivf_cosine_topk(q, vectors, cents, k=3, nprobe=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
