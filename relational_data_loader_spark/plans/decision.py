@@ -23,6 +23,7 @@ class LoadDecision:
     reasons: list[str] = field(default_factory=list)
     evolve_renames: list[tuple[str, str]] = field(default_factory=list)
     evolve_added: bool = False
+    evolve_widened: list[tuple[str, str]] = field(default_factory=list)
 
 
 def decide(
@@ -54,6 +55,7 @@ def decide(
         )
 
     renames: list[tuple[str, str]] = []
+    widened: list[tuple[str, str]] = []
     added = False
     if target_exists and stored_checksum is not None and stored_checksum != spec.checksum():
         if stored_spec is None:
@@ -64,10 +66,20 @@ def decide(
                 reasons.append(
                     f"breaking model change: {[getattr(c, 'destination', c) for c in diff.breaking]}"
                 )
+            elif any(w[0] == spec.primary_keys[0] for w in diff.widened):
+                # the bucket key's hash is width-sensitive (xxhash64 of an
+                # int and the same value as bigint differ), so widening it
+                # invalidates the committed bucket layout — re-bucket
+                reasons.append(
+                    f"bucket key {spec.primary_keys[0]} widened: re-bucket"
+                )
             else:
                 renames = diff.renamed
+                widened = diff.widened
                 added = bool(diff.added)
 
     if reasons:
         return LoadDecision("full_refresh", reasons, renames, added)
-    return LoadDecision("incremental", ["watermark valid"], renames, added)
+    return LoadDecision(
+        "incremental", ["watermark valid"], renames, added, widened
+    )

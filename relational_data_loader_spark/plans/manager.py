@@ -154,8 +154,10 @@ class DataLoadManager:
             forced=force_full,
         )
 
-        if decision.kind == "incremental" and (decision.evolve_added or decision.evolve_renames):
-            table.evolve(spec, decision.evolve_renames)
+        if decision.kind == "incremental" and (
+            decision.evolve_added or decision.evolve_renames or decision.evolve_widened
+        ):
+            table.evolve(spec, decision.evolve_renames, decision.evolve_widened)
 
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version

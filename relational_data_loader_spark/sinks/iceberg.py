@@ -306,8 +306,13 @@ class IcebergTable:
             """
         )
 
-    def evolve(self, new_spec: IngestSpec, renames: list[tuple[str, str]]) -> None:
-        """Additive/rename evolution — metadata-only Iceberg DDL.
+    def evolve(
+        self,
+        new_spec: IngestSpec,
+        renames: list[tuple[str, str]],
+        widened: list[tuple[str, str]] = (),
+    ) -> None:
+        """Additive/rename/widening evolution — metadata-only Iceberg DDL.
 
         The parquet twin (SnapshotTable.evolve, sinks/snapshot.py) must
         rewrite rows on a rename; here both cases are ALTER TABLE metadata
@@ -331,6 +336,19 @@ class IcebergTable:
             )
             old_cols.discard(old)
             old_cols.add(new)
+        for dest, type_name in widened:
+            # Iceberg's sanctioned promotions (int→long, float→double,
+            # decimal precision growth) — pure metadata, and safe even on
+            # the bucket-partition column because Iceberg's bucket transform
+            # hashes integer types through their long representation
+            # (unlike the snapshot sink's width-sensitive xxhash64, which is
+            # why the decision layer re-buckets THAT sink instead)
+            from relational_data_loader_spark.spec import spark_type as _st
+
+            self.spark.sql(
+                f"ALTER TABLE {self.identifier} ALTER COLUMN {dest} "
+                f"TYPE {_st(type_name).simpleString()}"
+            )
         adds = [c for c in new_spec.columns if c.destination not in old_cols]
         if adds:
             cols = ", ".join(

@@ -678,12 +678,24 @@ class SnapshotTable:
 
     # ---- schema evolution ------------------------------------------------------
 
-    def evolve(self, new_spec: IngestSpec, renames: list[tuple[str, str]]) -> None:
-        """Additive/rename evolution (FIXTURES.md F3 cases a+b).
+    def evolve(
+        self,
+        new_spec: IngestSpec,
+        renames: list[tuple[str, str]],
+        widened: list[tuple[str, str]] = (),
+    ) -> None:
+        """Additive/rename/widening evolution (FIXTURES.md F3 cases a+b).
 
         Additive columns are metadata-only: the read path passes the new
         schema explicitly and parquet read-by-name yields NULL for files
         written before the evolution (exactly Iceberg add-column semantics).
+        Type WIDENING (int→bigint, float→double, decimal precision growth —
+        spec.is_type_widening) is also metadata-only: Spark 4's parquet
+        reader promotes the physical type at read time, so old int32 files
+        and new int64 files coexist under the widened read schema; only the
+        manifest's committed schema changes. (Widening the BUCKET KEY never
+        reaches here — its xxhash64 changes with the width, so the decision
+        layer forces a re-bucketing full refresh.)
         Renames rewrite the snapshot here (parquet has no field ids); on the
         Iceberg sink a rename is metadata-only — the cost difference is the
         sink's, not the engine's, and is documented in sinks/iceberg.py.
@@ -711,6 +723,12 @@ class SnapshotTable:
             for c in new_spec.columns:
                 if c.destination not in df.columns:
                     df = df.withColumn(c.destination, F.lit(None).cast(c.spark_type))
+                elif df.schema[c.destination].dataType != c.spark_type:
+                    # widen during the rewrite so the new files are born
+                    # with the promoted type (lossless by is_type_widening)
+                    df = df.withColumn(
+                        c.destination, F.col(c.destination).cast(c.spark_type)
+                    )
             # a rename rewrites rows but keeps the committed bucket layout
             # (hashing is on values, which are unchanged)
             layout = int(m.get("n_buckets", self.n_buckets))

@@ -198,16 +198,25 @@ class IngestSpec:
         """
         old_by_src = {c.source: c for c in old.columns}
         new_by_src = {c.source: c for c in self.columns}
-        added, renamed, breaking = [], [], []
+        added, renamed, widened, breaking = [], [], [], []
         for src, c in new_by_src.items():
             o = old_by_src.get(src)
             if o is None:
                 added.append(c)
-            else:
-                if o.type != c.type or o.primary_key != c.primary_key:
+                continue
+            if o.primary_key != c.primary_key:
+                breaking.append(c)
+                continue
+            if o.type != c.type:
+                if is_type_widening(o.type, c.type):
+                    # recorded under the NEW destination name: evolve
+                    # applies renames first, then widens
+                    widened.append((c.destination, c.type))
+                else:
                     breaking.append(c)
-                elif o.destination != c.destination:
-                    renamed.append((o.destination, c.destination))
+                    continue
+            if o.destination != c.destination:
+                renamed.append((o.destination, c.destination))
         for src in old_by_src:
             if src not in new_by_src:
                 breaking.append(old_by_src[src])
@@ -215,7 +224,9 @@ class IngestSpec:
             # toggling per-row audit changes the physical schema of every
             # row; backfilling historical stamps is impossible incrementally
             breaking.append("audit_columns")
-        return SpecDiff(added=added, renamed=renamed, breaking=breaking)
+        return SpecDiff(
+            added=added, renamed=renamed, widened=widened, breaking=breaking
+        )
 
     # ---- (de)serialization ----------------------------------------------
 
@@ -266,11 +277,28 @@ class IngestSpec:
         )
 
 
+def is_type_widening(old_type: str, new_type: str) -> bool:
+    """Lossless type promotions that evolve in place instead of forcing a
+    full refresh — exactly Iceberg's metadata-only set (int→long,
+    float→double, decimal precision growth at equal scale), which Spark 4's
+    parquet reader also applies at read time, so the snapshot sink gets the
+    same metadata-only treatment (sinks/snapshot.py evolve)."""
+    o, n = old_type.strip().lower(), new_type.strip().lower()
+    if (o, n) in {("int", "bigint"), ("float", "double")}:
+        return True
+    ot, nt = spark_type(o), spark_type(n)
+    if isinstance(ot, T.DecimalType) and isinstance(nt, T.DecimalType):
+        return nt.scale == ot.scale and nt.precision >= ot.precision
+    return False
+
+
 @dataclass
 class SpecDiff:
     added: list[ColumnSpec]
     renamed: list[tuple[str, str]]
     breaking: list[Any]
+    widened: list[tuple[str, str]] = field(default_factory=list)
+    # (destination name AFTER any rename, new type keyword)
 
     @property
     def is_breaking(self) -> bool:
@@ -278,7 +306,7 @@ class SpecDiff:
 
     @property
     def is_noop(self) -> bool:
-        return not (self.added or self.renamed or self.breaking)
+        return not (self.added or self.renamed or self.widened or self.breaking)
 
 
 def transcripts_spec(source: str = "", **overrides: Any) -> IngestSpec:

@@ -437,3 +437,36 @@ def test_snapshot_meta_is_cached_per_instance():
     )
     assert scans == 1  # first read populates; own commits append to the cache
     assert t.watermark() == 29
+
+
+def test_evolve_widening_is_metadata_only_ddl():
+    """int→bigint / float→double widen via ALTER COLUMN TYPE — pure metadata
+    (Iceberg's sanctioned promotions), no rewrite, safe on the bucket column
+    because Iceberg's bucket transform hashes ints through their long
+    representation."""
+    spec1 = transcripts_spec(source="x://")
+    t = _table()
+    t.spark.tblprops = {
+        "rdl.spec.checksum": spec1.checksum(),
+        "rdl.spec.json": spec1.to_json(),
+    }
+    from relational_data_loader_spark.spec import ColumnSpec
+
+    spec2 = transcripts_spec(source="x://")
+    spec2.columns = [
+        c if c.destination != "turn_idx"
+        else ColumnSpec("turn_idx", "turn_idx", "bigint", primary_key=True,
+                        nullable=False)
+        for c in spec2.columns
+    ]
+    t.evolve(spec2, renames=[], widened=[("turn_idx", "bigint")])
+    sqls = [c[1] for c in t.spark.calls if c[0] == "sql"]
+    assert any(
+        s == "ALTER TABLE lake.db.transcripts ALTER COLUMN turn_idx TYPE bigint"
+        for s in sqls
+    )
+    assert not any(
+        kw in s for s in sqls
+        for kw in ("MERGE INTO", "INSERT", "CREATE OR REPLACE TABLE")
+    )
+    assert t.spec is spec2
