@@ -1,0 +1,123 @@
+"""Watermarked event-time windowed aggregation (streaming/windowed.py):
+append-mode finalization, exactly-once emission per window, and the
+(one-sided) late-drop guarantee, pinned deterministically on ordered file
+segments."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.spec import transcripts_spec
+from relational_data_loader_spark.streaming.windowed import windowed_turn_stats
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _seg(rows):
+    """rows: list of (lsn, op, conv, turn, role, minute_offset)."""
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "conv_id": pa.array([r[2] for r in rows]),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "role": pa.array([r[4] for r in rows]),
+            "text": pa.array(["t"] * len(rows)),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array(
+                [T0 + dt.timedelta(minutes=r[5]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+def _run_stream(spark, logdir, ckpt, name):
+    spec = transcripts_spec(source=f"parquet://{logdir}")
+    stream = (
+        spark.readStream.schema(spec.change_schema())
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(logdir)
+    )
+    q = (
+        windowed_turn_stats(stream, spec, "5 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["window_start"].minute, r["role"]): (r["n_upserts"], r["n_deletes"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def _write(logdir, segs):
+    os.makedirs(logdir, exist_ok=True)
+    t = 1_700_000_000
+    for i, seg in enumerate(segs):
+        p = os.path.join(logdir, f"seg-{i:03d}.parquet")
+        pq.write_table(seg, p)
+        os.utime(p, (t + i, t + i))
+
+
+def test_windowed_stats_drop_late_after_eviction(spark, tmp_path):
+    """An event arriving AFTER its window's state was evicted is dropped:
+    seg0 fills window [10:00,10:05) and advances the watermark to 10:10;
+    seg1 (10:40) finalizes+evicts that window; the late 10:01 turn in seg2
+    lands on evicted state and a 10:30 watermark — guaranteed drop."""
+    logdir = str(tmp_path / "log")
+    _write(logdir, [
+        _seg([
+            (1, "I", "c1", 0, "user", 0),
+            (2, "I", "c1", 1, "user", 2),
+            (3, "I", "c2", 0, "assistant", 3),
+            (4, "D", "c1", 1, "drop", 4),
+            (5, "I", "c3", 0, "user", 20),
+        ]),
+        _seg([(6, "I", "c3", 1, "user", 40)]),
+        _seg([(7, "I", "c4", 0, "user", 1)]),   # LATE: window already evicted
+    ])
+    got = _run_stream(spark, logdir, str(tmp_path / "ckpt"), "wts_evict")
+
+    # window [10:00,10:05) emitted exactly once, WITHOUT the late event
+    assert got[(0, "user")] == (2, 0)
+    assert got[(0, "assistant")] == (1, 0)
+    assert got[(0, "drop")] == (0, 1)
+    # windows the watermark never passed (10:40) are still open in append
+    assert not any(m >= 40 for m, _ in got)
+
+    # batch twin INCLUDES the late event (watermark is a no-op in batch)
+    spec = transcripts_spec(source=f"parquet://{logdir}")
+    batch = windowed_turn_stats(
+        spark.read.schema(spec.change_schema()).parquet(logdir), spec,
+        "5 minutes", "10 minutes",
+    )
+    row = batch.filter(
+        (F.col("role") == "user") & (F.minute("window_start") == 0)
+    ).collect()[0]
+    assert row["n_upserts"] == 3
+
+
+def test_windowed_stats_within_allowance_never_dropped(spark, tmp_path):
+    """The guaranteed side: an out-of-order event WITHIN the allowance is
+    aggregated even though it arrives in a later micro-batch."""
+    logdir = str(tmp_path / "log")
+    _write(logdir, [
+        _seg([
+            (1, "I", "c1", 0, "user", 0),
+            (2, "I", "c3", 0, "user", 8),      # wm after seg0: 09:58 — window still open
+        ]),
+        _seg([(3, "I", "c2", 1, "user", 1)]),  # out-of-order but within allowance
+        _seg([(4, "I", "c3", 1, "user", 40)]), # advances wm → finalizes both
+    ])
+    got = _run_stream(spark, logdir, str(tmp_path / "ckpt"), "wts_ontime")
+    assert got[(0, "user")] == (2, 0)          # the in-allowance event counted
+    assert got[(5, "user")] == (1, 0)
