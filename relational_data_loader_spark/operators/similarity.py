@@ -134,23 +134,26 @@ def _cosine_vs_literal(emb_col, centroid: list[float], dp: int = 6):
     return F.round(dot / (_norm(F.col(emb_col)) * F.lit(cnorm)), dp).cast("double")
 
 
-def ivf_cell_expr(emb_col: str, centroids: list[list[float]]):
-    """Argmax-cosine coarse-quantizer cell id (IVF assignment), JVM-side.
+def _centroid_sims_expr(emb_col: str, centroids: list[list[float]]):
+    """Array of round(cos(emb, c_i), 6), one element per centroid.
 
-    A when-chain keeps (best_sim, best_cell) as the row streams through
-    codegen — one narrow projection, no shuffle, no row amplification
-    (the broadcast-cross-join alternative multiplies every row by
-    n_centroids and then shuffles it back through an argmax window).
-    Ties keep the LOWEST cell (strict ``>``).
+    One array projection computes each similarity exactly ONCE. (The
+    obvious when-chain argmax alternative references every sim at every
+    chain level — Catalyst does not CSE across the nested branches, so
+    codegen grows ~3^k with k centroids; measured 4.8 s vs 0.6 s on the
+    sf0.01 bench for k=8.)
     """
-    best_sim = _cosine_vs_literal(emb_col, centroids[0])
-    best_cell = F.lit(0)
-    for i, c in enumerate(centroids[1:], start=1):
-        sim_i = _cosine_vs_literal(emb_col, c)
-        is_better = sim_i > best_sim
-        best_cell = F.when(is_better, F.lit(i)).otherwise(best_cell)
-        best_sim = F.when(is_better, sim_i).otherwise(best_sim)
-    return best_cell
+    return F.array(*[_cosine_vs_literal(emb_col, c) for c in centroids])
+
+
+def ivf_cell_expr(emb_col: str, centroids: list[list[float]]):
+    """Argmax-cosine coarse-quantizer cell id (IVF assignment), JVM-side —
+    one narrow projection, no shuffle, no row amplification (the
+    broadcast-cross-join alternative multiplies every row by n_centroids
+    and shuffles it back through an argmax window). Ties keep the LOWEST
+    cell (array_position returns the first occurrence)."""
+    sims = _centroid_sims_expr(emb_col, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def ivf_probe_expr(emb_col: str, centroids: list[list[float]], nprobe: int):
@@ -159,14 +162,9 @@ def ivf_probe_expr(emb_col: str, centroids: list[list[float]], nprobe: int):
     sort_array on (sim, cell) structs descending — ties pick the HIGHER
     cell, the mirror of the assignment's lower-cell tie (both documented
     for the oracle)."""
-    entries = F.array(
-        *[
-            F.struct(
-                _cosine_vs_literal(emb_col, c).alias("sim"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    entries = F.transform(
+        _centroid_sims_expr(emb_col, centroids),
+        lambda x, i: F.struct(x.alias("sim"), i.cast("int").alias("cell")),
     )
     ranked = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
     return F.transform(ranked, lambda s: s["cell"])
