@@ -40,6 +40,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "— the reference's poll-style run",
     )
     p.add_argument("--checkpoint", default=None, help="streaming checkpoint root")
+    p.add_argument(
+        "--stateful-dedup",
+        action="store_true",
+        help="with --stream: cross-batch per-PK monotone-LSN filter "
+        "(streaming/state_filter.py) — drops re-delivered/stale events "
+        "before the merge; state is one long per live PK",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -77,7 +84,9 @@ def main(argv: list[str] | None = None) -> int:
             if force:
                 mgr.run(spec, force_full=True)
             queries.append(
-                StreamingIngest(mgr, spec, ckpt).start(available_now=args.once)
+                StreamingIngest(
+                    mgr, spec, ckpt, stateful_dedup=args.stateful_dedup
+                ).start(available_now=args.once)
             )
             print(f"[rdl-spark] streaming {spec.name} (checkpoint={ckpt})")
         else:
