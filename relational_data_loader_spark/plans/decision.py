@@ -33,6 +33,7 @@ def decide(
     stored_spec: IngestSpec | None,
     ct_force_full: bool,
     forced: bool = False,
+    pk_widen_rebuckets: bool = True,
 ) -> LoadDecision:
     reasons: list[str] = []
     if forced:
@@ -66,10 +67,15 @@ def decide(
                 reasons.append(
                     f"breaking model change: {[getattr(c, 'destination', c) for c in diff.breaking]}"
                 )
-            elif any(w[0] == spec.primary_keys[0] for w in diff.widened):
-                # the bucket key's hash is width-sensitive (xxhash64 of an
-                # int and the same value as bigint differ), so widening it
-                # invalidates the committed bucket layout — re-bucket
+            elif pk_widen_rebuckets and any(
+                w[0] == spec.primary_keys[0] for w in diff.widened
+            ):
+                # sink-declared (width_stable_bucket_hash): the snapshot
+                # sink's xxhash64 bucket hash is width-sensitive (an int and
+                # the same value as bigint hash differently), so widening
+                # its bucket key invalidates the committed layout; Iceberg's
+                # bucket transform hashes ints through their long
+                # representation, so ITS sink opts out of this rule
                 reasons.append(
                     f"bucket key {spec.primary_keys[0]} widened: re-bucket"
                 )

@@ -152,6 +152,9 @@ class DataLoadManager:
             stored_spec=stored_spec,
             ct_force_full=cti.force_full,
             forced=force_full,
+            pk_widen_rebuckets=not getattr(
+                table, "width_stable_bucket_hash", False
+            ),
         )
 
         if decision.kind == "incremental" and (

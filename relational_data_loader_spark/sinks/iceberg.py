@@ -157,6 +157,11 @@ class IcebergTable:
     # Iceberg MERGE INTO requires a unique source key per target row; the
     # manager routes netted batches here (plans/manager.py).
     needs_unique_source = True
+    # Iceberg's bucket transform hashes integer types through their long
+    # representation, so int→bigint widening of the bucket column is
+    # layout-stable — the decision layer skips its re-bucket rule here
+    # (plans/decision.py pk_widen_rebuckets).
+    width_stable_bucket_hash = True
 
     def __init__(
         self,
@@ -178,6 +183,10 @@ class IcebergTable:
         # merge() consults it per epoch and a 10^5-snapshot table must not
         # re-scan .snapshots every chunk (VERDICT r2 'wrong' #4)
         self._meta_cache: list[tuple[str | None, int | None, int | None]] | None = None
+        # SHOW TBLPROPERTIES round-trip cache: manager.run reads
+        # stored_spec_json() and stored_checksum() back to back every epoch;
+        # invalidated by every write that can change properties
+        self._props_cache: dict[str, str] | None = None
 
     # -- exactly-once commit stamping ----------------------------------------
 
@@ -248,14 +257,22 @@ class IcebergTable:
     # -- catalog / spec bookkeeping ------------------------------------------
 
     def exists(self) -> bool:
-        try:
-            return bool(self.spark.catalog.tableExists(self.identifier))
-        except Exception:
-            return False
+        # deliberately NO try/except: tableExists returns False for a
+        # missing table without raising, so any exception here is a real
+        # error (unconfigured catalog, transient metastore failure) — and
+        # reporting a transient failure as "absent" would send manager.run
+        # down the full-refresh path, whose CREATE OR REPLACE rebuilds the
+        # table from only the currently retained change log (silent loss if
+        # the log was pruned past the old baseline). Fail loudly instead.
+        return bool(self.spark.catalog.tableExists(self.identifier))
 
     def _table_properties(self) -> dict[str, str]:
-        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect()
-        return {r["key"]: r["value"] for r in rows}
+        if self._props_cache is None:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self.identifier}"
+            ).collect()
+            self._props_cache = {r["key"]: r["value"] for r in rows}
+        return self._props_cache
 
     def stored_checksum(self) -> str | None:
         return self._table_properties().get(_PROP_CHECKSUM)
@@ -273,6 +290,7 @@ class IcebergTable:
         self.spark.sql(
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES ({self._spec_props_sql()})"
         )
+        self._props_cache = None
 
     def _storage_cols_sql(self) -> str:
         """Physical schema: destination (+audit) + version/tombstone columns
@@ -305,6 +323,7 @@ class IcebergTable:
             TBLPROPERTIES ({self._tblproperties_sql()})
             """
         )
+        self._props_cache = None
 
     def evolve(
         self,
@@ -555,6 +574,7 @@ class IcebergTable:
             """,
         )
         self._record_commit(key, int(watermark), int(watermark))
+        self._props_cache = None  # RTAS rewrote the table properties
 
     # -- maintenance (SnapshotTable.expire_tombstones / vacuum twins) --------
 

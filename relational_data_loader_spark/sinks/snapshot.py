@@ -117,6 +117,9 @@ class SnapshotTable:
     # are welcome (the Iceberg sink declares the opposite — MERGE INTO
     # cardinality; plans/manager.py routes on this attribute)
     needs_unique_source = False
+    # the parquet layout buckets by xxhash64, which is width-sensitive —
+    # widening the bucket key re-buckets (plans/decision.py)
+    width_stable_bucket_hash = False
 
     def __init__(self, spark: SparkSession, path: str, spec: IngestSpec):
         self.spark = spark

@@ -102,8 +102,23 @@ def parse_debezium(
         F.from_json(raw, envelope_schema(spec), {"mode": "FAILFAST"}).alias("_env")
     )
     env = F.col("_env")
+    # a missing source.lsn parses to NULL (FAILFAST only rejects unparseable
+    # JSON, not absent fields) and a NULL lsn would be *silently dropped* by
+    # every downstream range filter — e.g. a MySQL feed whose file+pos was
+    # never mapped to lsn (module docstring). Fail the load instead.
+    lsn = F.when(
+        env["source"]["lsn"].isNotNull(), env["source"]["lsn"]
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("debezium envelope without source.lsn (op="),
+                F.coalesce(env["op"], F.lit("null")),
+                F.lit(")"),
+            )
+        ).cast("long")
+    )
     cols = [
-        env["source"]["lsn"].alias(spec.lsn_column),
+        lsn.alias(spec.lsn_column),
         _map_op(env, spec).alias(spec.op_column),
     ]
     for c in spec.columns:

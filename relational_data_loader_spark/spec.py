@@ -136,6 +136,16 @@ class IngestSpec:
         return pks
 
     @property
+    def source_primary_keys(self) -> list[str]:
+        """PK columns by their SOURCE names — what the change stream carries
+        (change_schema uses ColumnSpec.source; primary_keys uses destination
+        names, which only coincide when the spec doesn't rename)."""
+        pks = [c.source for c in self.columns if c.primary_key]
+        if not pks:
+            raise ValueError(f"spec {self.name!r} declares no primary key")
+        return pks
+
+    @property
     def payload_columns(self) -> list[str]:
         return [c.destination for c in self.columns if not c.primary_key]
 

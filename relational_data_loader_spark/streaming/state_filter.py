@@ -75,7 +75,9 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    return stream.groupBy(*spec.primary_keys).applyInPandasWithState(
+    # the change stream carries SOURCE column names (spec.change_schema);
+    # destination names only coincide when the spec doesn't rename its PKs
+    return stream.groupBy(*spec.source_primary_keys).applyInPandasWithState(
         dedup,
         out_schema,
         _STATE_SCHEMA,

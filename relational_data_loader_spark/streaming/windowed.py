@@ -61,7 +61,8 @@ def windowed_turn_stats(
         .agg(
             F.sum(F.when(F.col(op) != delete, 1).otherwise(0)).alias("n_upserts"),
             F.sum(F.when(F.col(op) == delete, 1).otherwise(0)).alias("n_deletes"),
-            F.approx_count_distinct(spec.primary_keys[0]).alias("n_convs"),
+            # change-stream columns carry SOURCE names (spec.change_schema)
+            F.approx_count_distinct(spec.source_primary_keys[0]).alias("n_convs"),
         )
         .select(
             F.col("w.start").alias("window_start"),

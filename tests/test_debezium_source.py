@@ -166,3 +166,15 @@ def test_debezium_streaming(spark, tmp_path):
         spark_sorted_pdf(mgr.table(spec).read()),
         spark_sorted_pdf(mgr_b.table(spec_b).read()),
     )
+
+
+def test_debezium_missing_lsn_fails_loudly(spark):
+    """An envelope without source.lsn must fail the load, not parse to a
+    NULL lsn that every downstream range filter silently drops."""
+    spec = transcripts_spec(source="debezium:///dev/null")
+    doc = json.dumps({"op": "c", "before": None,
+                      "after": {"conv_id": "c1", "turn_idx": 0},
+                      "source": {}})
+    df = spark.createDataFrame([(doc,)], "value string")
+    with pytest.raises(Exception, match="without source.lsn"):
+        parse_debezium(df, spec).collect()

@@ -137,3 +137,38 @@ def test_stateful_resume_from_checkpoint(spark, warehouse, tmp_path):
     got = spark_sorted_pdf(mgr.table(spec).read())
     want = duck_final_state(f"{logdir}/seg-002.parquet")
     assert_tables_equal(got, want)
+
+
+def test_state_filter_with_renamed_pk_spec(spark, warehouse, tmp_path):
+    """The filter must group by SOURCE column names — a spec that renames
+    its PKs (the engine's core mapping feature) used to crash at query
+    start with UNRESOLVED_COLUMN on the destination name."""
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    tbl = generate_change_log(n_events=400, n_convs=10, seed=41)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    _write_segments(tbl, logdir, [(0, n // 2), (0, n + 1)])
+
+    cols = [
+        ColumnSpec("conv_id", "conversation_id", "string", primary_key=True,
+                   nullable=False),
+        ColumnSpec("turn_idx", "turn_number", "int", primary_key=True,
+                   nullable=False),
+        ColumnSpec("role", "speaker", "string"),
+        ColumnSpec("text", "text", "string"),
+        ColumnSpec("tool", "tool", "string"),
+        ColumnSpec("ts", "ts", "datetime"),
+    ]
+    spec = IngestSpec(name="renamed", source=f"parquet://{logdir}",
+                      columns=cols, target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = RecordingIngest(mgr, spec, str(tmp_path / "ckpt"),
+                          max_files_per_trigger=1, stateful_dedup=True)
+    ing.run_until_caught_up()
+    # re-delivered prefix filtered, and the destination table carries the
+    # renamed columns
+    assert len(ing.delivered) == 2 and ing.delivered[1] < n
+    got = mgr.table(spec).read()
+    assert {"conversation_id", "turn_number", "speaker"} <= set(got.columns)
+    assert got.count() > 0

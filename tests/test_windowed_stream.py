@@ -121,3 +121,29 @@ def test_windowed_stats_within_allowance_never_dropped(spark, tmp_path):
     got = _run_stream(spark, logdir, str(tmp_path / "ckpt"), "wts_ontime")
     assert got[(0, "user")] == (2, 0)          # the in-allowance event counted
     assert got[(5, "user")] == (1, 0)
+
+
+def test_windowed_stats_with_renamed_pk_spec(spark, tmp_path):
+    """Distinct-conversation counting must use the SOURCE name of the first
+    PK — a renaming spec used to hit UNRESOLVED_COLUMN."""
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    logdir = str(tmp_path / "log")
+    _write(logdir, [_seg([(1, "I", "c1", 0, "user", 0),
+                          (2, "I", "c2", 0, "user", 1)])])
+    cols = [
+        ColumnSpec("conv_id", "conversation_id", "string", primary_key=True,
+                   nullable=False),
+        ColumnSpec("turn_idx", "turn_number", "int", primary_key=True,
+                   nullable=False),
+        ColumnSpec("role", "role", "string"),
+        ColumnSpec("text", "text", "string"),
+        ColumnSpec("tool", "tool", "string"),
+        ColumnSpec("ts", "ts", "datetime"),
+    ]
+    spec = IngestSpec(name="renamed", source=f"parquet://{logdir}", columns=cols)
+    out = windowed_turn_stats(
+        spark.read.schema(spec.change_schema()).parquet(logdir), spec,
+        "5 minutes", "10 minutes",
+    ).collect()
+    assert out and out[0]["n_upserts"] == 2 and out[0]["n_convs"] == 2
