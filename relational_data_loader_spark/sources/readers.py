@@ -177,6 +177,15 @@ def read_source(
         from relational_data_loader_spark.sources.debezium import parse_debezium
 
         return parse_debezium(spark.read.text(path), spec)
+    if scheme == "kafka":
+        # Debezium envelopes over their standard transport (sources/kafka.py);
+        # batch mode = bounded offset-range backfill. Needs the
+        # spark-sql-kafka connector jar (kafka_available gates).
+        if spec is None:
+            raise ValueError("kafka:// sources need an IngestSpec")
+        from relational_data_loader_spark.sources.kafka import kafka_batch
+
+        return kafka_batch(spark, uri, spec)
     if scheme == "parquet":
         r = spark.read
         if schema is not None:

@@ -138,7 +138,14 @@ class StreamingIngest:
         tested in tests/test_streaming.py::test_jdbc_style_poll_loop.
         """
         scheme, _, path = self.spec.source.partition("://")
-        if scheme == "debezium":
+        if scheme == "kafka":
+            # Debezium topic tail (sources/kafka.py, jar-gated);
+            # maxOffsetsPerTrigger in the URI bounds the micro-batch the way
+            # maxFilesPerTrigger bounds the file sources
+            from relational_data_loader_spark.sources.kafka import kafka_stream
+
+            stream = kafka_stream(self.mgr.spark, self.spec.source, self.spec)
+        elif scheme == "debezium":
             # text-source tail + the same parser the batch path uses; the
             # envelope supplies the schema, so no .schema() on the reader
             from relational_data_loader_spark.sources.debezium import parse_debezium
@@ -168,8 +175,8 @@ class StreamingIngest:
                 stream = reader.options(**CSV_OPTIONS).csv(path)
             else:
                 raise ValueError(
-                    f"streaming source must be parquet://, csv:// or "
-                    f"debezium://, got {scheme!r} "
+                    f"streaming source must be parquet://, csv://, "
+                    f"debezium:// or kafka://, got {scheme!r} "
                     "(database sources poll via batch runs — see docstring)"
                 )
         if self.stateful_dedup:
