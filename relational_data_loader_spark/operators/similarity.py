@@ -233,6 +233,44 @@ def ivf_cosine_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup twin of the text
+    near-dup pipeline (operators/dedup.py near_dup_pairs), over vectors.
+
+    Candidates come from a hyperplane-LSH bucket self-join (identical
+    vectors always share a bucket, so exact dups are never missed; recall
+    of merely-near pairs trades against 2^n_planes), then the exact cosine
+    filters at ``threshold``. Self-join shuffles once on the uniform bucket
+    key; no cross join anywhere — at 10^9 vectors the bucket partition is
+    the only thing that makes pairwise dedup tractable.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        hyperplane_bucket_expr(emb_col, dim, n_planes).alias("bucket"),
+    )
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine_expr(F.col("x.emb"), F.col("y.emb")), 3)
+            .cast("double")
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

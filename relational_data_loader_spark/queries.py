@@ -853,6 +853,47 @@ WHERE rk <= 5
 """
 
 
+_NDV_PLANES = 4     # fewer planes than the top-k query: near-dup recall at
+_NDV_THRESHOLD = 0.4  # the fixture's similarity range (max pair cos ≈ 0.51)
+
+
+def q_embedding_near_dup(spark, sf):
+    """Embedding-cosine near-dup pairs (operators/similarity.py
+    embedding_near_dup_pairs): hyperplane-LSH bucket self-join → exact
+    cosine ≥ threshold. The dedup-by-embedding twin of near_dup_pairs."""
+    from relational_data_loader_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, dim=_LSH_DIM, threshold=_NDV_THRESHOLD, n_planes=_NDV_PLANES
+    )
+
+
+def _embedding_near_dup_sql() -> str:
+    """DuckDB twin: same seeded planes as codegen literals (sign flips move
+    bucket ids, so the dot is the exact left-to-right chain), pairs joined
+    on bucket, exact cosine at 3dp."""
+    planes = _lsh_planes(_NDV_PLANES, _LSH_DIM)
+    cases = []
+    for i in range(_NDV_PLANES):
+        dot = " + ".join(
+            f"emb[{j + 1}]*{float(v)!r}" for j, v in enumerate(planes[i])
+        )
+        weight = 2 ** (_NDV_PLANES - 1 - i)
+        cases.append(f"(CASE WHEN ({dot}) >= 0 THEN {weight} ELSE 0 END)")
+    bucket = " + ".join(cases)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, CAST({bucket} AS BIGINT) AS bucket FROM e)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+       CAST(round(list_cosine_similarity(x.emb, y.emb), 3) AS DOUBLE) AS sim
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.emb, y.emb), 3) >= {_NDV_THRESHOLD}
+"""
+
+
 _IVF_CENTROIDS = 8
 _IVF_NPROBE = 2
 _IVF_K = 5
@@ -1027,4 +1068,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
     "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
     "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
+    "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
 }

@@ -143,3 +143,25 @@ def test_ivf_cosine_topk_exact_copy_shares_cell(vectors):
     # determinism: a second run returns the identical result set
     again = ivf_cosine_topk(q, vectors, cents, k=3, nprobe=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_embedding_near_dup_finds_planted_pair(vectors):
+    """Identical/near-identical vectors always share the LSH bucket, so the
+    planted exact copy (vec 2 of vec 0) must surface as a pair at any
+    threshold below 1.0."""
+    from relational_data_loader_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    out = embedding_near_dup_pairs(
+        vectors, dim=16, threshold=0.95, n_planes=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    # the mechanism guarantee: an exact copy shares every hyperplane sign
+    assert (0, 2) in pairs
+    # (the 0.001-perturbed vec 1 may or may not share the bucket — that's
+    # LSH's probabilistic recall, and with this seed it happens to flip one
+    # plane; the top-k query family covers the recall knobs)
+    assert all(r["sim"] >= 0.95 for r in out)
+    # threshold is applied to the exact cosine, not the bucket estimate
+    assert all(r["id_a"] < r["id_b"] for r in out)
