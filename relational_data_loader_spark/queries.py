@@ -853,6 +853,48 @@ WHERE rk <= 5
 """
 
 
+def q_windowed_rollup(spark, sf):
+    """Event-time windowed rollup (streaming/windowed.py windowed_turn_stats
+    run in batch mode, where the watermark is a no-op): per (5-minute
+    window, event_type) upsert/delete counts over the events log. The
+    approx_count_distinct column is dropped from the pairing — HLL sketches
+    are engine-specific and no SQL oracle can reproduce Spark's — so the
+    deterministic columns carry the parity check; the streaming-only
+    semantics (watermark late-drop, append finalization) are pinned by
+    tests/test_windowed_stream.py."""
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+    from relational_data_loader_spark.streaming.windowed import windowed_turn_stats
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    spec = IngestSpec(
+        name="events_rollup",
+        source="parquet://",
+        columns=[ColumnSpec("user_id", "user_id", "bigint", primary_key=True,
+                            nullable=False)],
+        delete_op=DELETE_OP,
+    )
+    return windowed_turn_stats(
+        ev, spec, window_size="5 minutes", role_col="event_type"
+    ).select("window_start", "window_end", "role", "n_upserts", "n_deletes")
+
+
+SQL_WINDOWED_ROLLUP = f"""
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+       event_type AS role,
+       CAST(sum(CASE WHEN event_type <> '{DELETE_OP}' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+       CAST(sum(CASE WHEN event_type = '{DELETE_OP}' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 _NDV_PLANES = 4     # fewer planes than the top-k query: near-dup recall at
 _NDV_THRESHOLD = 0.4  # the fixture's similarity range (max pair cos ≈ 0.51)
 
@@ -1069,4 +1111,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
     "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
+    "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),
 }

@@ -164,3 +164,24 @@ def test_fused_full_refresh_is_single_shuffle(spark, tmp_path):
         .count()
     )
     assert n == want
+
+
+def test_ivf_plan_broadcasts_and_avoids_cartesian(spark):
+    """The IVF candidate restriction must plan as a broadcast equi-join on
+    the cell id — never a cartesian/BNLJ — and the cell assignment must be
+    a projection (no shuffle before the join)."""
+    from relational_data_loader_spark.queries import q_ivf_cosine_topk
+
+    plan = _plan(q_ivf_cosine_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_debezium_parse_is_single_projection(spark):
+    """Envelope parsing is one narrow stage: no shuffle, no Python eval."""
+    from relational_data_loader_spark.queries import q_cdc_debezium_parse
+
+    plan = _plan(q_cdc_debezium_parse(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
