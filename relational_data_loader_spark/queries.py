@@ -853,6 +853,56 @@ WHERE rk <= 5
 """
 
 
+def q_multimodal_features(spark, sf):
+    """Multimodal feature extraction (operators/multimodal.py
+    extract_features): binary payloads → fixed-dim vectors via Arrow
+    mapInPandas — THE engine surface where a real deployment injects
+    PIL/torchaudio kernels (register_decoder). The sandbox kernel is the
+    documented deterministic fake (md5-derived bytes/255), which is what
+    makes this path ORACLE-PAIRABLE: the oracle recomputes the same
+    md5-byte features in SQL, so the whole Arrow plumbing (schema, batch
+    shape, null payloads, byte counts) is value-checked end to end.
+    Features are exploded to (item_id, feature_idx, val) rows because
+    float-array stringification differs across engines."""
+    from relational_data_loader_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("item_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_features(docs)
+    return feats.select(
+        "item_id",
+        "n_bytes",
+        F.posexplode("feature").alias("feature_idx", "v"),
+    ).select(
+        "item_id",
+        "n_bytes",
+        "feature_idx",
+        F.round(F.col("v").cast("double"), 4).alias("val"),
+    )
+
+
+# hex-nibble lookup: DuckDB's blob→int path is unhex+ord, which breaks on
+# non-UTF-8 bytes — instr over the hex alphabet is bytes-exact instead
+_SQL_NIBBLE = "(instr('0123456789abcdef', substr(d.h, {pos}, 1)) - 1)"
+SQL_MULTIMODAL_FEATURES = f"""
+WITH d AS (
+  SELECT doc_id AS item_id,
+         md5(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), i AS (SELECT unnest(generate_series(0, 15)) AS feature_idx)
+SELECT d.item_id, d.n_bytes, i.feature_idx,
+       CAST(round((
+         {_SQL_NIBBLE.format(pos='2*i.feature_idx + 1')} * 16
+         + {_SQL_NIBBLE.format(pos='2*i.feature_idx + 2')}
+       ) / 255.0, 4) AS DOUBLE) AS val
+FROM d CROSS JOIN i
+"""
+
+
 def q_windowed_rollup(spark, sf):
     """Event-time windowed rollup (streaming/windowed.py windowed_turn_stats
     run in batch mode, where the watermark is a no-op): per (5-minute
@@ -1112,4 +1162,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
     "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
 }
