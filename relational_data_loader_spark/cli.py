@@ -47,6 +47,21 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(streaming/state_filter.py) — drops re-delivered/stale events "
         "before the merge; state is one long per live PK",
     )
+    p.add_argument(
+        "--expire-tombstones-below",
+        type=int,
+        default=None,
+        metavar="LSN",
+        help="maintenance: drop tombstone rows with lsn <= LSN from every "
+        "spec's table (safe once no out-of-order event older than LSN can "
+        "still arrive), then exit",
+    )
+    p.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="maintenance: delete uncommitted data files + old manifests "
+        "(snapshot sink) / expire old snapshots (iceberg), then exit",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -68,6 +83,31 @@ def main(argv: list[str] | None = None) -> int:
         print(f"no *.json specs in {args.specs}", file=sys.stderr)
         return 2
     forced = {s.strip() for s in args.force_full_refresh.split(",") if s.strip()}
+
+    if args.expire_tombstones_below is not None or args.vacuum:
+        # maintenance mode: no load — run the requested janitorial pass per
+        # spec (the reference has no analog; Iceberg deployments run these
+        # as table services, the snapshot sink ships its own)
+        for f in spec_files:
+            with open(f) as fh:
+                spec = IngestSpec.from_json(fh.read())
+            table = mgr.table(spec)
+            if not table.exists():
+                print(f"[rdl-spark] {spec.name}: no table, skipping maintenance")
+                continue
+            out: dict = {"spec": spec.name}
+            if args.expire_tombstones_below is not None:
+                out["tombstones_expired"] = table.expire_tombstones(
+                    args.expire_tombstones_below
+                )
+            if args.vacuum:
+                if hasattr(table, "vacuum"):
+                    out["files_vacuumed"] = table.vacuum()
+                else:
+                    table.expire_snapshots()
+                    out["snapshots_expired"] = True
+            print(json.dumps(out))
+        return 0
 
     queries = []
     for f in spec_files:

@@ -135,3 +135,29 @@ def test_arg_wiring_stateful_dedup():
     assert a.stateful_dedup is True
     a2 = parse_args(["--warehouse", "/wh", "--specs", "/s"])
     assert a2.stateful_dedup is False
+
+
+def test_maintenance_mode(setup, capsys, tmp_path):
+    """--expire-tombstones-below / --vacuum run the janitorial pass per spec
+    and exit without loading."""
+    import json as _json
+
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=4)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0  # load once
+    capsys.readouterr()
+
+    rc = main(["--warehouse", wh, "--specs", specdir,
+               "--expire-tombstones-below", "999999999", "--vacuum"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert doc["spec"] == "transcripts"
+    assert "tombstones_expired" in doc and "files_vacuumed" in doc
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
