@@ -130,14 +130,21 @@ def memory_ceiling(small: int, big: int) -> float:
 def _copy_burn(_: int) -> int:
     import numpy as np
 
-    a = np.ones(64 << 20, dtype=np.uint8)
+    a = np.ones(32 << 20, dtype=np.uint8)
     b = np.empty_like(a)
-    t0 = time.time()
-    n = 0
-    while time.time() - t0 < 2:
-        np.copyto(b, a)
-        n += 1
-    return n
+    np.copyto(b, a)  # warm: fault every page in BEFORE timing — first-touch
+    # under memory pressure measures the allocator, not bandwidth (a 0.006
+    # "ceiling" was observed when 8 workers each faulted 128 MB inside the
+    # timed loop while /dev/shm held the bench datasets)
+    best = 0
+    for _pass in range(2):
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < 1.5:
+            np.copyto(b, a)
+            n += 1
+        best = max(best, n)
+    return best
 
 
 def main() -> None:
