@@ -161,3 +161,32 @@ def test_maintenance_mode(setup, capsys, tmp_path):
     mgr = DataLoadManager(get_spark("rdl-tests"), wh)
     got = spark_sorted_pdf(mgr.table(spec).read())
     assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_multi_spec_batch_run(setup, capsys, tmp_path):
+    """The reference loops over every model JSON in the config folder; two
+    specs in one --specs dir must both load, each into its own table."""
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=4)
+    # second spec over the same log but a different destination table
+    from relational_data_loader_spark.spec import IngestSpec
+
+    spec2 = IngestSpec.from_json(spec.to_json())
+    spec2.name = "transcripts_copy"
+    import os as _os
+
+    with open(_os.path.join(specdir, "transcripts_copy.json"), "w") as f:
+        f.write(spec2.to_json())
+
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    lines = _out_lines(capsys)
+    assert {l["spec"] for l in lines} == {"transcripts", "transcripts_copy"}
+    assert all(l["decision"] == "full_refresh" for l in lines)
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    want = duck_final_state(f"{logdir}/*.parquet")
+    for s in (spec, spec2):
+        assert_tables_equal(spark_sorted_pdf(mgr.table(s).read()), want)

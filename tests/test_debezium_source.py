@@ -178,3 +178,50 @@ def test_debezium_missing_lsn_fails_loudly(spark):
     df = spark.createDataFrame([(doc,)], "value string")
     with pytest.raises(Exception, match="without source.lsn"):
         parse_debezium(df, spec).collect()
+
+
+def test_debezium_property_roundtrip(spark):
+    """Property family: ANY payload content (unicode, quotes, newlines,
+    backslashes, nulls) survives the JSON envelope → parser round trip
+    byte-exactly, for every op mapping."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    spec = transcripts_spec(source="debezium:///dev/null")
+
+    text_st = st.one_of(
+        st.none(),
+        st.text(alphabet='ab"\\\n\t東é🗼 ', min_size=0, max_size=20),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(
+        st.tuples(st.sampled_from("crud"), text_st), min_size=1, max_size=6,
+    ))
+    def prop(events):
+        docs, expect = [], []
+        for lsn, (op, text) in enumerate(events, start=1):
+            image = {"conv_id": f"c{lsn}", "turn_idx": 0, "role": "user",
+                     "text": text, "tool": None, "ts": None}
+            if op == "d":
+                doc = {"op": "d", "source": {"lsn": lsn}, "after": None,
+                       "before": {"conv_id": f"c{lsn}", "turn_idx": 0}}
+                expect.append((lsn, "D", f"c{lsn}", None))
+            else:
+                doc = {"op": op, "source": {"lsn": lsn},
+                       "before": None, "after": image}
+                mapped = "U" if op == "u" else "I"
+                expect.append((lsn, mapped, f"c{lsn}", text))
+            docs.append(json.dumps(doc, ensure_ascii=False))
+        df = spark.createDataFrame([(d,) for d in docs], "value string")
+        got = [
+            (r["lsn"], r["op"], r["conv_id"], r["text"])
+            for r in parse_debezium(df, spec).orderBy("lsn").collect()
+        ]
+        assert got == expect
+
+    prop()

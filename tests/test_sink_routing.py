@@ -200,3 +200,40 @@ def test_streaming_apply_batch_against_iceberg(iceberg_rig):
     # replayed micro-batch (foreachBatch at-least-once) is a detected no-op
     ing.apply_batch(batch, epoch_id=3)
     assert len(fake.merges()) == 1
+
+
+def test_iceberg_widening_evolves_in_place_via_manager(iceberg_rig):
+    """Sink-aware re-bucket rule, end to end: widening turn_idx (a PK, and
+    also safe on the bucket column — Iceberg's bucket transform is
+    width-stable) must keep the run INCREMENTAL and issue one metadata-only
+    ALTER COLUMN TYPE, never a re-bucketing full refresh."""
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    mgr, spec, fake, logdir = iceberg_rig
+    log_tbl = generate_change_log(n_events=N_EVENTS, n_convs=N_CONVS, seed=7)
+    max_lsn = pc.max(log_tbl["lsn"]).as_py()
+    cut = max_lsn // 2
+    write_log(log_tbl, logdir, lsn_upto=cut)
+    mgr.run(spec)
+
+    write_log(log_tbl, logdir, lsn_from=cut)
+    cols = [
+        c if c.destination != "turn_idx"
+        else ColumnSpec("turn_idx", "turn_idx", "bigint", primary_key=True,
+                        nullable=False)
+        for c in spec.columns
+    ]
+    spec2 = IngestSpec(name=spec.name, source=spec.source, columns=cols,
+                       sink=spec.sink)
+    res = mgr.run(spec2)
+    assert res.decision.kind == "incremental", res.decision.reasons
+    assert res.decision.evolve_widened == [("turn_idx", "bigint")]
+    sqls = [c[1] for c in fake.calls if c[0] == "sql"]
+    assert any(
+        "ALTER COLUMN turn_idx TYPE bigint" in s for s in sqls
+    )
+    # exactly one RTAS ever (the initial load) — the widen did NOT re-bucket
+    assert sum("CREATE OR REPLACE TABLE" in s for s in sqls) == 1
+
+    # contrast: widening the bucket key on the SNAPSHOT sink re-buckets
+    # (covered in test_column_change.py::test_widen_bucket_key_forces_rebucket)
