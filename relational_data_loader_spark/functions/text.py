@@ -89,3 +89,38 @@ def alpha_ratio(col: Column) -> Column:
 def stopword_count(tok: Column, stopwords: list[str]) -> Column:
     """Count of tokens in the stopword list (use after explode)."""
     return F.count(F.when(tok.isin(stopwords), 1))
+
+
+# -- n-gram language identification ----------------------------------------
+
+# Character-trigram profiles (the classic Cavnar–Trenkle n-gram heuristic,
+# reduced to a fixed literal profile per language). Weights are INTEGERS so
+# scoring is exact arithmetic — a DuckDB oracle reproduces every score
+# bit-for-bit. Space acts as a word-boundary character, so boundary
+# trigrams like 'th' at word start ("• th") discriminate as in the paper.
+LANG_TRIGRAM_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"the": 5, "he ": 4, " th": 4, "ing": 4, "and": 4, "ion": 3,
+           "ent": 2, " of": 3, "of ": 3, "ed ": 2, " to": 2, "to ": 2,
+           " an": 2, "nd ": 3, "er ": 2, " in": 2},
+    "de": {"der": 5, "die": 5, "und": 5, "sch": 4, "ein": 4, "ich": 4,
+           "nde": 3, "den": 3, "cht": 3, " de": 3, "en ": 4, "ch ": 3,
+           "ung": 3, "gen": 3, " ge": 2, "ber": 2},
+    "fr": {"les": 5, "ent": 4, " de": 4, "de ": 4, "ion": 3, "que": 4,
+           " le": 4, "la ": 3, " la": 3, "ait": 3, "et ": 3, " et": 3,
+           "ur ": 2, " qu": 3, "res": 2, "eur": 2},
+}
+
+
+def lang_trigrams(col: Column) -> Column:
+    """All character trigrams of the normalized text (lowercase, runs of
+    non-letters collapsed to single spaces) — pure JVM array expression.
+    Texts shorter than 3 normalized chars yield an empty array."""
+    norm = F.regexp_replace(F.lower(col), "[^a-z]+", " ")
+    return F.when(
+        F.length(norm) < 3, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 2),
+            lambda i: norm.substr(i, F.lit(3)),
+        )
+    )

@@ -853,6 +853,67 @@ WHERE rk <= 5
 """
 
 
+def q_lang_id_ngram(spark, sf):
+    """Character-n-gram language ID (the Cavnar–Trenkle heuristic with
+    fixed literal trigram profiles, functions/text.py): explode each doc's
+    trigrams, join the broadcast profile table, sum integer weights per
+    language, argmax with lexicographic tie-break. Complements the
+    stopword-ratio heuristic (lang_stopword_ratio) — this is the n-gram
+    variant the training-pipeline spec names. Docs with no profile hits
+    (e.g. too short) have no language evidence and are excluded."""
+    docs = _t(spark, sf, "documents")
+    profile_rows = [
+        (lang, tri, w)
+        for lang, prof in TXT.LANG_TRIGRAM_PROFILES.items()
+        for tri, w in prof.items()
+    ]
+    prof = spark.createDataFrame(profile_rows, "lang string, tri string, w int")
+    tris = docs.select(
+        "doc_id", F.explode(TXT.lang_trigrams(F.col("text"))).alias("tri")
+    )
+    scores = (
+        tris.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("score").cast("long").alias("score"))
+    )
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin: identical profiles as a VALUES table, identical trigram
+    extraction (generate_series over the normalized text), integer scores
+    so parity is exact."""
+    values = ", ".join(
+        f"('{lang}', '{tri}', {w})"
+        for lang, prof in TXT.LANG_TRIGRAM_PROFILES.items()
+        for tri, w in prof.items()
+    )
+    return f"""
+WITH prof(lang, tri, w) AS (VALUES {values}),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z]+', ' ', 'g') AS t
+  FROM documents),
+tris AS (
+  SELECT n.doc_id, substr(n.t, i.i, 3) AS tri
+  FROM norm n, LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(n.t) - 2, 0))) AS i) i),
+scores AS (
+  SELECT t.doc_id, p.lang, CAST(sum(p.w) AS BIGINT) AS score
+  FROM tris t JOIN prof p ON t.tri = p.tri
+  GROUP BY t.doc_id, p.lang)
+SELECT doc_id, lang, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) rn
+      FROM scores)
+WHERE rn = 1
+"""
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal feature extraction (operators/multimodal.py
     extract_features): binary payloads → fixed-dim vectors via Arrow
@@ -1163,4 +1224,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
     "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "lang_id_ngram": (q_lang_id_ngram, _lang_id_sql()),
 }

@@ -165,3 +165,32 @@ def test_embedding_near_dup_finds_planted_pair(vectors):
     assert all(r["sim"] >= 0.95 for r in out)
     # threshold is applied to the exact cosine, not the bucket estimate
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+
+def test_lang_id_ngram_discriminates(spark):
+    from relational_data_loader_spark.functions import text as TXT
+
+    samples = [
+        (1, "the king and the queen were singing in the morning of the nation"),
+        (2, "der könig und die königin singen ein schönes lied in der nacht"),
+        (3, "les rois et les reines chantaient que la nuit était belle"),
+        (4, "xq"),  # too short: no trigram evidence → excluded
+    ]
+    docs = spark.createDataFrame(samples, "doc_id int, text string")
+    prof_rows = [
+        (lang, tri, w)
+        for lang, prof in TXT.LANG_TRIGRAM_PROFILES.items()
+        for tri, w in prof.items()
+    ]
+    prof = spark.createDataFrame(prof_rows, "lang string, tri string, w int")
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    tris = docs.select("doc_id", F.explode(TXT.lang_trigrams(F.col("text"))).alias("tri"))
+    scores = (tris.join(F.broadcast(prof), "tri")
+              .groupBy("doc_id", "lang").agg(F.sum("w").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    got = {r["doc_id"]: r["lang"]
+           for r in scores.withColumn("rn", F.row_number().over(w))
+                          .filter("rn = 1").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
