@@ -124,3 +124,31 @@ def lang_trigrams(col: Column) -> Column:
             lambda i: norm.substr(i, F.lit(3)),
         )
     )
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams of the normalized token stream (pure JVM): slide an
+    n-window over tokens(col); shorter docs yield an empty array."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def duplicate_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of word n-gram OCCURRENCES that are repeats of an earlier
+    occurrence within the same document: 1 - distinct/total. The
+    Gopher/MassiveText repetition rule — high values flag boilerplate and
+    degenerate generations. NULL when the doc has no n-grams."""
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(None).cast("double")).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")
+    )

@@ -853,6 +853,52 @@ WHERE rk <= 5
 """
 
 
+def q_doc_repetition_stats(spark, sf):
+    """Within-document repetition (the Gopher/MassiveText quality rule,
+    functions/text.py duplicate_ngram_fraction): fraction of word 2-gram /
+    3-gram occurrences that repeat an earlier occurrence in the same doc.
+    High values flag boilerplate and degenerate text — a core
+    training-data filter. Pure array expressions, no shuffle beyond the
+    scan."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TXT.duplicate_ngram_fraction(F.col("text"), 2), 4)
+        .alias("dup_2gram_frac"),
+        F.round(TXT.duplicate_ngram_fraction(F.col("text"), 3), 4)
+        .alias("dup_3gram_frac"),
+    )
+
+
+def _repetition_sql() -> str:
+    def gram_cte(n, name):
+        cat = " || ' ' || ".join(f"t.toks[i.i + {j}]" for j in range(n))
+        return f"""
+{name} AS (
+  SELECT doc_id, count(*) AS tot, count(DISTINCT gram) AS dst
+  FROM (SELECT t.doc_id, {cat} AS gram
+        FROM t, LATERAL (SELECT unnest(generate_series(
+              1, greatest(len(t.toks) - {n - 1}, 0))) AS i) i)
+  GROUP BY doc_id)"""
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents),
+{gram_cte(2, 'g2')},
+{gram_cte(3, 'g3')}
+SELECT t.doc_id,
+       CAST(round(1.0 - CAST(g2.dst AS DOUBLE) / CAST(g2.tot AS DOUBLE), 4)
+            AS DOUBLE) AS dup_2gram_frac,
+       CAST(round(1.0 - CAST(g3.dst AS DOUBLE) / CAST(g3.tot AS DOUBLE), 4)
+            AS DOUBLE) AS dup_3gram_frac
+FROM t
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+"""
+
+
 def q_lang_id_ngram(spark, sf):
     """Character-n-gram language ID (the Cavnar–Trenkle heuristic with
     fixed literal trigram profiles, functions/text.py): explode each doc's
@@ -1225,4 +1271,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "lang_id_ngram": (q_lang_id_ngram, _lang_id_sql()),
+    "doc_repetition_stats": (q_doc_repetition_stats, _repetition_sql()),
 }

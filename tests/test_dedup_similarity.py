@@ -194,3 +194,24 @@ def test_lang_id_ngram_discriminates(spark):
            for r in scores.withColumn("rn", F.row_number().over(w))
                           .filter("rn = 1").collect()}
     assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_duplicate_ngram_fraction_semantics(spark):
+    from relational_data_loader_spark.functions import text as TXT
+
+    rows = [
+        (1, "a b a b a b"),            # 2-grams: ab ba ab ba ab → 2 distinct / 5
+        (2, "all words here differ"),  # no repeats
+        (3, "x"),                      # too short for 2-grams → NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            F.round(TXT.duplicate_ngram_fraction(F.col("text"), 2), 4).alias("f"),
+        ).collect()
+    }
+    assert got[1] == round(1 - 2 / 5, 4)
+    assert got[2] == 0.0
+    assert got[3] is None
