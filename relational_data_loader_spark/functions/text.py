@@ -126,10 +126,14 @@ def lang_trigrams(col: Column) -> Column:
     )
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Word n-grams of the normalized token stream (pure JVM): slide an
-    n-window over tokens(col); shorter docs yield an empty array."""
-    toks = tokens(col)
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-MATERIALIZED token-array column.
+
+    Callers must pass a real column attribute, not the tokens() expression
+    inline: every element_at inside the transform lambda inlines its
+    argument, so an inline split re-tokenizes the document once per n-gram
+    element — O(tokens²) re-splitting, measured 5.5 s vs 0.6 s on 500 docs.
+    """
     return F.when(
         F.size(toks) < n, F.array().cast("array<string>")
     ).otherwise(
@@ -142,12 +146,14 @@ def word_ngrams(col: Column, n: int) -> Column:
     )
 
 
-def duplicate_ngram_fraction(col: Column, n: int) -> Column:
+def duplicate_ngram_fraction_from_tokens(toks: Column, n: int) -> Column:
     """Fraction of word n-gram OCCURRENCES that are repeats of an earlier
     occurrence within the same document: 1 - distinct/total. The
     Gopher/MassiveText repetition rule — high values flag boilerplate and
-    degenerate generations. NULL when the doc has no n-grams."""
-    grams = word_ngrams(col, n)
+    degenerate generations. NULL when the doc has no n-grams.
+    ``toks`` must be a materialized token-array column (see
+    word_ngrams_from_tokens)."""
+    grams = word_ngrams_from_tokens(toks, n)
     total = F.size(grams)
     return F.when(total <= 0, F.lit(None).cast("double")).otherwise(
         1.0 - F.size(F.array_distinct(grams)).cast("double") / total.cast("double")

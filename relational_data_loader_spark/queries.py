@@ -861,11 +861,14 @@ def q_doc_repetition_stats(spark, sf):
     training-data filter. Pure array expressions, no shuffle beyond the
     scan."""
     docs = _t(spark, sf, "documents")
-    return docs.select(
+    # tokenize ONCE into a materialized column — inlining tokens() into the
+    # n-gram lambdas re-splits the doc per element (functions/text.py note)
+    toked = docs.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
+    return toked.select(
         "doc_id",
-        F.round(TXT.duplicate_ngram_fraction(F.col("text"), 2), 4)
+        F.round(TXT.duplicate_ngram_fraction_from_tokens(F.col("toks"), 2), 4)
         .alias("dup_2gram_frac"),
-        F.round(TXT.duplicate_ngram_fraction(F.col("text"), 3), 4)
+        F.round(TXT.duplicate_ngram_fraction_from_tokens(F.col("toks"), 3), 4)
         .alias("dup_3gram_frac"),
     )
 

@@ -205,11 +205,14 @@ def test_duplicate_ngram_fraction_semantics(spark):
         (3, "x"),                      # too short for 2-grams → NULL
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
+    toked = df.select("doc_id", TXT.tokens(F.col("text")).alias("toks"))
     got = {
         r["doc_id"]: r["f"]
-        for r in df.select(
+        for r in toked.select(
             "doc_id",
-            F.round(TXT.duplicate_ngram_fraction(F.col("text"), 2), 4).alias("f"),
+            F.round(
+                TXT.duplicate_ngram_fraction_from_tokens(F.col("toks"), 2), 4
+            ).alias("f"),
         ).collect()
     }
     assert got[1] == round(1 - 2 / 5, 4)
