@@ -97,9 +97,10 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             out: dict = {"spec": spec.name}
             if args.expire_tombstones_below is not None:
-                out["tombstones_expired"] = table.expire_tombstones(
-                    args.expire_tombstones_below
-                )
+                n = table.expire_tombstones(args.expire_tombstones_below)
+                # the snapshot sink counts expired rows; Iceberg's DELETE
+                # doesn't surface a count — report that honestly
+                out["tombstones_expired"] = n if n is not None else "unknown"
             if args.vacuum:
                 if hasattr(table, "vacuum"):
                     out["files_vacuumed"] = table.vacuum()

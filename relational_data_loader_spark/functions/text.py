@@ -126,6 +126,38 @@ def lang_trigrams(col: Column) -> Column:
     )
 
 
+def lang_id(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document argmax trigram-profile language (DataFrame → DataFrame
+    with id, lang, score). ONE implementation shared by the paired query
+    and the tests: explode lang_trigrams, broadcast-join the literal
+    profiles, sum integer weights, argmax with lexicographic tie-break.
+    Docs with no profile hits are excluded (no language evidence)."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    profile_rows = [
+        (lang, tri, w)
+        for lang, prof in LANG_TRIGRAM_PROFILES.items()
+        for tri, w in prof.items()
+    ]
+    prof = spark.createDataFrame(profile_rows, "lang string, tri string, w int")
+    tris = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(lang_trigrams(F.col(text_col))).alias("tri"),
+    )
+    scores = (
+        tris.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("score").cast("long").alias("score"))
+    )
+
+
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Word n-grams over an ALREADY-MATERIALIZED token-array column.
 

@@ -910,27 +910,7 @@ def q_lang_id_ngram(spark, sf):
     stopword-ratio heuristic (lang_stopword_ratio) — this is the n-gram
     variant the training-pipeline spec names. Docs with no profile hits
     (e.g. too short) have no language evidence and are excluded."""
-    docs = _t(spark, sf, "documents")
-    profile_rows = [
-        (lang, tri, w)
-        for lang, prof in TXT.LANG_TRIGRAM_PROFILES.items()
-        for tri, w in prof.items()
-    ]
-    prof = spark.createDataFrame(profile_rows, "lang string, tri string, w int")
-    tris = docs.select(
-        "doc_id", F.explode(TXT.lang_trigrams(F.col("text"))).alias("tri")
-    )
-    scores = (
-        tris.join(F.broadcast(prof), "tri")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("score").cast("long").alias("score"))
-    )
+    return TXT.lang_id(_t(spark, sf, "documents"))
 
 
 def _lang_id_sql() -> str:
@@ -971,15 +951,22 @@ def q_multimodal_features(spark, sf):
     documented deterministic fake (md5-derived bytes/255), which is what
     makes this path ORACLE-PAIRABLE: the oracle recomputes the same
     md5-byte features in SQL, so the whole Arrow plumbing (schema, batch
-    shape, null payloads, byte counts) is value-checked end to end.
+    shape, byte counts) is value-checked end to end for non-null payloads
+    (the pairing filters NULL text on both sides — posexplode and the
+    oracle's cross join disagree on how many rows a NULL feature yields;
+    the null-payload path is pinned by tests/test_multimodal.py).
     Features are exploded to (item_id, feature_idx, val) rows because
     float-array stringification differs across engines."""
     from relational_data_loader_spark.operators.multimodal import extract_features
 
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").alias("item_id"),
-        F.lit("image").alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.lit("image").alias("media_type"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
     )
     feats = extract_features(docs)
     return feats.select(
@@ -1002,7 +989,7 @@ WITH d AS (
   SELECT doc_id AS item_id,
          md5(text) AS h,
          octet_length(encode(text)) AS n_bytes
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), i AS (SELECT unnest(generate_series(0, 15)) AS feature_idx)
 SELECT d.item_id, d.n_bytes, i.feature_idx,
        CAST(round((

@@ -44,8 +44,16 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
-def build_kafka_options(uri: str, streaming: bool = True) -> dict[str, str]:
-    """Full option map for ``spark.read[Stream].format('kafka')``."""
+def build_kafka_options(
+    uri: str, streaming: bool = True, batch_size: int = 0
+) -> dict[str, str]:
+    """Full option map for ``spark.read[Stream].format('kafka')``.
+
+    ``batch_size`` (the spec's C2 knob) becomes the default
+    ``maxOffsetsPerTrigger`` for streaming reads — without it the first
+    micro-batch of an earliest-offsets subscription would pull the ENTIRE
+    topic backlog into one epoch. A URI pin overrides; 0 disables.
+    """
     _, _, rest = uri.partition("://")
     hostpart, _, tail = rest.partition("/")
     if not hostpart:
@@ -57,14 +65,19 @@ def build_kafka_options(uri: str, streaming: bool = True) -> dict[str, str]:
         "kafka.bootstrap.servers": hostpart,
         "subscribe": topic,
     }
-    for k, v in parse_qsl(qs):
-        if k in _KNOWN or k.startswith("kafka."):
-            opts[k] = v
-        else:
+    # keep_blank_values so '?failOnDataLoss' (missing '=false') is REJECTED
+    # below instead of silently dropped with the default applied
+    for k, v in parse_qsl(qs, keep_blank_values=True):
+        if k not in _KNOWN and not k.startswith("kafka."):
             raise ValueError(
                 f"unknown kafka option {k!r} (kafka.* passes through): {uri!r}"
             )
+        if v == "":
+            raise ValueError(f"kafka option {k!r} has no value: {uri!r}")
+        opts[k] = v
     opts.setdefault("startingOffsets", "earliest")
+    if streaming and batch_size:
+        opts.setdefault("maxOffsetsPerTrigger", str(batch_size))
     # a truncated/compacted-away offset range is the CT "log pruned past
     # watermark" case — it must fail loudly, never skip silently
     opts.setdefault("failOnDataLoss", "true")
@@ -76,13 +89,24 @@ def build_kafka_options(uri: str, streaming: bool = True) -> dict[str, str]:
     return opts
 
 
+def _require_connector(spark: SparkSession) -> None:
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 via --packages "
+            "(kafka:// sources are jar-gated, like the Iceberg sink)"
+        )
+
+
 def kafka_stream(spark: SparkSession, uri: str, spec: IngestSpec) -> DataFrame:
     """readStream tail of a Debezium topic → the spec's change schema."""
     from relational_data_loader_spark.sources.debezium import parse_debezium
 
+    _require_connector(spark)
     raw = (
         spark.readStream.format("kafka")
-        .options(**build_kafka_options(uri, streaming=True))
+        .options(**build_kafka_options(uri, streaming=True,
+                                       batch_size=spec.batch_size))
         .load()
     )
     return parse_debezium(
@@ -95,6 +119,7 @@ def kafka_batch(spark: SparkSession, uri: str, spec: IngestSpec) -> DataFrame:
     default; pin offsets in the URI for a reproducible slice)."""
     from relational_data_loader_spark.sources.debezium import parse_debezium
 
+    _require_connector(spark)
     raw = (
         spark.read.format("kafka")
         .options(**build_kafka_options(uri, streaming=False))

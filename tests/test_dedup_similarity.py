@@ -177,22 +177,7 @@ def test_lang_id_ngram_discriminates(spark):
         (4, "xq"),  # too short: no trigram evidence → excluded
     ]
     docs = spark.createDataFrame(samples, "doc_id int, text string")
-    prof_rows = [
-        (lang, tri, w)
-        for lang, prof in TXT.LANG_TRIGRAM_PROFILES.items()
-        for tri, w in prof.items()
-    ]
-    prof = spark.createDataFrame(prof_rows, "lang string, tri string, w int")
-    import pyspark.sql.functions as F
-    from pyspark.sql.window import Window
-
-    tris = docs.select("doc_id", F.explode(TXT.lang_trigrams(F.col("text"))).alias("tri"))
-    scores = (tris.join(F.broadcast(prof), "tri")
-              .groupBy("doc_id", "lang").agg(F.sum("w").alias("score")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    got = {r["doc_id"]: r["lang"]
-           for r in scores.withColumn("rn", F.row_number().over(w))
-                          .filter("rn = 1").collect()}
+    got = {r["doc_id"]: r["lang"] for r in TXT.lang_id(docs).collect()}
     assert got == {1: "en", 2: "de", 3: "fr"}
 
 

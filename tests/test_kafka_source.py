@@ -53,3 +53,29 @@ def test_bad_uris_rejected():
         build_kafka_options("kafka://b:9092")
     with pytest.raises(ValueError, match="unknown kafka option"):
         build_kafka_options("kafka://b:9092/t?fetchsize=10")
+
+
+def test_blank_option_values_rejected():
+    """'?failOnDataLoss' (missing '=false') must error, not silently apply
+    the default the user thinks they overrode."""
+    with pytest.raises(ValueError, match="has no value"):
+        build_kafka_options("kafka://b:9092/t?failOnDataLoss")
+    with pytest.raises(ValueError, match="has no value"):
+        build_kafka_options("kafka://b:9092/t?maxOffsetsPerTrigger=")
+
+
+def test_batch_size_bounds_streaming_micro_batches():
+    """spec.batch_size (C2) defaults maxOffsetsPerTrigger so an
+    earliest-offsets subscription can't pull the whole backlog into one
+    epoch; a URI pin wins; batch mode is unaffected."""
+    opts = build_kafka_options("kafka://b:9092/t", batch_size=5_000_000)
+    assert opts["maxOffsetsPerTrigger"] == "5000000"
+    pinned = build_kafka_options(
+        "kafka://b:9092/t?maxOffsetsPerTrigger=100", batch_size=5_000_000
+    )
+    assert pinned["maxOffsetsPerTrigger"] == "100"
+    batch = build_kafka_options("kafka://b:9092/t", streaming=False,
+                                batch_size=5_000_000)
+    assert "maxOffsetsPerTrigger" not in batch
+    unbounded = build_kafka_options("kafka://b:9092/t", batch_size=0)
+    assert "maxOffsetsPerTrigger" not in unbounded
