@@ -161,3 +161,108 @@ def synthesize_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
             (i, mt, bytearray(payload), 64 + i % 512, 64 + (i * 3) % 512, 1000 + i)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- resize / frame-sample plumbing -----------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize kernel (a real deployment
+    registers PIL/torchvision via register_transform): truncate/cycle the
+    payload to width*height bytes — same shape contract (bytes in → bytes
+    of the target geometry out), no media lib."""
+    target = max(width * height, 1)
+    reps = (target + len(payload) - 1) // max(len(payload), 1)
+    return (payload * max(reps, 1))[:target]
+
+
+def _fake_frame_sample(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: split the payload
+    into n_frames equal byte slices (uniform temporal sampling's shape)."""
+    if not payload or n_frames <= 0:
+        return []
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+TRANSFORMS: dict[str, Callable] = {
+    "resize": _fake_resize,           # stub: replace with a real image resize
+    "frame_sample": _fake_frame_sample,  # stub: replace with real frame decode
+}
+
+
+def register_transform(name: str, fn: Callable) -> None:
+    """Same deployment seam as register_decoder: inject real kernels before
+    building the plan (the builders snapshot the registry into the task
+    closure — module globals would miss driver-side registrations on a
+    real cluster)."""
+    TRANSFORMS[name] = fn
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """binary payload → payload resized to (width, height), Arrow-batched.
+
+    Input: MEDIA_SCHEMA-shaped columns (item_id, media_type, payload, ...).
+    Output: RESIZED_SCHEMA with the TARGET geometry stamped — downstream
+    stages size their batches from these columns, so the metadata must
+    describe the transformed payload, not the source."""
+    kernel = TRANSFORMS["resize"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        None if p is None else kernel(bytes(p), width, height)
+                        for p in pdf["payload"]
+                    ],
+                    "width": [None if p is None else width for p in pdf["payload"]],
+                    "height": [None if p is None else height for p in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int) -> DataFrame:
+    """video payload → one row per sampled frame (item_id, frame_idx, frame).
+
+    The row-EXPLODING mapInPandas shape: each input row yields n_frames
+    output rows, so Arrow batch memory is bounded by
+    maxRecordsPerBatch × frame size, not × full-video size — the property
+    that makes per-frame feature extraction feasible on multi-GB videos."""
+    kernel = TRANSFORMS["frame_sample"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for item, p in zip(pdf["item_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                for i, fr in enumerate(kernel(bytes(p), n_frames)):
+                    ids.append(item)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"item_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)

@@ -2,6 +2,7 @@
 
 from relational_data_loader_spark.operators.multimodal import (
     FEATURE_DIM,
+    MEDIA_SCHEMA,
     extract_features,
     synthesize_media,
 )
@@ -73,3 +74,44 @@ def test_load_decoders_from_env(monkeypatch):
     finally:
         mm.DECODERS.clear()
         mm.DECODERS.update(before)
+
+
+def test_resize_stamps_target_geometry(spark):
+    from relational_data_loader_spark.operators.multimodal import resize_media
+
+    rows = [(1, "image", bytearray(b"abcdefgh"), 4, 2, None),
+            (2, "image", None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["item_id"]: r for r in resize_media(df, 3, 2).collect()}
+    assert len(out[1]["payload"]) == 6          # width*height bytes
+    assert (out[1]["width"], out[1]["height"]) == (3, 2)
+    assert out[2]["payload"] is None and out[2]["width"] is None
+
+
+def test_frame_sample_explodes_rows_and_bounds_batches(spark):
+    from relational_data_loader_spark.operators.multimodal import sample_frames
+
+    rows = [(1, "video", bytearray(b"0123456789ab"), None, None, 12_000),
+            (2, "video", None, None, None, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, 4).orderBy("item_id", "frame_idx").collect()
+    # item 1 → 4 frames of 3 bytes each; null payload yields no rows
+    assert [(r["item_id"], r["frame_idx"]) for r in out] == [
+        (1, 0), (1, 1), (1, 2), (1, 3)]
+    assert [bytes(r["frame"]) for r in out] == [b"012", b"345", b"678", b"9ab"]
+
+
+def test_transform_registry_seam(spark):
+    """register_transform swaps the kernel before plan build, like
+    register_decoder (closure-snapshot contract)."""
+    from relational_data_loader_spark.operators import multimodal as mm
+
+    orig = mm.TRANSFORMS["resize"]
+    try:
+        mm.register_transform("resize", lambda p, w, h: b"X" * (w * h))
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(b"zz"), None, None, None)], MEDIA_SCHEMA)
+        out = mm.resize_media(df, 2, 2).collect()[0]
+        assert bytes(out["payload"]) == b"XXXX"
+    finally:
+        mm.register_transform("resize", orig)
