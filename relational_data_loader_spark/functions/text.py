@@ -126,35 +126,127 @@ def lang_trigrams(col: Column) -> Column:
     )
 
 
+def _lang_weight_patterns() -> list[tuple[str, int, str]]:
+    """One zero-width-lookahead alternation pattern per (lang, weight):
+    ``(?=(?:tri_a|tri_b|...))``.
+
+    ``regexp_count`` over such a pattern counts every POSITION where any
+    trigram of that weight class starts — the lookahead makes matches
+    zero-width, so overlapping occurrences of different trigrams are all
+    seen (``Matcher.find`` bumps one char on an empty match). At a fixed
+    position at most ONE length-3 string can match, so the count is exactly
+    Σ positional-occurrences over the class, and weight·count sums to the
+    Cavnar–Trenkle positional score the DuckDB oracle computes by
+    extraction. Trigrams are lowercase letters/spaces only — no regex
+    metacharacters to escape (asserted).
+    """
+    out = []
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        by_w: dict[int, list[str]] = {}
+        for tri, w in prof.items():
+            assert all(c == " " or "a" <= c <= "z" for c in tri), tri
+            by_w.setdefault(w, []).append(tri)
+        for w, tris in sorted(by_w.items()):
+            out.append((lang, w, "(?=(?:" + "|".join(sorted(tris)) + "))"))
+    return out
+
+
+def lang_score_exprs(norm: Column) -> list[tuple[str, Column]]:
+    """(lang, integer-score Column) per profile language over an
+    already-materialized normalized-text column: Σ weight ·
+    regexp_count(weight-class pattern) — ~12 single-pass regex scans in one
+    narrow codegen projection, versus the prior plan's per-position explode
+    + 48-row broadcast join + groupBy + window."""
+    pats = _lang_weight_patterns()
+    out: list[tuple[str, Column]] = []
+    for lang in LANG_TRIGRAM_PROFILES:
+        terms = [
+            F.regexp_count(norm, F.lit(p)).cast("long") * F.lit(w)
+            for plang, w, p in pats
+            if plang == lang
+        ]
+        score = terms[0]
+        for t in terms[1:]:
+            score = score + t
+        out.append((lang, score))
+    return out
+
+
+def _one_to_one(col: Column, alias: str) -> Column:
+    """``explode(array(col))`` — a 1:1 Generate that materializes ``col`` as
+    a real attribute. Used as a projection barrier: CollapseProject will
+    happily inline an expensive Project alias into every downstream
+    reference (measured on lang_id: the normalization regexp inlined 96×),
+    but it cannot collapse through a Generate, so everything downstream
+    references the attribute and the expression runs exactly once per row.
+    """
+    return F.explode(F.array(col)).alias(alias)
+
+
+def fan_out_if_narrow(df, min_partitions: int | None = None):
+    """Round-robin repartition ONLY when the scan has fewer splits than the
+    session's parallelism. On a real 100 TB input this is a no-op — file
+    splits vastly outnumber cores, so no exchange is added — but a
+    single-file local fixture would otherwise serialize a compute-heavy
+    narrow projection on one task while 31 cores idle. The check reads
+    split counts from the planned RDD (no job is run)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def lang_id(docs, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document argmax trigram-profile language (DataFrame → DataFrame
     with id, lang, score). ONE implementation shared by the paired query
-    and the tests: explode lang_trigrams, broadcast-join the literal
-    profiles, sum integer weights, argmax with lexicographic tie-break.
-    Docs with no profile hits are excluded (no language evidence)."""
-    from pyspark.sql.window import Window
+    and the tests.
 
-    spark = docs.sparkSession
-    profile_rows = [
-        (lang, tri, w)
-        for lang, prof in LANG_TRIGRAM_PROFILES.items()
-        for tri, w in prof.items()
-    ]
-    prof = spark.createDataFrame(profile_rows, "lang string, tri string, w int")
-    tris = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(lang_trigrams(F.col(text_col))).alias("tri"),
+    Plan (round 4): SHUFFLE-FREE on any real (multi-split) input. The
+    round-3 plan exploded every character position's trigram and
+    broadcast-joined the 48-row profile table — 34% of the whole bench
+    headline spent materializing ~|text| rows per doc when only 48 distinct
+    trigrams ever match. Now each language's score is Σ weight ·
+    regexp_count(weight-class lookahead pattern) — ~12 single-pass regex
+    scans per row, all codegen — and the argmax is ``array_max`` over
+    (score, tiebreak, lang) structs: scan → project → filter, no explode of
+    data, no join, no aggregation, no exchange (the only conditional
+    exchange is ``fan_out_if_narrow`` for single-file local fixtures).
+    Both the normalization and the best-struct ride ``_one_to_one``
+    Generate barriers so each is evaluated exactly once per row
+    (plan-gated: a single regexp_replace in the optimized plan).
+    Semantics unchanged vs round 3: integer scores, lexicographic-ascending
+    tie-break, docs with zero profile evidence (or NULL text) excluded.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " ")
+    based = fan_out_if_narrow(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(F.col("doc_id"), _one_to_one(norm, "_norm"))
+    scores = lang_score_exprs(F.col("_norm"))
+    # tie-break: max over structs picks the highest second field on equal
+    # scores, so rank langs in REVERSE lexicographic order → ties resolve
+    # to the alphabetically-first language, as before
+    tb = {lang: i for i, lang in enumerate(sorted(LANG_TRIGRAM_PROFILES, reverse=True))}
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    s.alias("score"),
+                    F.lit(tb[lang]).alias("tb"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang, s in scores
+            ]
+        )
     )
-    scores = (
-        tris.join(F.broadcast(prof), "tri")
-        .groupBy("doc_id", "lang")
-        .agg(F.sum("w").alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", F.col("score").cast("long").alias("score"))
+        based.select("doc_id", _one_to_one(best, "_b"))
+        .filter(F.col("_b.score") > 0)
+        .select(
+            "doc_id",
+            F.col("_b.lang").alias("lang"),
+            F.col("_b.score").cast("long").alias("score"),
+        )
     )
 
 

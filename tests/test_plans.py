@@ -185,3 +185,36 @@ def test_debezium_parse_is_single_projection(spark):
     plan = _plan(q_cdc_debezium_parse(spark, SF))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lang_id_is_shuffle_free_single_normalization(spark):
+    """The round-4 lang_id plan: scan → project → filter. No join against a
+    profile table, no aggregation, no window — and the normalization regexp
+    is evaluated exactly ONCE per row (the _one_to_one Generate barrier;
+    without it CollapseProject inlines it into all ~12 regexp_counts,
+    measured 96 copies in the optimized plan)."""
+    from relational_data_loader_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [(i, "the king and the queen " * 5) for i in range(100)],
+        "doc_id int, text string",
+    )
+    df = TXT.lang_id(docs)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("regexp_replace") == 1, opt
+    plan = _plan(df)
+    # createDataFrame already parallelizes to defaultParallelism, so the
+    # conditional fan-out must NOT add an exchange here
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Aggregate" not in plan, plan
+
+
+def test_lang_id_counts_overlapping_trigram_positions(spark):
+    """Positional (overlapping) counting, matching the oracle's
+    generate_series extraction: 'the the' holds the(×2,w5), 'he '(w4) and
+    ' th'(w4) at overlapping positions → en score 18."""
+    from relational_data_loader_spark.functions import text as TXT
+
+    docs = spark.createDataFrame([(1, "the the")], "doc_id int, text string")
+    row = TXT.lang_id(docs).collect()[0]
+    assert (row["lang"], row["score"]) == ("en", 18)
