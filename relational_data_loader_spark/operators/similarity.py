@@ -172,16 +172,68 @@ def ivf_probe_expr(emb_col: str, centroids: list[list[float]], nprobe: int):
 
 def sample_centroids(
     df: DataFrame, n_centroids: int, id_col: str = "vec_id",
-    emb_col: str = "embedding",
+    emb_col: str = "embedding", kmeans_iters: int = 0,
 ) -> list[list[float]]:
     """Deterministic data-sampled coarse quantizer: the embeddings of the
-    ``n_centroids`` lowest ids. Random-sample initialization is a standard
-    (if crude) IVF quantizer; k-means refinement would slot in here without
-    touching the query path. Control-plane collect: n_centroids rows."""
+    ``n_centroids`` lowest ids, optionally Lloyd-refined
+    (``kmeans_iters`` > 0 → ``kmeans_refine_centroids``). Random-sample
+    initialization is a standard (if crude) IVF quantizer; refinement is
+    what makes cells track corpus density — the property that lets IVF beat
+    LSH on skewed corpora. Control-plane collect: n_centroids rows."""
     rows = (
         df.select(id_col, emb_col).orderBy(id_col).limit(n_centroids).collect()
     )
-    return [[float(v) for v in r[emb_col]] for r in rows]
+    cents = [[float(v) for v in r[emb_col]] for r in rows]
+    if kmeans_iters > 0:
+        cents = kmeans_refine_centroids(df, cents, kmeans_iters, emb_col)
+    return cents
+
+
+def kmeans_refine_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    n_iters: int = 2,
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical-k-means (Lloyd) refinement of IVF centroids, as DataFrame
+    aggregations (VERDICT r3 task #5).
+
+    Per iteration: assign every vector to its argmax-cosine cell via
+    ``ivf_cell_expr`` (centroids ride as codegen literals — one narrow
+    projection, no shuffle for the assignment), then re-center each cell as
+    the element-wise mean (``dim`` avg() aggregates — ONE map-side-partial
+    shuffle of n_centroids × dim doubles) and renormalize to unit length
+    (cosine geometry: the spherical-k-means mean-direction update). Cells
+    that lose all members — or whose mean cancels to ~zero — keep their old
+    centroid, so the cell count never collapses. The collect is control
+    plane: n_centroids rows per iteration.
+
+    Deterministic end to end (seeded init, exact argmax ties, avg over a
+    fixed membership), so refined centroids can still be embedded as
+    literals in oracle-paired queries.
+    """
+    import math
+
+    dim = len(centroids[0])
+    cents = [[float(v) for v in c] for c in centroids]
+    for _ in range(n_iters):
+        means = (
+            df.select(
+                ivf_cell_expr(emb_col, cents).alias("cell"),
+                F.col(emb_col).alias("_e"),
+            )
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("_e")[i].cast("double")).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            v = [float(r[f"m{i}"]) for i in range(dim)]
+            norm = math.sqrt(sum(x * x for x in v))
+            if norm > 1e-12:
+                new[r["cell"]] = [x / norm for x in v]
+        cents = new
+    return cents
 
 
 def ivf_cosine_topk(
@@ -240,6 +292,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the dedup twin of the text
     near-dup pipeline (operators/dedup.py near_dup_pairs), over vectors.
@@ -247,15 +300,32 @@ def embedding_near_dup_pairs(
     Candidates come from a hyperplane-LSH bucket self-join (identical
     vectors always share a bucket, so exact dups are never missed; recall
     of merely-near pairs trades against 2^n_planes), then the exact cosine
-    filters at ``threshold``. Self-join shuffles once on the uniform bucket
-    key; no cross join anywhere — at 10^9 vectors the bucket partition is
-    the only thing that makes pairwise dedup tractable.
+    filters at ``threshold``. Self-join shuffles once on the bucket key; no
+    cross join anywhere — at 10^9 vectors the bucket partition is the only
+    thing that makes pairwise dedup tractable.
+
+    ``max_bucket`` drops DEGENERATE buckets before the self-join — the
+    same guard as the MinHash twin (dedup.lsh_candidate_pairs). Hyperplane
+    sign-patterns are NOT uniform on real corpora: near-duplicate clusters
+    and zero/degenerate vectors pile into one pattern, and a single bucket
+    of m vectors emits m·(m−1)/2 pairs — on one shuffle key. The cap bounds
+    the worst bucket's output and, because it is applied symmetrically,
+    never emits a half-pruned pair. Dropped buckets are a recall trade
+    documented to the caller (count them with bucket stats if needed), not
+    a silent one: the default keeps ≤ ~5·10^7 pairs per degenerate bucket.
     """
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         hyperplane_bucket_expr(emb_col, dim, n_planes).alias("bucket"),
     )
+    sized = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("bucket")
+    )
+    b = b.join(sized, "bucket")
     return (
         b.alias("x")
         .join(b.alias("y"), "bucket")

@@ -15,6 +15,8 @@ handled explicitly" requirement with:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,27 +82,66 @@ def salted_agg(
 
     The salt is a hash of ``salt_source`` (a high-cardinality column, e.g.
     the lsn) so it is deterministic — no rand() that would break retries.
+
+    DISTINCT aggregates are REJECTED, not mis-computed: per-salt partials of
+    ``count(DISTINCT x)`` (or any DISTINCT form) cannot be re-aggregated —
+    the same value may appear under several salts, so summing per-salt
+    distinct counts over-counts. That composition needs a different plan
+    (two-phase on the VALUE first: groupBy(keys, x) then count — which is
+    itself skew-free because the distinct pre-aggregation spreads a hot key
+    over its distinct values); raising here routes the caller there instead
+    of returning a silently wrong number.
     """
     salt = F.pmod(
         F.xxhash64(F.col(salt_source) if salt_source else F.monotonically_increasing_id()),
         F.lit(salt_buckets),
     ).alias("_salt")
 
+    def _agg_form(expr: Column) -> tuple[str, bool, str]:
+        """(function name, is_distinct, display form) from the column's
+        plan node — NOT from toString(), which in Spark 4 renders
+        ``countDistinct(v)`` as plain ``count(v)`` and would silently
+        classify a DISTINCT aggregate as re-summable (VERDICT r3 #3)."""
+        node = expr._jc.node()
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedFunction":
+            return (
+                str(node.functionName()).lower(),
+                bool(node.isDistinct()),
+                str(node.sql()),
+            )
+        # F.expr(...) arrives as SqlExpression: classify from its SQL text.
+        # "(DISTINCT " needs trailing whitespace so a column NAMED
+        # distinct_something does not trip it.
+        sql_form = str(node.expression()) if cls == "SqlExpression" else str(node.toString())
+        fn = sql_form.split("(")[0].strip().lower()
+        distinct = bool(re.search(r"\(\s*distinct\s", sql_form, re.IGNORECASE))
+        return fn, distinct, sql_form
+
+    def reagg(name: str, expr: Column) -> Column:
+        fn, distinct, form = _agg_form(expr)
+        if distinct:
+            raise ValueError(
+                f"salted_agg cannot re-aggregate DISTINCT partials "
+                f"({form!r}): a value seen under two salts would be "
+                "counted twice. Pre-aggregate on (keys, value) instead."
+            )
+        p = F.col(f"_p_{name}")
+        if fn in ("count", "sum"):
+            return F.sum(p).alias(name)
+        if fn == "max":
+            return F.max(p).alias(name)
+        if fn == "min":
+            return F.min(p).alias(name)
+        raise ValueError(
+            f"non-algebraic aggregate for salted_agg: {form!r} "
+            "(supported: sum, count, max, min)"
+        )
+
+    # resolve re-aggregates BEFORE building the plan so a bad aggregate
+    # raises whether or not the caller ever executes the result
+    finals = [reagg(n, e) for n, e in aggs.items()]
     phase1 = df.groupBy(*key_cols, salt).agg(
         *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
     )
-
-    def reagg(name: str, expr: Column) -> Column:
-        fn = expr._jc.toString().split("(")[0].lower()  # sum/count/max/min
-        p = F.col(f"_p_{name}")
-        if fn.startswith("count") or fn.startswith("sum"):
-            return F.sum(p).alias(name)
-        if fn.startswith("max"):
-            return F.max(p).alias(name)
-        if fn.startswith("min"):
-            return F.min(p).alias(name)
-        raise ValueError(f"non-algebraic aggregate for salted_agg: {fn}")
-
-    return phase1.groupBy(*key_cols).agg(
-        *[reagg(n, e) for n, e in aggs.items()]
-    )
+    return phase1.groupBy(*key_cols).agg(*finals)

@@ -187,8 +187,44 @@ class IcebergTable:
         # stored_spec_json() and stored_checksum() back to back every epoch;
         # invalidated by every write that can change properties
         self._props_cache: dict[str, str] | None = None
+        # pinned-thread gateway guard runs once, at the first stamped write
+        self._pinned_checked = False
 
     # -- exactly-once commit stamping ----------------------------------------
+
+    def _assert_pinned_thread_gateway(self) -> None:
+        """Refuse to stamp through an UNPINNED py4j gateway.
+
+        The whole CommitMetadata design rests on the reentrant ``spark.sql``
+        inside the callable running on the SAME JVM thread that holds the
+        commit-properties ThreadLocal (module docstring). That is true only
+        in py4j pinned-thread mode (``ClientServer``, the default since
+        Spark 3.2 via ``PYSPARK_PIN_THREAD=true``). Under a plain
+        ``JavaGateway`` (thread-pool dispatch) the reentrant call may land
+        on a different JVM thread: the commit still PUBLISHES, but without
+        the stamp — silently resurrecting the dead-replay-guard failure
+        mode this sink exists to prevent. So an unpinned gateway is a hard
+        error at first stamped write, not a degraded mode.
+
+        Checked once per instance; skipped when there is no py4j gateway to
+        inspect (unit-test fakes without a sparkContext).
+        """
+        if self._pinned_checked:
+            return
+        sc = getattr(self.spark, "sparkContext", None)
+        gateway = getattr(sc, "_gateway", None) if sc is not None else None
+        if gateway is not None:
+            from py4j.clientserver import ClientServer
+
+            if not isinstance(gateway, ClientServer):
+                raise RuntimeError(
+                    "py4j gateway is not in pinned-thread mode "
+                    f"({type(gateway).__name__}); CommitMetadata stamps "
+                    "would be dropped from published commits, breaking "
+                    "exactly-once replay protection. Start PySpark with "
+                    "PYSPARK_PIN_THREAD=true (the default since Spark 3.2)."
+                )
+        self._pinned_checked = True
 
     def _run_stamped_sql(self, props: dict[str, str], text: str) -> None:
         """Run one SQL write with ``props`` riding its snapshot summary.
@@ -199,6 +235,7 @@ class IcebergTable:
         unlike the wap.id branch which is gated on ``write.wap.enabled`` and
         stages instead of publishing (SparkWrite.commitOperation).
         """
+        self._assert_pinned_thread_gateway()
         spark = self.spark
         jvm = spark._jvm
         sc = getattr(spark, "sparkContext", None)

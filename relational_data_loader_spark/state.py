@@ -34,6 +34,11 @@ SCHEMA = pa.schema(
         ("rows_upserted", pa.int64()),
         ("rows_deleted", pa.int64()),
         ("wall_ms", pa.int64()),
+        # reference-tracker C3 parity: data_load_tracker records duration
+        # AND rows/sec per batch; derived at append time from the epoch's
+        # wall clock (per-partition row counts over the SHARED epoch wall —
+        # partitions commit together, so per-partition walls don't exist)
+        ("rows_per_sec", pa.float64()),
         ("committed_at", pa.timestamp("us")),
         ("kind", pa.string()),
     ]
@@ -75,6 +80,17 @@ class StateTable:
                     [r["rows_deleted"] for r in rows], pa.int64()
                 ),
                 "wall_ms": pa.array([wall_ms] * n, pa.int64()),
+                "rows_per_sec": pa.array(
+                    [
+                        round(
+                            (r["rows_upserted"] + r["rows_deleted"])
+                            / (max(wall_ms, 1) / 1000.0),
+                            2,
+                        )
+                        for r in rows
+                    ],
+                    pa.float64(),
+                ),
                 "committed_at": pa.array([now] * n, pa.timestamp("us")),
                 "kind": pa.array([kind] * n, pa.string()),
             },

@@ -203,3 +203,110 @@ def test_duplicate_ngram_fraction_semantics(spark):
     assert got[1] == round(1 - 2 / 5, 4)
     assert got[2] == 0.0
     assert got[3] is None
+
+
+def test_embedding_near_dup_caps_degenerate_bucket(spark):
+    """A pathological bucket (many identical vectors → one sign-pattern)
+    must be droppable via max_bucket, bounding the self-join's quadratic
+    output; unaffected buckets still emit their pairs."""
+    from relational_data_loader_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    hot = [(i, [1.0] * 16) for i in range(40)]           # one degenerate bucket
+    cold = [(100, [-1.0] * 16), (101, [-1.0] * 16)]      # a small healthy bucket
+    df = spark.createDataFrame(
+        hot + cold, "vec_id int, embedding array<float>"
+    )
+    capped = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.9, n_planes=4, max_bucket=10
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # the 40-vector bucket (40·39/2 = 780 pairs) is dropped wholesale...
+    assert not any(a < 100 for a, _ in pairs), pairs
+    # ...while the healthy bucket's pair survives, un-half-pruned
+    assert pairs == {(100, 101)}
+
+    uncapped = embedding_near_dup_pairs(
+        df, dim=16, threshold=0.9, n_planes=4, max_bucket=10_000
+    ).count()
+    assert uncapped == 780 + 1
+
+
+def test_near_dup_posting_cache_is_releasable(spark):
+    """VERDICT r3 task #6: the posting-list persist deliberately outlives
+    the call; the returned handle must release it so long-lived sessions
+    don't accumulate cached RDDs across specs."""
+    from relational_data_loader_spark.operators.dedup import (
+        near_dup_pairs,
+        near_dup_pairs_with_handle,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "unrelated words entirely here")],
+        "doc_id int, text string",
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    pairs, release = near_dup_pairs_with_handle(docs, "text", "doc_id")
+    assert pairs.count() == 1          # materializes → cache live
+    assert n_cached() == base + 1
+    release()
+    assert n_cached() == base
+    release()                          # idempotent
+
+    # the convenience wrapper exposes the same handle on the DataFrame
+    p2 = near_dup_pairs(docs, "text", "doc_id")
+    assert p2.count() == 1
+    assert n_cached() == base + 1
+    p2.unpersist_postings()
+    assert n_cached() == base
+
+
+def test_kmeans_refined_centroids_improve_recall(spark):
+    """Refined ≥ sampled recall vs the exact top-k (VERDICT r3 task #5).
+    The lowest-id sample puts BOTH initial centroids inside cluster A, so
+    unrefined IVF with nprobe=1 routes cluster-B queries through a foreign
+    cell; two Lloyd iterations pull one centroid over to B."""
+    import numpy as np
+
+    from relational_data_loader_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        sample_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):       # cluster A owns the low ids → sampled init ⊂ A
+        v = np.array([1.0] + [0.0] * 7) + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(30, 60):   # cluster B
+        v = np.array([0.0, 1.0] + [0.0] * 6) + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = vecs.filter((F.col("vec_id") % 10 == 0))
+
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk(q, vecs, k=3).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["q_id"], r["c_id"])
+            for r in ivf_cosine_topk(q, vecs, cents, k=3, nprobe=1).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    sampled = sample_centroids(vecs, 2)
+    refined = sample_centroids(vecs, 2, kmeans_iters=2)
+    r_sampled, r_refined = recall(sampled), recall(refined)
+    assert r_refined >= r_sampled
+    assert r_refined >= 0.9, (r_sampled, r_refined)
+    # determinism: the refinement is a pure function of (data, init)
+    assert refined == sample_centroids(vecs, 2, kmeans_iters=2)

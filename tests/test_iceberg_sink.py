@@ -470,3 +470,36 @@ def test_evolve_widening_is_metadata_only_ddl():
         for kw in ("MERGE INTO", "INSERT", "CREATE OR REPLACE TABLE")
     )
     assert t.spec is spec2
+
+
+def test_unpinned_gateway_refused_at_first_stamped_write():
+    """VERDICT r3 #4: an unpinned py4j gateway would publish commits WITHOUT
+    the stamp (the reentrant sql() lands on a thread that doesn't hold the
+    CommitMetadata ThreadLocal) — the sink must hard-error, not degrade."""
+
+    class _Unpinned:  # stands in for py4j.java_gateway.JavaGateway
+        pass
+
+    t = _table()
+    t.spark.sparkContext = _Ns(_gateway=_Unpinned())
+    with pytest.raises(RuntimeError, match="pinned-thread"):
+        t.merge(_FakeDF(), epoch_id=1, netted=True)
+    # nothing was committed: the guard fired before the MERGE ran
+    assert t.spark.merges() == []
+    assert t.spark.snapshots == []
+
+
+def test_pinned_gateway_passes_guard_and_stamps():
+    from py4j.clientserver import ClientServer
+
+    class _Pinned(ClientServer):  # real type check, no sockets
+        def __init__(self):
+            self._callback_server = object()  # short-circuits ensure_callback_server_started
+
+    t = _table()
+    t.spark.sparkContext = _Ns(_gateway=_Pinned())
+    stats = t.merge(_FakeDF(mx=7, ups=2, dels=0), epoch_id=9, netted=True)
+    assert not stats.skipped
+    assert t.spark.snapshots == [(_encode_stamp("batch:9", 7), None)]
+    # guard is once-per-instance: second write skips the isinstance check
+    assert t._pinned_checked is True

@@ -57,3 +57,44 @@ def test_detect_hot_keys_sampled_counts_are_absolute_scale(spark):
     assert [r["k"] for r in hot] == ["hot"]
     assert 0.25 < hot[0]["frac"] < 0.35
     assert 75_000 < hot[0]["n"] < 105_000  # ~90k ± sampling noise
+
+
+def test_salted_agg_min_supported(spark):
+    df = _skewed_df(spark)
+    salted = {r["k"]: r["mn"] for r in salted_agg(
+        df, ["k"], {"mn": F.min("v")}, salt_buckets=8, salt_source="lsn"
+    ).collect()}
+    plain = {r["k"]: r["mn"] for r in
+             df.groupBy("k").agg(F.min("v").alias("mn")).collect()}
+    assert salted == plain
+
+
+def test_salted_agg_rejects_distinct_aggregates(spark):
+    """Summing per-salt DISTINCT partials over-counts (the same value lands
+    under several salts) — the API must refuse at plan-build time, before
+    any job runs, not return a silently wrong number (VERDICT r3 #3)."""
+    import pytest
+
+    df = _skewed_df(spark)
+    for bad in (F.countDistinct("v"), F.count_distinct("v"), F.sum_distinct("v"),
+                F.expr("count(DISTINCT v)")):
+        with pytest.raises(ValueError, match="DISTINCT"):
+            salted_agg(df, ["k"], {"n": bad}, salt_source="lsn")
+
+
+def test_salted_agg_rejects_nonalgebraic(spark):
+    import pytest
+
+    df = _skewed_df(spark)
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_agg(df, ["k"], {"a": F.avg("v")}, salt_source="lsn")
+
+
+def test_salted_agg_allows_column_named_distinct(spark):
+    """The DISTINCT detector must not trip on a column NAMED distinct_*."""
+    df = _skewed_df(spark).withColumnRenamed("v", "distinct_values")
+    out = salted_agg(
+        df, ["k"], {"t": F.sum("distinct_values")}, salt_source="lsn"
+    )
+    plain = df.groupBy("k").agg(F.sum("distinct_values").alias("t"))
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in plain.collect()}

@@ -81,3 +81,11 @@ def test_rdl_state_per_partition_watermarks_consistent(spark, warehouse, tmp_pat
     ).df()
     assert merges["rows_upserted"].sum() == tail_events["ups"][0]
     assert merges["rows_deleted"].sum() == tail_events["dels"][0]
+    # reference-tracker C3 parity (VERDICT r3 task #7): rows/sec recorded per
+    # row, derived from the epoch wall — exact recomputation, never negative
+    expect = (
+        (merges["rows_upserted"] + merges["rows_deleted"])
+        / (merges["wall_ms"].clip(lower=1) / 1000.0)
+    ).round(2)
+    assert (merges["rows_per_sec"] == expect).all()
+    assert (st["rows_per_sec"] >= 0).all()
