@@ -259,3 +259,25 @@ def token_jaccard_pairs(
             F.round(jac, 4).cast("double").alias("jaccard"),
         )
     )
+
+
+def doc_frequency_topk(
+    df: DataFrame, text_col: str, id_col: str, k: int = 50
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``k`` tokens appearing in the most
+    documents (document frequency — the DF of TF-IDF, and the input to
+    stopword-list induction over a raw corpus).
+
+    Plan: the distinct posting list (one explode), one partial-aggregated
+    groupBy on the token, then a global top-k via orderBy+limit — which
+    Spark executes as TakeOrdered (per-partition top-k folded on the
+    driver, k rows each), NOT a full sort of the vocabulary. Tie-break on
+    the token string so the cut at rank k is deterministic across engines.
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(k)
+    )

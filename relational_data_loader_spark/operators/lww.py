@@ -74,3 +74,29 @@ def net_changes(
         .filter(F.col("_rdl_rn") == 1)
         .drop("_rdl_rn")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    primary_keys: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a raw change log.
+
+    The LWW dual: instead of keeping only each key's final state, every
+    change version becomes a row valid over ``[its lsn, next change's
+    lsn)``; the open interval (``valid_to_lsn`` NULL) is the key's current
+    version unless a delete closed its history. The reference keeps final
+    state only (net replication); SCD2 is the warehouse-history extension
+    its users layer on top, and at 10^10 events it is the same single
+    shuffle as netting — one window over the full primary key (hot
+    conversations spread across turns exactly as in ``net_changes``),
+    ``lead()`` instead of top-1, no join against the log's own history.
+    """
+    w = Window.partitionBy(*primary_keys).orderBy(F.col(lsn_col))
+    return df.withColumn("valid_to_lsn", F.lead(lsn_col).over(w)).withColumn(
+        "is_current",
+        F.col("valid_to_lsn").isNull() & (F.col(op_col) != delete_op),
+    )

@@ -325,7 +325,9 @@ def embedding_near_dup_pairs(
         .filter(F.col("_n") <= max_bucket)
         .select("bucket")
     )
-    b = b.join(sized, "bucket")
+    # the surviving-bucket list is bounded by 2^n_planes rows — broadcast it
+    # so the size filter is map-side and only the self-join shuffles vectors
+    b = b.join(F.broadcast(sized), "bucket")
     return (
         b.alias("x")
         .join(b.alias("y"), "bucket")

@@ -1220,6 +1220,135 @@ FROM events
 
 
 # --------------------------------------------------------------------------
+# round-4 additions: history, time travel, corpus stats, deterministic
+# sampling
+
+
+def q_cdc_scd2_history(spark, sf):
+    """SCD2 validity intervals from the change log (operators/lww.py
+    scd2_history — the LWW dual): every change version becomes a row valid
+    [its lsn, next change's lsn); NULL valid_to = current unless a delete
+    closed the key. One window shuffle on the full key, no self-join."""
+    from relational_data_loader_spark.operators.lww import scd2_history
+
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type", "value")
+    h = scd2_history(
+        ev, ["user_id"], lsn_col="event_id", op_col="event_type",
+        delete_op=DELETE_OP,
+    )
+    return h.select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op"),
+        F.col("value").alias("val"),
+        "valid_to_lsn",
+        "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = f"""
+SELECT user_id, event_id AS lsn, event_type AS op, value AS val,
+       lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+         AS valid_to_lsn,
+       (lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+        AND event_type <> '{DELETE_OP}') AS is_current
+FROM events
+"""
+
+
+def q_cdc_snapshot_asof(spark, sf):
+    """Time travel over the raw log: table state AS OF the log's midpoint
+    LSN — replay filtered to lsn ≤ cut, then the same LWW net + delete
+    drop as final state. The cut is derived from the data (floor(max/2))
+    so the query is scale-free; it reaches Spark as a 1-row broadcast
+    (control-plane aggregate, no second scan of payload columns)."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type", "user_id", "value", "ts"
+    )
+    thr = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("bigint").alias("_cut")
+    )
+    upto = ev.join(F.broadcast(thr)).filter(F.col("event_id") <= F.col("_cut"))
+    net = net_changes(upto, ["user_id"], lsn_col="event_id", op_col="event_type")
+    return net.filter(F.col("event_type") != DELETE_OP).select(
+        "user_id",
+        F.col("event_id").alias("last_lsn"),
+        F.col("event_type").alias("last_op"),
+        F.col("value").alias("last_value"),
+    )
+
+
+SQL_SNAPSHOT_ASOF = f"""
+WITH thr AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS cut FROM events)
+SELECT user_id, event_id AS last_lsn, event_type AS last_op,
+       value AS last_value
+FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY event_id DESC) rn
+      FROM events e, thr WHERE e.event_id <= thr.cut) t
+WHERE rn = 1 AND event_type <> '{DELETE_OP}'
+"""
+
+
+def q_doc_frequency_topk(spark, sf):
+    """Corpus document-frequency top-k (operators/dedup.py
+    doc_frequency_topk): the DF of TF-IDF / stopword-list induction.
+    Deterministic cut via (doc_freq DESC, tok ASC) total order."""
+    from relational_data_loader_spark.operators.dedup import doc_frequency_topk
+
+    return doc_frequency_topk(_t(spark, sf, "documents"), "text", "doc_id", k=50)
+
+
+SQL_DOC_FREQUENCY = """
+SELECT tok, count(*) AS doc_freq
+FROM (SELECT DISTINCT doc_id, unnest(string_split(
+        regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents)
+GROUP BY tok
+ORDER BY doc_freq DESC, tok
+LIMIT 50
+"""
+
+
+# stratified sampling: downsample dominant 'en' to 20%, keep 80% elsewhere
+_SAMPLE_RATES = {"en": 0.2}
+_SAMPLE_DEFAULT = 0.8
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum downsampling (operators/sampling.py):
+    keep-decision from the row's own md5-derived uniform, so the sample is
+    identical across retries, partitionings and engines — a filter-only
+    plan with no shuffle."""
+    from relational_data_loader_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, "lang", _SAMPLE_RATES, _SAMPLE_DEFAULT, key_col="doc_id"
+    )
+
+
+def _stratified_sample_sql() -> str:
+    """DuckDB twin of hash_uniform: first 8 md5 hex chars → u32 via the
+    nibble-instr fold (bytes-exact, no blob casts), compared against the
+    same per-stratum rate CASE."""
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    u32 = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    rate_cases = " ".join(
+        f"WHEN lang = '{s}' THEN {r!r}" for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ({u32}) / {float(2**32)!r}
+      < (CASE {rate_cases} ELSE {_SAMPLE_DEFAULT!r} END)
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 
 
@@ -1262,4 +1391,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "lang_id_ngram": (q_lang_id_ngram, _lang_id_sql()),
     "doc_repetition_stats": (q_doc_repetition_stats, _repetition_sql()),
+    "cdc_scd2_history": (q_cdc_scd2_history, SQL_SCD2_HISTORY),
+    "cdc_snapshot_asof": (q_cdc_snapshot_asof, SQL_SNAPSHOT_ASOF),
+    "doc_frequency_topk": (q_doc_frequency_topk, SQL_DOC_FREQUENCY),
+    "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
 }

@@ -1,0 +1,84 @@
+"""scd2_history + stratified_sample operator semantics and plan shapes."""
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.lww import scd2_history
+from relational_data_loader_spark.operators.sampling import (
+    hash_uniform,
+    stratified_sample,
+)
+
+
+def test_scd2_intervals_and_current_flag(spark):
+    log = spark.createDataFrame(
+        [
+            (1, 10, "I", "a"),
+            (1, 20, "U", "b"),
+            (1, 30, "U", "c"),   # current version of key 1
+            (2, 15, "I", "x"),
+            (2, 25, "D", None),  # key 2 deleted → no current version
+        ],
+        "k int, lsn bigint, op string, payload string",
+    )
+    rows = {
+        (r["k"], r["lsn"]): (r["valid_to_lsn"], r["is_current"])
+        for r in scd2_history(log, ["k"]).collect()
+    }
+    assert rows == {
+        (1, 10): (20, False),
+        (1, 20): (30, False),
+        (1, 30): (None, True),
+        (2, 15): (25, False),
+        (2, 25): (None, False),  # open interval but deleted → not current
+    }
+
+
+def test_scd2_is_single_window_shuffle(spark):
+    log = spark.createDataFrame(
+        [(1, 10, "I")], "k int, lsn bigint, op string"
+    )
+    plan = scd2_history(log, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_stratified_sample_deterministic_and_partition_invariant(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    a = {r["doc_id"] for r in
+         stratified_sample(docs, "lang", {"en": 0.2}, 0.8, "doc_id").collect()}
+    # same rows regardless of physical layout — the decision is content-hash
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(17), "lang", {"en": 0.2}, 0.8,
+                           "doc_id").collect()}
+    assert a == b and len(a) > 0
+    # rates land near target per stratum (md5 uniformity at n≈666/1333)
+    en_total = 2000 // 3 + 1
+    en_kept = sum(1 for i in a if i % 3 == 0)
+    de_kept = len(a) - en_kept
+    assert 0.1 < en_kept / en_total < 0.3
+    assert 0.7 < de_kept / (2000 - en_total) < 0.9
+
+
+def test_stratified_sample_is_filter_only(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = (
+        stratified_sample(docs, "lang", {"en": 0.5}, 0.5, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_uniform_in_unit_range(spark):
+    vals = [
+        r["u"]
+        for r in spark.range(500)
+        .select(hash_uniform(F.col("id")).alias("u"))
+        .collect()
+    ]
+    assert all(0.0 <= v < 1.0 for v in vals)
+    assert 0.4 < sum(vals) / len(vals) < 0.6
