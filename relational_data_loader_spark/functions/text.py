@@ -270,6 +270,37 @@ def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     )
 
 
+# -- PII scrubbing -----------------------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex agree on:
+# plain character classes and bounded repetition, no lookaround, no \d
+# shorthand (class semantics differ under unicode flags across engines).
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE_PATTERN = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email addresses and NNN-NNN-NNNN phone numbers with typed
+    placeholder tags. Two single-pass codegen regexp_replace calls — the
+    standard pre-training scrub stage, linear per row, no shuffle. Email
+    runs first so a digit-bearing local part is consumed as <EMAIL>, not
+    half-eaten as a phone number."""
+    out = F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts — the audit metric a scrub
+    stage must emit so corpus-level PII rates are monitorable."""
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_PATTERN)).cast("bigint"),
+        F.regexp_count(
+            F.regexp_replace(col, PII_EMAIL_PATTERN, "<EMAIL>"),
+            F.lit(PII_PHONE_PATTERN),
+        ).cast("bigint"),
+    )
+
+
 def duplicate_ngram_fraction_from_tokens(toks: Column, n: int) -> Column:
     """Fraction of word n-gram OCCURRENCES that are repeats of an earlier
     occurrence within the same document: 1 - distinct/total. The

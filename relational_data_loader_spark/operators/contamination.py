@@ -1,0 +1,79 @@
+"""Benchmark-contamination detection: word-n-gram overlap against an
+evaluation set.
+
+Decontamination is a standard stage of LLM training-data pipelines: any
+training document sharing long-enough word n-grams with an evaluation
+benchmark is flagged (and usually dropped), otherwise eval scores measure
+memorization. The canonical method (GPT-3 appendix C and successors) is
+exactly this operator: n-gram overlap between each corpus document and the
+union of benchmark n-grams.
+
+Scale notes: the benchmark side is an eval suite — thousands of documents,
+millions of n-grams — so its distinct n-gram set is BROADCAST; the corpus
+side never shuffles on anything but its own per-doc aggregation. The
+corpus n-gram explode is the large intermediate, immediately reduced by a
+partial-aggregated groupBy. No self-join, no corpus×corpus anything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relational_data_loader_spark.functions.text import (
+    _one_to_one,
+    tokens,
+    word_ngrams_from_tokens,
+)
+
+
+def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per document: ``(doc_id, ngram)``.
+
+    Pure array expressions (codegen): tokenize ONCE behind a
+    ``_one_to_one`` Generate barrier (the O(tokens²) re-split trap
+    documented on ``word_ngrams_from_tokens``), then one transform over
+    positions. Documents shorter than ``n`` tokens emit nothing (explode
+    of an empty array).
+    """
+    based = df.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    return based.select(
+        "doc_id",
+        F.explode(word_ngrams_from_tokens(F.col("_toks"), int(n))).alias("ngram"),
+    ).distinct()
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per corpus document: how many of its distinct ``n``-grams appear
+    anywhere in the benchmark set, and the contaminated fraction.
+
+    Output: ``(doc_id, n_ngrams, n_contaminated, contaminated_frac)`` —
+    one row per corpus document that has at least one ``n``-gram.
+    Downstream policy (drop / review thresholds) is the caller's.
+    """
+    c_ng = word_ngrams(corpus, text_col, id_col, n)
+    b_ng = word_ngrams(benchmark, text_col, id_col, n).select("ngram").distinct()
+    sizes = c_ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        c_ng.join(F.broadcast(b_ng), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / F.col("n_ngrams"), 4).cast("double").alias(
+            "contaminated_frac"
+        ),
+    )

@@ -1,0 +1,54 @@
+"""Bucketed point-in-interval (range) join.
+
+Spark has no native band/range join operator: ``points JOIN intervals ON
+p BETWEEN s AND e`` with no equi-key compiles to BroadcastNestedLoopJoin —
+every point tested against every interval, O(|P|·|I|), the classic
+scale-killer of sessionization-against-calendar, IP-to-geo, and
+event-to-deployment-window joins.
+
+The standard fix (Databricks' range-join hints do the same internally):
+quantize the domain into fixed-width buckets, explode each interval into
+the buckets it covers, tag each point with its bucket, EQUI-join on the
+bucket id, then re-check the exact predicate. Cost becomes
+O(|P| + Σ_i len(i)/w) shuffled on a uniform integer key. Choosing ``w``
+near the median interval length keeps the interval-side blowup ≈2×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` (half-open), via bucket equi-join.
+
+    ``point_col``/``start_col``/``end_col`` must be integer-comparable
+    (cast timestamps to ``unix_micros`` first). Interval-side explode emits
+    one row per covered bucket — ``sequence()`` is evaluated per row, so an
+    interval spanning B buckets costs B rows, never a cross join. The
+    final filter restores exactness on bucket-boundary pairs.
+    """
+    w = F.lit(int(bucket_width))
+    b_start = F.floor(F.col(start_col) / w)
+    # half-open: a point equal to end is NOT matched, so the last covered
+    # bucket is the one containing end-1
+    b_end = F.floor((F.col(end_col) - F.lit(1)) / w)
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(b_start, F.greatest(b_end, b_start)))
+    )
+    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w))
+    joined = pt.join(iv, "_bucket", how).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -1,0 +1,129 @@
+"""Transcript-native operators: conversation assembly and turn integrity.
+
+The engine's payload is multi-turn conversation / agent transcripts keyed
+(conv_id, turn_idx) (BASELINE.json input_hint). After CDC replay lands the
+turn-level table, two consumers dominate:
+
+- **Assembly**: training pipelines consume whole conversations, not turns —
+  the per-conversation ordered concatenation of turn texts. Its md5 is the
+  *conversation fingerprint*, the per-turn-text-equality-under-stable-
+  ordering invariant (north_star) reduced to one comparable value: two
+  replicas agree on a conversation iff the fingerprints match.
+- **Integrity**: the replicated table must have no duplicate or missing
+  turn_idx per conversation — duplicate turns mean a MERGE keyed too
+  coarsely; gaps mean lost deletes or dropped events.
+
+Scale notes: both are ONE partial-aggregated groupBy on conv_id. Assembly's
+``collect_list`` is the one agg here whose buffer is O(turns-per-group) —
+bounded by the longest single conversation (thousands of turns), never by
+the corpus, and groups spread uniformly over reducers. Hot conversations
+(1% of convs owning 30% of events in the fixture) are one *group* each —
+skew in group SIZE, handled by partial aggregation of the scalar stats; the
+list agg itself cannot partial-combine order-correctly, so Spark ships the
+group's rows — acceptable because a conversation is small relative to a
+partition. The sort is per-group ``array_sort`` AFTER collection (no global
+sort, no window shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def assemble_conversations(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Per conversation: turn count, ordered text concatenation, fingerprint.
+
+    Ordering is (turn_col ASC) — stable and total because turn_col is part
+    of the primary key (unique per conversation after replay). The struct
+    sort orders by the struct's FIRST field, so turn_col leads; texts ride
+    along. ``sep`` must not occur in texts for the fingerprint to be
+    injective (0x1F unit separator by default).
+    """
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(turn_col).alias("t"), F.col(text_col).alias("x")))
+    )
+    joined = F.array_join(
+        F.transform(ordered, lambda s: s["x"]), sep, null_replacement="\x00"
+    )
+    return df.groupBy(F.col(conv_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(turn_col).alias("first_turn"),
+        F.max(turn_col).alias("last_turn"),
+        F.md5(joined).alias("conv_fingerprint"),
+        F.sum(F.length(text_col)).alias("total_chars"),
+    )
+
+
+def turn_integrity(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+) -> DataFrame:
+    """Per-conversation turn-sequence audit: duplicates and gaps.
+
+    - ``n_dup_turns``: rows beyond the first per turn_idx (MERGE keyed too
+      coarsely, or a replay that double-applied an epoch).
+    - ``n_gaps``: missing indices inside [min_turn, max_turn] (lost deletes
+      propagate as gaps only if the writer compacts; a gap in a
+      freshly-replicated table means dropped events).
+    - ``is_clean``: zero of both and turns start at their minimum
+      contiguously.
+
+    One groupBy; all stats partial-aggregate (count, count distinct via
+    the exact countDistinct — per-group cardinality is conversation-sized,
+    never corpus-sized, so the distinct expansion is bounded).
+    """
+    span = F.col("max_turn") - F.col("min_turn") + F.lit(1)
+    agg = df.groupBy(F.col(conv_col)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(turn_col)).alias("n_turns"),
+        F.min(turn_col).alias("min_turn"),
+        F.max(turn_col).alias("max_turn"),
+    )
+    return agg.select(
+        conv_col,
+        "n_rows",
+        "n_turns",
+        "min_turn",
+        "max_turn",
+        (F.col("n_rows") - F.col("n_turns")).alias("n_dup_turns"),
+        (span - F.col("n_turns")).cast("bigint").alias("n_gaps"),
+        (
+            (F.col("n_rows") == F.col("n_turns")) & (span == F.col("n_turns"))
+        ).alias("is_clean"),
+    )
+
+
+def conversation_stats(
+    df: DataFrame,
+    conv_col: str,
+    role_col: str,
+    ts_col: str,
+    tool_col: str | None = None,
+) -> DataFrame:
+    """Per-conversation shape statistics for corpus analytics: turn counts
+    by role, wall-clock span, tool usage. One partial-aggregated groupBy —
+    every aggregate is a scalar conditional count/min/max, so map-side
+    combine reduces each partition to one row per conversation seen there.
+    """
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(F.when(F.col(role_col) == "user", 1)).alias("n_user"),
+        F.count(F.when(F.col(role_col) == "assistant", 1)).alias("n_assistant"),
+        F.min(ts_col).alias("started_at"),
+        F.max(ts_col).alias("ended_at"),
+    ]
+    if tool_col is not None:
+        aggs.append(
+            F.count(F.when(F.col(tool_col).isNotNull() & (F.col(tool_col) != ""), 1)).alias(
+                "n_tool_calls"
+            )
+        )
+    return df.groupBy(F.col(conv_col)).agg(*aggs)

@@ -1349,6 +1349,317 @@ WHERE ({u32}) / {float(2**32)!r}
 
 
 # --------------------------------------------------------------------------
+# round-4 additions: transcript-native ops, snapshot diff / incremental
+# rollup (IVM), range join, contamination, PII scrub, corpus histograms
+
+
+def q_transcript_assembly(spark, sf):
+    """Conversation assembly (operators/transcript.py): the per-turn
+    text-equality-under-stable-ordering invariant reduced to one md5
+    fingerprint per conversation. events as the transcript: user_id plays
+    conv_id, event_id the turn order, event_type the turn text."""
+    from relational_data_loader_spark.operators.transcript import (
+        assemble_conversations,
+    )
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    return assemble_conversations(ev, "user_id", "event_id", "event_type")
+
+
+SQL_TRANSCRIPT_ASSEMBLY = """
+SELECT user_id,
+       count(*) AS n_turns,
+       min(event_id) AS first_turn,
+       max(event_id) AS last_turn,
+       md5(string_agg(event_type, chr(31) ORDER BY event_id)) AS conv_fingerprint,
+       CAST(sum(length(event_type)) AS BIGINT) AS total_chars
+FROM events GROUP BY user_id
+"""
+
+
+def q_transcript_integrity(spark, sf):
+    """Turn-sequence audit (operators/transcript.py turn_integrity):
+    duplicate and missing turn keys per conversation. Epoch-second of ts
+    plays the turn key so collisions (duplicates) actually occur."""
+    from relational_data_loader_spark.operators.transcript import turn_integrity
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.unix_seconds(F.col("ts").cast("timestamp")).alias("turn_s")
+    )
+    return turn_integrity(ev, "user_id", "turn_s")
+
+
+SQL_TRANSCRIPT_INTEGRITY = """
+SELECT user_id,
+       count(*) AS n_rows,
+       count(DISTINCT epoch_us(ts) // 1000000) AS n_turns,
+       min(epoch_us(ts) // 1000000) AS min_turn,
+       max(epoch_us(ts) // 1000000) AS max_turn,
+       count(*) - count(DISTINCT epoch_us(ts) // 1000000) AS n_dup_turns,
+       (max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) + 1)
+         - count(DISTINCT epoch_us(ts) // 1000000) AS n_gaps,
+       (count(*) = count(DISTINCT epoch_us(ts) // 1000000)
+        AND (max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) + 1)
+            = count(DISTINCT epoch_us(ts) // 1000000)) AS is_clean
+FROM events GROUP BY user_id
+"""
+
+
+def _final_state(ev, upto_cut: bool):
+    """Keyed final state (user_id → value) via LWW net + delete drop,
+    optionally restricted to lsn ≤ the log midpoint cut (1-row broadcast)."""
+    if upto_cut:
+        thr = ev.agg(F.floor(F.max("event_id") / 2).cast("bigint").alias("_cut"))
+        ev = ev.join(F.broadcast(thr)).filter(F.col("event_id") <= F.col("_cut"))
+    net = net_changes(ev, ["user_id"], lsn_col="event_id", op_col="event_type")
+    return net.filter(F.col("event_type") != DELETE_OP).select("user_id", "value")
+
+
+_SQL_STATE = """
+  SELECT user_id, value
+  FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY event_id DESC) rn
+        FROM events e{cut_join}{cut_where})
+  WHERE rn = 1 AND event_type <> '{delete_op}'
+"""
+
+
+def _state_sql(upto_cut: bool) -> str:
+    return _SQL_STATE.format(
+        cut_join=", thr" if upto_cut else "",
+        cut_where=" WHERE e.event_id <= thr.cut" if upto_cut else "",
+        delete_op=DELETE_OP,
+    )
+
+
+def q_cdc_snapshot_diff(spark, sf):
+    """Change-feed EMISSION (operators/diff.py): diff the as-of-midpoint
+    state against the final state → the I/U/D changelog that transforms one
+    into the other — the reverse of the apply path, one full-outer join on
+    the PK, output proportional to drift."""
+    from relational_data_loader_spark.operators.diff import snapshot_diff
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id", "value")
+    old = _final_state(ev, upto_cut=True)
+    new = _final_state(ev, upto_cut=False)
+    return snapshot_diff(old, new, ["user_id"], ["value"])
+
+
+SQL_SNAPSHOT_DIFF = f"""
+WITH thr AS (SELECT CAST(floor(max(event_id) / 2) AS BIGINT) AS cut FROM events),
+old AS ({_state_sql(True)}),
+new AS ({_state_sql(False)})
+SELECT op, user_id, value FROM (
+  SELECT CASE WHEN o.user_id IS NULL THEN 'I'
+              WHEN n.user_id IS NULL THEN 'D'
+              WHEN o.value IS DISTINCT FROM n.value THEN 'U' END AS op,
+         coalesce(n.user_id, o.user_id) AS user_id,
+         n.value AS value
+  FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id)
+WHERE op IS NOT NULL
+"""
+
+
+def q_cdc_incremental_rollup(spark, sf):
+    """Algebraic incremental view maintenance (operators/incremental.py):
+    the midpoint rollup plus the +new−old delta from the change feed must
+    equal a full recompute — the oracle IS the full recompute, so the
+    incremental path is verified end to end. Nothing here rescans the base
+    table after the bootstrap: the delta aggregation is over the change
+    feed only."""
+    from relational_data_loader_spark.operators.diff import snapshot_diff
+    from relational_data_loader_spark.operators.incremental import (
+        apply_delta_rollup,
+        finalize_rollup,
+        group_rollup,
+    )
+
+    ev = _t(spark, sf, "events").select("event_id", "event_type", "user_id", "value")
+    old = _final_state(ev, upto_cut=True)
+    new = _final_state(ev, upto_cut=False)
+    grp = F.pmod(F.col("user_id"), F.lit(50)).cast("bigint")
+    prev = group_rollup(old, grp, "value")
+    changes = snapshot_diff(old, new, ["user_id"], ["value"], include_old=True)
+    roll = apply_delta_rollup(prev, changes, grp, "value", "value_old")
+    return finalize_rollup(roll).select(
+        F.col("grp").alias("bucket"), "sum_value", "n_rows"
+    )
+
+
+SQL_INCREMENTAL_ROLLUP = f"""
+WITH new AS ({_state_sql(False)})
+SELECT user_id % 50 AS bucket,
+       CAST(round(sum(CAST(value AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_value,
+       count(*) AS n_rows
+FROM new GROUP BY 1
+"""
+
+
+def q_interval_event_rollup(spark, sf):
+    """Point-in-interval range join (operators/range_join.py): 20
+    overlapping non-aligned time windows over the event stream, each
+    counting/summing the events it covers. The bucketed equi-join replaces
+    the BroadcastNestedLoopJoin a bare BETWEEN predicate compiles to.
+    Window bounds derive from the data's min/max ts (1-row control-plane
+    collect), so the query is scale-free."""
+    from relational_data_loader_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    ev = _t(spark, sf, "events").select("event_id", "ts", "value")
+    t0, t1 = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))),
+    ).first()
+    span = t1 - t0 + 1
+    width = max(span // 40, 1)
+    rows = [
+        (i, t0 + i * span // 20, t0 + i * span // 20 + span // 8)
+        for i in range(20)
+    ]
+    iv = spark.createDataFrame(
+        rows, "interval_id BIGINT, start_us BIGINT, end_us BIGINT"
+    )
+    pt = ev.withColumn(
+        "p_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    joined = point_in_interval_join(
+        pt, F.broadcast(iv), "p_us", "start_us", "end_us", width
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+SQL_INTERVAL_ROLLUP = """
+WITH b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events),
+iv AS (SELECT i AS interval_id,
+              t0 + i * (t1 - t0 + 1) // 20 AS s,
+              t0 + i * (t1 - t0 + 1) // 20 + (t1 - t0 + 1) // 8 AS e
+       FROM b, range(20) r(i))
+SELECT interval_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM iv JOIN events ev ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+GROUP BY 1
+"""
+
+
+def q_ngram_contamination(spark, sf):
+    """Benchmark decontamination (operators/contamination.py): 3-gram
+    overlap of every corpus document against the benchmark slice
+    (doc_id % 97 = 0 plays the eval set). Benchmark n-grams broadcast;
+    corpus side shuffles only on its own per-doc aggregation."""
+    from relational_data_loader_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, "text", "doc_id", n=3)
+
+
+SQL_NGRAM_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM toks)),
+bng AS (SELECT DISTINCT ngram FROM ng WHERE doc_id % 97 = 0),
+corpus AS (SELECT * FROM ng WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY 1),
+hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+         FROM corpus c JOIN bng USING (ngram) GROUP BY 1)
+SELECT s.doc_id, s.n_ngrams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CAST(round(coalesce(h.n_contaminated, 0) / CAST(s.n_ngrams AS DOUBLE), 4)
+            AS DOUBLE) AS contaminated_frac
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_pii_redact(spark, sf):
+    """PII scrub (functions/text.py redact_pii/pii_counts): every document
+    is augmented with a deterministic synthetic email + phone derived from
+    its own doc_id (the corpus carries none), then scrubbed; output is the
+    audit row (counts + redacted-text md5) a production scrub stage emits."""
+    from relational_data_loader_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    email = F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.concat(
+        (F.col("doc_id") % 900 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = F.concat_ws(" ", F.col("text"), email, phone)
+    n_emails, n_phones = pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+_PII_PHONE_SQL = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         concat_ws(' ', text,
+                   'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                   CAST(doc_id % 900 + 100 AS VARCHAR) || '-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(
+              regexp_replace(t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+              '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_SQL}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+def q_token_length_histogram(spark, sf):
+    """Corpus token-length histogram per language (functions/text.py
+    token_count): the length-mix dashboard every corpus build watches.
+    One partial-aggregated groupBy on (lang, bucket)."""
+    tc = TXT.token_count(F.col("text"))
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(
+            F.col("lang"), F.floor(tc / 32).cast("bigint").alias("tok_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(tc) / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_HISTOGRAM = r"""
+SELECT lang,
+       CAST(floor(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                                   ' ')) / 32) AS BIGINT) AS tok_bucket,
+       count(*) AS n_docs,
+       round(CAST(sum(len(string_split(regexp_replace(lower(text), '\s+', ' ',
+                                                      'g'), ' '))) AS DOUBLE)
+             / count(*), 4) AS avg_tokens
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 
 
@@ -1395,4 +1706,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_snapshot_asof": (q_cdc_snapshot_asof, SQL_SNAPSHOT_ASOF),
     "doc_frequency_topk": (q_doc_frequency_topk, SQL_DOC_FREQUENCY),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
+    "transcript_assembly": (q_transcript_assembly, SQL_TRANSCRIPT_ASSEMBLY),
+    "transcript_integrity": (q_transcript_integrity, SQL_TRANSCRIPT_INTEGRITY),
+    "cdc_snapshot_diff": (q_cdc_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cdc_incremental_rollup": (q_cdc_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
+    "interval_event_rollup": (q_interval_event_rollup, SQL_INTERVAL_ROLLUP),
+    "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "token_length_histogram": (q_token_length_histogram, SQL_TOKEN_HISTOGRAM),
 }

@@ -1,0 +1,257 @@
+"""Round-4 operators: snapshot diff, incremental rollup (IVM), range join,
+transcript assembly/integrity, contamination, PII scrub.
+
+Each operator's contract is pinned by a property the paired DuckDB oracle
+cannot express as sharply:
+- diff: applying the emitted changelog to `old` reproduces `new` exactly;
+- incremental rollup: delta-merged result == full recompute, bit-exact;
+- range join: bucketed plan == naive theta join, and the plan contains no
+  BroadcastNestedLoopJoin;
+- transcript integrity: injected duplicate / gap / clean conversations are
+  classified correctly;
+- contamination: a doc sharing every n-gram with the benchmark scores 1.0,
+  a disjoint doc 0.0.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from relational_data_loader_spark.operators.contamination import (
+    ngram_contamination,
+)
+from relational_data_loader_spark.operators.diff import snapshot_diff
+from relational_data_loader_spark.operators.incremental import (
+    apply_delta_rollup,
+    finalize_rollup,
+    group_rollup,
+)
+from relational_data_loader_spark.operators.range_join import (
+    point_in_interval_join,
+)
+from relational_data_loader_spark.operators.transcript import (
+    assemble_conversations,
+    conversation_stats,
+    turn_integrity,
+)
+
+
+# --- snapshot diff ----------------------------------------------------------
+
+
+def _states(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 4 NULL->value update, 5 inserted
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0), (5, "e", 50.0)],
+        "k INT, s STRING, v DOUBLE",
+    )
+    return old, new
+
+
+def test_snapshot_diff_classifies(spark):
+    old, new = _states(spark)
+    d = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(d) == {2, 3, 4, 5}, "unchanged key must not appear"
+    assert d[2]["op"] == "U" and d[2]["s"] == "B"
+    assert d[3]["op"] == "D" and d[3]["s"] is None
+    assert d[4]["op"] == "U"
+    assert d[5]["op"] == "I" and d[5]["v"] == 50.0
+
+
+def test_snapshot_diff_apply_roundtrip(spark):
+    """Applying the changelog to `old` reproduces `new` exactly."""
+    old, new = _states(spark)
+    chg = snapshot_diff(old, new, ["k"]).collect()
+    rows = {r["k"]: (r["s"], r["v"]) for r in old.collect()}
+    for r in sorted(chg, key=lambda r: r["k"]):
+        if r["op"] == "D":
+            rows.pop(r["k"])
+        else:
+            rows[r["k"]] = (r["s"], r["v"])
+    expected = {r["k"]: (r["s"], r["v"]) for r in new.collect()}
+    assert rows == expected
+
+
+def test_snapshot_diff_include_old(spark):
+    old, new = _states(spark)
+    d = {
+        r["k"]: r
+        for r in snapshot_diff(old, new, ["k"], include_old=True).collect()
+    }
+    assert d[2]["s_old"] == "b" and d[2]["s"] == "B"
+    assert d[5]["s_old"] is None  # insert has no before-image
+    assert d[3]["s_old"] == "c"  # delete carries the before-image
+
+
+# --- incremental rollup -----------------------------------------------------
+
+
+def test_incremental_rollup_equals_recompute(spark):
+    import random
+
+    rng = random.Random(7)
+    t1 = [(i, rng.choice("xyz"), round(rng.uniform(-50, 50), 3)) for i in range(200)]
+    # drift: drop 30, update 50, insert 40
+    t2 = {k: (g, v) for k, g, v in t1}
+    for k in range(0, 30):
+        t2.pop(k)
+    for k in range(60, 110):
+        t2[k] = (t2[k][0], round(rng.uniform(-50, 50), 3))
+    for k in range(500, 540):
+        t2[k] = (rng.choice("xyz"), round(rng.uniform(-50, 50), 3))
+    old = spark.createDataFrame(t1, "k INT, g STRING, v DOUBLE")
+    new = spark.createDataFrame(
+        [(k, g, v) for k, (g, v) in t2.items()], "k INT, g STRING, v DOUBLE"
+    )
+    grp = F.pmod(F.col("k"), F.lit(7)).cast("bigint")
+    prev = group_rollup(old, grp, "v")
+    changes = snapshot_diff(old, new, ["k"], ["g", "v"], include_old=True)
+    inc = finalize_rollup(apply_delta_rollup(prev, changes, grp, "v", "v_old"))
+    full = finalize_rollup(group_rollup(new, grp, "v"))
+    a = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in inc.collect()}
+    b = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in full.collect()}
+    assert a == b  # bit-exact: decimal carrier, rounded once at publish
+
+
+def test_incremental_rollup_drops_emptied_group(spark):
+    old = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k INT, v DOUBLE")
+    new = spark.createDataFrame([(2, 7.0)], "k INT, v DOUBLE")
+    grp = F.col("k").cast("bigint")  # one group per key
+    prev = group_rollup(old, grp, "v")
+    chg = snapshot_diff(old, new, ["k"], ["v"], include_old=True)
+    out = finalize_rollup(apply_delta_rollup(prev, chg, grp, "v", "v_old"))
+    assert {r["grp"] for r in out.collect()} == {2}
+
+
+# --- range join -------------------------------------------------------------
+
+
+def test_range_join_matches_naive_and_avoids_nested_loop(spark):
+    import random
+
+    rng = random.Random(11)
+    pts = spark.createDataFrame(
+        [(i, rng.randrange(0, 1000)) for i in range(400)], "pid INT, p BIGINT"
+    )
+    ivs = []
+    for j in range(30):
+        s = rng.randrange(0, 950)
+        ivs.append((j, s, s + rng.randrange(1, 120)))
+    iv = spark.createDataFrame(ivs, "iid INT, s BIGINT, e BIGINT")
+
+    got = point_in_interval_join(pts, iv, "p", "s", "e", bucket_width=32)
+    naive = pts.join(iv, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+    key = lambda r: (r["pid"], r["iid"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, naive.collect()))
+    assert "BroadcastNestedLoopJoin" not in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_half_open_boundaries(spark):
+    pts = spark.createDataFrame([(1, 10), (2, 20)], "pid INT, p BIGINT")
+    iv = spark.createDataFrame([(1, 10, 20)], "iid INT, s BIGINT, e BIGINT")
+    got = point_in_interval_join(pts, iv, "p", "s", "e", bucket_width=7)
+    assert [r["pid"] for r in got.collect()] == [1]  # start in, end out
+
+
+# --- transcripts ------------------------------------------------------------
+
+
+def _transcript(spark):
+    rows = [
+        # clean conversation: turns 0..2
+        ("c1", 0, "user", "hi", "", "2024-01-01 00:00:00"),
+        ("c1", 1, "assistant", "hello", "", "2024-01-01 00:00:05"),
+        ("c1", 2, "tool", "result", "search", "2024-01-01 00:00:09"),
+        # duplicate turn 1
+        ("c2", 0, "user", "a", "", "2024-01-01 01:00:00"),
+        ("c2", 1, "assistant", "b", "", "2024-01-01 01:00:01"),
+        ("c2", 1, "assistant", "b2", "", "2024-01-01 01:00:02"),
+        # gap: turns 0, 2
+        ("c3", 0, "user", "x", "", "2024-01-01 02:00:00"),
+        ("c3", 2, "assistant", "y", "", "2024-01-01 02:00:03"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id STRING, turn_idx INT, role STRING, text STRING, "
+        "tool STRING, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_turn_integrity_classifies(spark):
+    out = {r["conv_id"]: r for r in turn_integrity(_transcript(spark), "conv_id", "turn_idx").collect()}
+    assert out["c1"]["is_clean"] and out["c1"]["n_dup_turns"] == 0 and out["c1"]["n_gaps"] == 0
+    assert not out["c2"]["is_clean"] and out["c2"]["n_dup_turns"] == 1
+    assert not out["c3"]["is_clean"] and out["c3"]["n_gaps"] == 1
+
+
+def test_assembly_fingerprint_is_order_stable(spark):
+    df = _transcript(spark)
+    a = assemble_conversations(df, "conv_id", "turn_idx", "text")
+    b = assemble_conversations(df.orderBy(F.desc("ts")).repartition(3), "conv_id", "turn_idx", "text")
+    fa = {r["conv_id"]: r["conv_fingerprint"] for r in a.collect()}
+    fb = {r["conv_id"]: r["conv_fingerprint"] for r in b.collect()}
+    assert fa == fb
+    ra = {r["conv_id"]: r for r in a.collect()}
+    assert ra["c1"]["n_turns"] == 3 and ra["c1"]["first_turn"] == 0 and ra["c1"]["last_turn"] == 2
+
+
+def test_assembly_fingerprint_detects_text_drift(spark):
+    df = _transcript(spark)
+    drifted = df.withColumn(
+        "text",
+        F.when((F.col("conv_id") == "c1") & (F.col("turn_idx") == 1), "HELLO")
+        .otherwise(F.col("text")),
+    )
+    fa = {r["conv_id"]: r["conv_fingerprint"] for r in assemble_conversations(df, "conv_id", "turn_idx", "text").collect()}
+    fb = {r["conv_id"]: r["conv_fingerprint"] for r in assemble_conversations(drifted, "conv_id", "turn_idx", "text").collect()}
+    assert fa["c1"] != fb["c1"] and fa["c2"] == fb["c2"]
+
+
+def test_conversation_stats(spark):
+    out = {r["conv_id"]: r for r in conversation_stats(_transcript(spark), "conv_id", "role", "ts", tool_col="tool").collect()}
+    assert out["c1"]["n_turns"] == 3 and out["c1"]["n_user"] == 1
+    assert out["c1"]["n_tool_calls"] == 1
+    assert out["c2"]["n_assistant"] == 2
+
+
+# --- contamination ----------------------------------------------------------
+
+
+def test_contamination_extremes(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id INT, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # fully contained
+            (2, "entirely different words here now"),  # disjoint
+            (3, "xx yy"),  # too short for 3-grams -> no row
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, bench, "text", "doc_id", n=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["contaminated_frac"] == 1.0
+    assert out[2]["contaminated_frac"] == 0.0
+
+
+# --- PII scrub ---------------------------------------------------------------
+
+
+def test_pii_redact_and_counts(spark):
+    from relational_data_loader_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-ample.co.uk or call 415-555-0100 x2")],
+        "id INT, t STRING",
+    )
+    n_e, n_p = pii_counts(F.col("t"))
+    row = df.select(
+        redact_pii(F.col("t")).alias("r"), n_e.alias("e"), n_p.alias("p")
+    ).first()
+    assert row["e"] == 1 and row["p"] == 1
+    assert row["r"] == "mail <EMAIL> or call <PHONE> x2"
