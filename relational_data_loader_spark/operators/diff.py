@@ -28,6 +28,7 @@ def snapshot_diff(
     primary_keys: list[str],
     compare_cols: list[str] | None = None,
     include_old: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Changelog that transforms ``old`` into ``new``.
 
@@ -41,11 +42,15 @@ def snapshot_diff(
 
     ``compare_cols`` defaults to every non-key column shared by both sides.
     Comparison is null-safe (``<=>``): NULL → value and value → NULL are
-    updates, NULL → NULL is unchanged.
+    updates, NULL → NULL is unchanged. ``carry_cols`` ride along from the
+    NEW side (NULL on D) without participating in change detection — e.g.
+    payload columns when the comparison runs on a row-version column alone
+    (the sink's change-data-feed does exactly that).
     """
     if compare_cols is None:
         shared = [c for c in old.columns if c in set(new.columns)]
         compare_cols = [c for c in shared if c not in primary_keys]
+    carry_cols = carry_cols or []
 
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in primary_keys],
@@ -54,6 +59,7 @@ def snapshot_diff(
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in primary_keys],
         *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        *[F.col(c).alias(f"_c_{c}") for c in carry_cols],
     )
     cond = None
     for k in primary_keys:
@@ -77,6 +83,7 @@ def snapshot_diff(
         for k in primary_keys
     ]
     payload = [F.col(f"_n_{c}").alias(c) for c in compare_cols]
+    payload += [F.col(f"_c_{c}").alias(c) for c in carry_cols]
     if include_old:
         payload += [F.col(f"_o_{c}").alias(f"{c}_old") for c in compare_cols]
     return (

@@ -1,0 +1,97 @@
+"""Ordered-sequence funnel analysis in one shuffle.
+
+"How many users did signup → click → purchase, in that order?" The naive
+plan is one self-join per stage (stage k's min ts joined back strictly
+after stage k-1's) — k shuffles of the full event table plus k joins. This
+operator does it in ONE shuffle: collect each user's events into a sorted
+array, then advance a stage pointer with a codegen ``aggregate`` fold —
+first event matching the current stage with ts strictly after the previous
+stage's match advances the pointer. Semantics are identical to the
+min-ts-chain formulation (the DuckDB oracle states that form): within the
+sorted array, the first qualifying event IS the min-ts qualifier.
+
+Scale: one groupBy shuffle; per-group memory is the user's event history
+(bounded by per-entity activity, never corpus size). For genuinely
+unbounded histories, pre-filter to the funnel's event types first — the
+fold only needs candidate events, and the filter pushes to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_reached(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Per user: how many funnel stages were completed in order
+    (``n_reached`` in 0..len(stages)).
+
+    Only events whose type participates in the funnel are collected (the
+    pre-shuffle filter is the plan's work bound). Tie policy: a stage must
+    match STRICTLY after the previous stage's matched timestamp; equal
+    timestamps order (ts, type) lexicographically in the fold, which cannot
+    create a match the strict inequality forbids.
+    """
+    n = len(stages)
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    ev = (
+        df.filter(F.col(type_col).isin(stages))
+        .groupBy(F.col(user_col))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+                )
+            ).alias("_evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).alias("i"), F.lit(None).cast("timestamp").alias("t")
+    )
+
+    def step(acc, e):
+        advance = (
+            (acc["i"] < n)
+            & (e["et"] == F.element_at(stage_arr, acc["i"] + 1))
+            & ((acc["i"] == 0) | (e["ts"] > acc["t"]))
+        )
+        return F.when(
+            advance,
+            F.struct((acc["i"] + 1).alias("i"), e["ts"].alias("t")),
+        ).otherwise(acc)
+
+    return ev.select(
+        F.col(user_col),
+        F.aggregate(F.col("_evs"), init, step)["i"].alias("n_reached"),
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Stage-level funnel: ``(stage, stage_idx, n_users)`` — users who
+    completed AT LEAST stage_idx+1 stages in order. The per-user fold
+    reduces to one tiny global aggregate + a stack projection."""
+    per_user = funnel_reached(df, user_col, ts_col, type_col, stages)
+    counts = per_user.agg(
+        *[
+            F.count(F.when(F.col("n_reached") >= i + 1, 1)).alias(f"_s{i}")
+            for i in range(len(stages))
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{s}', {i}L, _s{i}" for i, s in enumerate(stages)
+    )
+    return counts.selectExpr(
+        f"stack({len(stages)}, {stack_args}) AS (stage, stage_idx, n_users)"
+    )

@@ -1513,12 +1513,14 @@ def q_interval_event_rollup(spark, sf):
     ).first()
     span = t1 - t0 + 1
     width = max(span // 40, 1)
-    rows = [
-        (i, t0 + i * span // 20, t0 + i * span // 20 + span // 8)
-        for i in range(20)
-    ]
-    iv = spark.createDataFrame(
-        rows, "interval_id BIGINT, start_us BIGINT, end_us BIGINT"
+    # intervals built JVM-side (spark.range + literal arithmetic): a
+    # createDataFrame(20 rows) plans as a Python-RDD scan that restarts
+    # Python workers on EVERY evaluation of the broadcast side — measured
+    # as the dominant cost of this otherwise all-JVM query
+    iv = spark.range(20).selectExpr(
+        "id AS interval_id",
+        f"{t0}L + id * {span}L div 20 AS start_us",
+        f"{t0}L + id * {span}L div 20 + {span // 8}L AS end_us",
     )
     pt = ev.withColumn(
         "p_us", F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1659,6 +1661,36 @@ GROUP BY 1, 2
 """
 
 
+_FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf):
+    """Ordered-sequence funnel (operators/funnel.py): users completing
+    signup → click → purchase in timestamp order, counted per stage. ONE
+    shuffle (per-user sorted-array codegen fold) versus the naive
+    stage-chained self-joins the oracle states."""
+    from relational_data_loader_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_type")
+    return funnel_counts(ev, "user_id", "ts", "event_type", _FUNNEL_STAGES)
+
+
+SQL_EVENT_FUNNEL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 'signup' AS stage, CAST(0 AS BIGINT) AS stage_idx,
+       (SELECT count(*) FROM s1) AS n_users
+UNION ALL
+SELECT 'click', 1, (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 'purchase', 2, (SELECT count(*) FROM s3)
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -1714,4 +1746,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "token_length_histogram": (q_token_length_histogram, SQL_TOKEN_HISTOGRAM),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
 }

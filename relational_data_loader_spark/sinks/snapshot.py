@@ -145,6 +145,21 @@ class SnapshotTable:
     def exists(self) -> bool:
         return self.current_manifest() is not None
 
+    def manifest_at(self, version: int) -> dict[str, Any]:
+        """Committed manifest for a specific version. Raises if the version
+        was never committed. Note ``vacuum`` deletes DATA files referenced
+        only by manifests older than its ``keep_manifests`` window, so time
+        travel / CDF are reliable within that retention window — the same
+        contract as Iceberg snapshot expiry."""
+        path = os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"version {version} not available for {self.spec.name!r} "
+                f"(never committed, or expired by vacuum)"
+            )
+        with open(path) as f:
+            return json.load(f)
+
     def _commit(self, manifest: dict[str, Any]) -> dict[str, Any]:
         files = self._manifest_files()
         version = 1 + (
@@ -327,15 +342,76 @@ class SnapshotTable:
         # yield NULL for the new columns (parquet read-by-name)
         return self.spark.read.schema(schema).parquet(*paths)
 
-    def read(self) -> DataFrame:
-        """User-visible table state: tombstones filtered, internals dropped."""
-        m = self.current_manifest()
+    def read(self, version: int | None = None) -> DataFrame:
+        """User-visible table state: tombstones filtered, internals dropped.
+        ``version`` time-travels to an earlier committed manifest (within
+        vacuum's retention window) — the manifest pins the exact file list,
+        so an old version reads byte-identically even after later merges
+        (merges never rewrite old commit dirs; vacuum is what expires them).
+        """
+        m = self.current_manifest() if version is None else self.manifest_at(version)
         if m is None:
             return self.spark.createDataFrame([], self.spec.destination_schema())
         rels = [p for files in m["buckets"].values() for p in files]
         df = self._read_files(rels)
         visible = [f.name for f in self.spec.destination_schema().fields]
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(*visible)
+
+    # ---- change data feed ------------------------------------------------------
+
+    @staticmethod
+    def _changed_buckets(m_from: dict[str, Any], m_to: dict[str, Any]) -> list[str]:
+        """Buckets whose committed file lists differ between two manifests.
+        Merges rewrite touched buckets wholesale and carry untouched ones BY
+        REFERENCE (identical relpath lists), so list equality is an exact
+        no-change proof — the CDF reads only drifted buckets, never the
+        table."""
+        b0, b1 = m_from.get("buckets", {}), m_to.get("buckets", {})
+        return sorted(
+            (b for b in set(b0) | set(b1) if b0.get(b) != b1.get(b)), key=int
+        )
+
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two committed versions: one I/U/D row
+        per drifted primary key, carrying the v_to payload (NULL on D —
+        deletes carry keys only, the engine's CT envelope convention) and
+        the row's new ``lsn``.
+
+        The Iceberg-CDF analog for the snapshot sink, built from what the
+        sink already guarantees: every applied change advances the row's
+        ``_rdl_lsn`` (version guard), so change detection is ONE long
+        compare per key — a payload-identical re-upsert still reports U,
+        which is correct CDC semantics (an event was applied). Only changed
+        buckets are read on both sides (``_changed_buckets``); the diff is
+        one full-outer join on the PK over that pruned subset
+        (``operators.diff.snapshot_diff``), output proportional to drift.
+        Requires ``v_from < v_to`` and both manifests within vacuum's
+        retention.
+        """
+        from relational_data_loader_spark.operators.diff import snapshot_diff
+
+        if v_from >= v_to:
+            raise ValueError(f"need v_from < v_to, got {v_from} >= {v_to}")
+        m0, m1 = self.manifest_at(v_from), self.manifest_at(v_to)
+        changed = self._changed_buckets(m0, m1)
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        pks = self.spec.primary_keys
+        payload = [c for c in visible if c not in pks]
+
+        def _side(m: dict[str, Any]) -> DataFrame:
+            rels = [p for b in changed for p in m["buckets"].get(b, [])]
+            df = self._read_files(rels)
+            return df.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).select(*visible, F.col(LSN_COL))
+
+        diff = snapshot_diff(
+            _side(m0), _side(m1), pks,
+            compare_cols=[LSN_COL], carry_cols=payload,
+        )
+        return diff.select(
+            "op", *pks, *payload, F.col(LSN_COL).alias("lsn")
+        )
 
     def watermark(self) -> int:
         m = self.current_manifest()

@@ -1,0 +1,151 @@
+"""Snapshot-sink time travel + change data feed (round 4).
+
+Contracts pinned here:
+- read(version=v) reproduces the exact committed state of version v, even
+  after later merges (manifests pin file lists; merges never rewrite old
+  commit dirs);
+- changes_between(v0, v1) emits the I/U/D feed that transforms state(v0)
+  into state(v1) — verified by applying it;
+- only drifted buckets are read: _changed_buckets equals the merge's own
+  touched-bucket report;
+- a payload-identical re-upsert still reports U (the version guard advanced
+  the row's lsn — an event WAS applied);
+- deletes carry keys only (NULL payload), lsn rides on I/U rows.
+"""
+
+import pyarrow.compute as pc
+import pytest
+from pyspark.sql import functions as F
+
+from relational_data_loader_spark.fixtures import generate_change_log
+from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.spec import transcripts_spec
+from tests.util import duck_final_state, write_log
+
+
+@pytest.fixture(scope="module")
+def cdf_rig(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cdf")
+    logdir = str(root / "log")
+    log = generate_change_log(n_events=2500, n_convs=50, seed=13)
+    cut = pc.max(log["lsn"]).as_py() // 2
+    write_log(log, logdir, lsn_upto=cut)
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    mgr = DataLoadManager(spark, str(root / "wh"))
+    r1 = mgr.run(spec)  # v1: full refresh of the head
+    write_log(log, logdir, lsn_from=cut)
+    r2 = mgr.run(spec)  # v2: incremental merge of the tail
+    return mgr, spec, logdir, cut, r1, r2
+
+
+def _state(df):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in df.collect()
+    }
+
+
+def test_time_travel_reproduces_old_version(spark, cdf_rig, tmp_path):
+    mgr, spec, logdir, cut, r1, r2 = cdf_rig
+    tbl = mgr.table(spec)
+    old = tbl.read(version=1).toPandas().sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+    exp = duck_final_state(f"{logdir}/log-0000000000-*.parquet")
+    assert len(old) == len(exp)
+    assert (old["text"].sort_values().values == exp["text"].sort_values().values).all()
+    # current read unaffected
+    assert tbl.read().count() == len(duck_final_state(f"{logdir}/log-*.parquet"))
+
+
+def test_missing_version_raises(spark, cdf_rig):
+    mgr, spec, *_ = cdf_rig
+    with pytest.raises(ValueError, match="not available"):
+        mgr.table(spec).read(version=99)
+    with pytest.raises(ValueError, match="v_from < v_to"):
+        mgr.table(spec).changes_between(2, 1)
+
+
+def test_changes_between_applies_to_old_state(spark, cdf_rig):
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    state = _state(tbl.read(version=1))
+    feed = tbl.changes_between(1, 2).collect()
+    assert feed, "tail merge must produce changes"
+    ops = {r["op"] for r in feed}
+    assert ops <= {"I", "U", "D"}
+    for r in feed:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            assert r["text"] is None and r["lsn"] is None  # keys only
+            state.pop(k)
+        else:
+            assert r["lsn"] is not None
+            state[k] = (r["role"], r["text"], r["tool"], r["ts"])
+    assert state == _state(tbl.read(version=2))
+
+
+def test_changed_buckets_subset_of_committed(spark, cdf_rig):
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    m1, m2 = tbl.manifest_at(1), tbl.manifest_at(2)
+    changed = tbl._changed_buckets(m1, m2)
+    assert changed, "tail merge must drift at least one bucket"
+    assert set(changed) <= set(m2["buckets"]), "changed buckets exist in v2"
+    # unchanged buckets are carried by reference: identical relpath lists
+    for b in set(m1["buckets"]) - set(changed):
+        assert m1["buckets"][b] == m2["buckets"][b]
+
+
+def test_payload_identical_reupsert_reports_update(spark, tmp_path):
+    # epoch 2 re-carries a row of epoch 1 with identical payload but a new
+    # lsn: the version guard applies it, so the CDF must say U
+    logdir = str(tmp_path / "log")
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("lsn", pa.int64()), ("op", pa.string()),
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("role", pa.string()), ("text", pa.string()),
+            ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def row(lsn, op, conv, turn, text):
+        return {
+            "lsn": lsn, "op": op, "conv_id": conv, "turn_idx": turn,
+            "role": "user", "text": text, "tool": "",
+            "ts": 1_700_000_000_000_000 + lsn,
+        }
+
+    head = pa.Table.from_pylist(
+        [row(1, "I", "c1", 0, "same"), row(2, "I", "c2", 0, "other")],
+        schema=schema,
+    )
+    tail = pa.Table.from_pylist([row(3, "U", "c1", 0, "same")], schema=schema)
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, str(tmp_path / "wh"))
+    write_log(head, logdir, n_files=1)
+    mgr.run(spec)
+    write_log(tail, logdir, n_files=1, lsn_from=2)
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    feed = tbl.changes_between(1, 2).collect()
+    assert len(feed) == 1
+    assert feed[0]["op"] == "U" and feed[0]["conv_id"] == "c1"
+    assert feed[0]["text"] == "same" and feed[0]["lsn"] == 3
+
+    # pruning: exactly c1's bucket drifted (if c2 shares it, the rewrite
+    # still stays inside that one bucket — and the diff above proved c2's
+    # identical row was not re-emitted)
+    from relational_data_loader_spark.sinks.snapshot import bucket_expr
+
+    bmap = {
+        r["conv_id"]: str(r["b"])
+        for r in spark.createDataFrame([("c1",), ("c2",)], "conv_id STRING")
+        .select("conv_id", bucket_expr("conv_id", 4).alias("b"))
+        .collect()
+    }
+    changed = tbl._changed_buckets(tbl.manifest_at(1), tbl.manifest_at(2))
+    assert set(changed) == {bmap["c1"]}

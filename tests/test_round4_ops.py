@@ -239,6 +239,49 @@ def test_contamination_extremes(spark):
     assert out[2]["contaminated_frac"] == 0.0
 
 
+# --- funnel -------------------------------------------------------------------
+
+
+def test_funnel_strict_order_and_ties(spark):
+    from relational_data_loader_spark.operators.funnel import (
+        funnel_counts,
+        funnel_reached,
+    )
+
+    rows = [
+        # u1 completes all three in order
+        (1, "2024-01-01 00:00:00", "signup"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "purchase"),
+        # u2: click BEFORE signup doesn't count; no click after -> stops at signup
+        (2, "2024-01-01 00:00:00", "click"),
+        (2, "2024-01-01 00:01:00", "signup"),
+        # u3: click at the SAME ts as signup -> strict order excludes it
+        (3, "2024-01-01 00:00:00", "signup"),
+        (3, "2024-01-01 00:00:00", "click"),
+        # u4: purchase before click -> stops after click
+        (4, "2024-01-01 00:00:00", "signup"),
+        (4, "2024-01-01 00:01:00", "purchase"),
+        (4, "2024-01-01 00:02:00", "click"),
+        # u5 never signs up
+        (5, "2024-01-01 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts STRING, event_type STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    stages = ["signup", "click", "purchase"]
+    reached = {
+        r["user_id"]: r["n_reached"]
+        for r in funnel_reached(df, "user_id", "ts", "event_type", stages).collect()
+    }
+    assert reached == {1: 3, 2: 1, 3: 1, 4: 2, 5: 0}
+    counts = {
+        r["stage"]: r["n_users"]
+        for r in funnel_counts(df, "user_id", "ts", "event_type", stages).collect()
+    }
+    assert counts == {"signup": 4, "click": 2, "purchase": 1}
+
+
 # --- PII scrub ---------------------------------------------------------------
 
 
