@@ -357,6 +357,40 @@ class SnapshotTable:
         visible = [f.name for f in self.spec.destination_schema().fields]
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(*visible)
 
+    def read_keys(self, values: list) -> DataFrame:
+        """Point reads by bucket key: visible rows whose ``bucket_key`` is in
+        ``values``, reading ONLY the buckets those keys hash into — the
+        O(keys) lookup path, never a table scan. The bucket ids come from
+        one tiny control-plane job (the hash must be the JVM's xxhash64,
+        bit-identical to the layout's ``bucket_expr``; re-implementing it
+        driver-side would be a silent-desync trap)."""
+        m = self.current_manifest()
+        if m is None:
+            return self.spark.createDataFrame([], self.spec.destination_schema())
+        layout = int(m.get("n_buckets", self.n_buckets))
+        key_type = next(
+            f.dataType
+            for f in self.spec.destination_schema().fields
+            if f.name == self.bucket_key
+        )
+        kdf = self.spark.createDataFrame(
+            [(v,) for v in values], T.StructType([T.StructField(self.bucket_key, key_type)])
+        )
+        buckets = {
+            str(r["b"])
+            for r in kdf.select(bucket_expr(self.bucket_key, layout).alias("b")).collect()
+        }
+        rels = [p for b in sorted(buckets) for p in m["buckets"].get(b, [])]
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        return (
+            self._read_files(rels)
+            .filter(
+                F.col(self.bucket_key).isin(values)
+                & ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            .select(*visible)
+        )
+
     # ---- change data feed ------------------------------------------------------
 
     @staticmethod

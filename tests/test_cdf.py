@@ -97,6 +97,57 @@ def test_changed_buckets_subset_of_committed(spark, cdf_rig):
         assert m1["buckets"][b] == m2["buckets"][b]
 
 
+def test_cdf_feeds_incremental_rollup(spark, cdf_rig):
+    """Composition: the sink's own change feed drives algebraic rollup
+    maintenance (operators/incremental) — rollup(v1) + delta(CDF 1→2)
+    equals a recompute over read(version=2), bit-exact. The before-images
+    come from joining the feed's D/U keys back to the v1 state (the CDF
+    carries new payload; old values live in the old version by definition).
+    """
+    from relational_data_loader_spark.operators.incremental import (
+        apply_delta_rollup,
+        finalize_rollup,
+        group_rollup,
+    )
+
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    grp = F.pmod(F.xxhash64("conv_id"), F.lit(16)).cast("bigint")
+    v1, v2 = tbl.read(version=1), tbl.read(version=2)
+    measure = F.length("text").cast("double")
+
+    prev = group_rollup(v1.select("conv_id", "turn_idx", measure.alias("m")), grp, "m")
+    old_vals = v1.select(
+        "conv_id", "turn_idx", measure.alias("m_old")
+    )
+    feed = tbl.changes_between(1, 2).select(
+        "op", "conv_id", "turn_idx", F.length("text").cast("double").alias("m")
+    )
+    changes = feed.join(old_vals, ["conv_id", "turn_idx"], "left")
+    inc = finalize_rollup(apply_delta_rollup(prev, changes, grp, "m", "m_old"))
+    full = finalize_rollup(
+        group_rollup(v2.select("conv_id", "turn_idx", measure.alias("m")), grp, "m")
+    )
+    a = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in inc.collect()}
+    b = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in full.collect()}
+    assert a == b
+
+
+def test_read_keys_is_bucket_pruned_point_lookup(spark, cdf_rig):
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    some = [r["conv_id"] for r in tbl.read().select("conv_id").distinct().limit(3).collect()]
+    got = tbl.read_keys(some)
+    want = tbl.read().filter(F.col("conv_id").isin(some))
+    k = lambda r: (r["conv_id"], r["turn_idx"], r["text"])
+    assert sorted(map(k, got.collect())) == sorted(map(k, want.collect()))
+    # pruning: the lookup's scan covers at most 3 buckets of the 8
+    m = tbl.current_manifest()
+    n_files_all = sum(len(v) for v in m["buckets"].values())
+    scanned = got.select(F.input_file_name()).distinct().count()
+    assert scanned < n_files_all
+
+
 def test_payload_identical_reupsert_reports_update(spark, tmp_path):
     # epoch 2 re-carries a row of epoch 1 with identical payload but a new
     # lsn: the version guard applies it, so the CDF must say U
