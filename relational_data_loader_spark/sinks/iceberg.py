@@ -99,6 +99,127 @@ def _decode_stamp(payload: str | None) -> tuple[str, int] | None:
         return None
 
 
+# Iceberg changelog-view metadata columns (SparkChangelogTable constants)
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_ORDINAL_COL = "_change_ordinal"
+
+
+def changelog_view_sql(
+    identifier: str,
+    start_snapshot_id: int,
+    end_snapshot_id: int,
+    view: str,
+) -> str:
+    """The ``create_changelog_view`` CALL for one snapshot-id window.
+
+    Pure string builder so the statement is unit-testable without an
+    Iceberg runtime (the CALL itself is jar-gated). ``start-snapshot-id``
+    is EXCLUSIVE and ``end-snapshot-id`` INCLUSIVE in Iceberg's changelog
+    scan — the same ``(v_from, v_to]`` convention as
+    ``SnapshotTable.changes_between``. ``net_changes`` stays at its false
+    default deliberately: ``classify_changelog`` nets across commits
+    itself from boundary images, and Iceberg's netting would discard the
+    UPDATE_BEFORE rows the tombstone-visibility rules need.
+    """
+    catalog, _, table = identifier.partition(".")
+    return (
+        f"CALL {catalog}.system.create_changelog_view("
+        f"table => {_sql_quote(table)}, "
+        f"options => map('start-snapshot-id', '{int(start_snapshot_id)}', "
+        f"'end-snapshot-id', '{int(end_snapshot_id)}'), "
+        f"changelog_view => {_sql_quote(view)})"
+    )
+
+
+def classify_changelog(
+    changelog: DataFrame,
+    pks: list[str],
+    payload_cols: list[str],
+    lsn_col: str = LSN_COL,
+    deleted_col: str = DELETED_COL,
+) -> DataFrame:
+    """Collapse a raw Iceberg changelog into the engine's CDF envelope.
+
+    Input: the output of ``create_changelog_view`` over the STORAGE table —
+    one row per physical change with ``_change_type`` in
+    {INSERT, DELETE, UPDATE_BEFORE, UPDATE_AFTER} and a per-commit
+    ``_change_ordinal``. Storage rows include soft tombstones
+    (``_rdl_deleted``), so a physical INSERT/UPDATE_AFTER may be a LOGICAL
+    delete and vice versa — which is why Iceberg's own ``net_changes`` /
+    ``compute_updates`` can't produce the engine's feed directly.
+
+    Output: the exact ``SnapshotTable.changes_between`` schema —
+    ``(op, *pks, *payload, lsn)``, one row per logically drifted key,
+    payload NULL on D. The classification reconstructs both BOUNDARY
+    images per key:
+
+    - v_from image: the before-type row (DELETE/UPDATE_BEFORE) at the
+      key's earliest ordinal. Valid only if the key's FIRST change row is
+      before-typed — a key first seen as INSERT did not exist at v_from,
+      and treating a later UPDATE_BEFORE as its v_from image would
+      misclassify insert-then-delete-within-window as D (it must net to
+      nothing).
+    - v_to image: the after-type row (INSERT/UPDATE_AFTER) at the key's
+      latest ordinal; valid only if the key's LAST change row is
+      after-typed (a trailing physical DELETE means gone at v_to).
+
+    Logical visibility at a boundary = image exists AND not tombstoned;
+    then invisible→visible = I, visible→visible = U (every applied change
+    bumps ``_rdl_lsn``, mirroring the snapshot twin's lsn-compare),
+    visible→invisible = D, invisible→invisible = dropped (e.g. a
+    tombstone's lsn bump, or insert+delete inside the window).
+
+    Robust to both changelog shapes: MoR updates that arrive as
+    DELETE+INSERT at one ordinal and ``compute_updates``-style
+    UPDATE_BEFORE/UPDATE_AFTER pairs classify identically, so the CALL
+    never needs ``compute_updates``. Rewrite/replace snapshots
+    (compaction) emit no changelog rows, so maintenance commits cannot
+    forge drift. One groupBy on the PK — output and state proportional to
+    drifted keys, never table size.
+    """
+    is_before = F.col(CHANGE_TYPE_COL).isin("DELETE", "UPDATE_BEFORE")
+    is_after = F.col(CHANGE_TYPE_COL).isin("INSERT", "UPDATE_AFTER")
+    ordinal = F.col(CHANGE_ORDINAL_COL).cast("long")
+    img = F.struct(
+        *[F.col(c) for c in payload_cols],
+        F.col(lsn_col).alias("__lsn"),
+        F.coalesce(F.col(deleted_col), F.lit(False)).alias("__del"),
+    )
+    agg = changelog.groupBy(*pks).agg(
+        F.min_by(img, F.when(is_before, ordinal)).alias("b"),
+        F.max_by(img, F.when(is_after, ordinal)).alias("a"),
+        F.min(ordinal).alias("o_first"),
+        F.min(F.when(is_before, ordinal)).alias("o_first_before"),
+        F.max(ordinal).alias("o_last"),
+        F.max(F.when(is_after, ordinal)).alias("o_last_after"),
+    )
+    vis_from = (
+        F.col("o_first_before").isNotNull()
+        & (F.col("o_first_before") == F.col("o_first"))
+        & ~F.col("b.__del")
+    )
+    vis_to = (
+        F.col("o_last_after").isNotNull()
+        & (F.col("o_last_after") == F.col("o_last"))
+        & ~F.col("a.__del")
+    )
+    op = (
+        F.when(vis_from & vis_to, F.lit("U"))
+        .when(vis_to, F.lit("I"))
+        .when(vis_from, F.lit("D"))
+    )
+    staged = agg.select(op.alias("op"), *pks, "a", "b").where(F.col("op").isNotNull())
+    return staged.select(
+        "op",
+        *pks,
+        *[
+            F.when(F.col("op") != "D", F.col(f"a.{c}")).alias(c)
+            for c in payload_cols
+        ],
+        F.coalesce(F.col("a.__lsn"), F.col("b.__lsn")).alias("lsn"),
+    )
+
+
 def _sql_quote(value: str) -> str:
     """Single-quoted Spark SQL string literal (for TBLPROPERTIES values).
 
@@ -553,6 +674,38 @@ class IcebergTable:
             )
         finally:
             batch.unpersist()
+
+    def changes_between(
+        self,
+        start_snapshot_id: int,
+        end_snapshot_id: int,
+        changelog_view: str | None = None,
+    ) -> DataFrame:
+        """Change data feed between two committed snapshots — the
+        ``SnapshotTable.changes_between`` twin, same envelope schema
+        ``(op, *pks, *payload, lsn)`` with payload NULL on D.
+
+        Snapshot ids come from the table's ``.snapshots``/``.history``
+        metadata (or a stored procedure result); the window is
+        ``(start, end]`` like the manifest-version twin. Two steps:
+        Iceberg's ``create_changelog_view`` materializes the raw physical
+        changelog (``changelog_view_sql``), then ``classify_changelog``
+        lifts it to the logical feed — tombstone flips become I/D, netting
+        across commits happens per key. Jar-gated like every CALL here;
+        both halves are independently tested (the SQL as a string, the
+        classifier on hand-built changelogs with a real session).
+        """
+        _, _, table = self.identifier.partition(".")
+        view = changelog_view or f"_rdl_cdf_{table.replace('.', '_')}"
+        self.spark.sql(
+            changelog_view_sql(
+                self.identifier, start_snapshot_id, end_snapshot_id, view
+            )
+        )
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        pks = self.spec.primary_keys
+        payload = [c for c in visible if c not in pks]
+        return classify_changelog(self.spark.table(view), pks, payload)
 
     def create_reader_view(self, view_name: str | None = None) -> str:
         """Published read surface: tombstones filtered, internals hidden."""
