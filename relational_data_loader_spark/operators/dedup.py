@@ -281,3 +281,77 @@ def doc_frequency_topk(
         .orderBy(F.desc("doc_freq"), F.asc("tok"))
         .limit(k)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate CLUSTERS and pick one
+    representative per cluster — the final stage of corpus dedup (pairs
+    alone can't drive a keep/drop decision: with docs A~B~C but A!~C,
+    dropping one side of each pair either under- or over-deletes).
+
+    Connected components by hash-min label propagation: every doc starts
+    labeled with its own id; each round, every doc takes the min label in
+    its neighborhood; fixpoint = components labeled by their min doc id.
+    Output: one row per input doc — ``(doc_id, cluster_id, keep)`` where
+    ``keep`` marks the min-id representative; singletons (no near-dup
+    edge) keep themselves.
+
+    Scale shape: per round one equi-join (edges × labels, both shuffled on
+    the node key) + one partial-aggregated groupBy — no driver-side graph,
+    no cartesian. Rounds = component diameter, which for near-dup families
+    is tiny (dup families are dense — most are cliques from a shared
+    template, diameter 1-2). Two things make iteration safe at 10^9 docs:
+    labels are ``localCheckpoint``-ed each round, truncating a lineage
+    that would otherwise grow by two shuffles per round until the planner
+    chokes; and the convergence probe is ``limit(1).count()`` on the
+    strictly-shrunk labels — an existence check that short-circuits, not a
+    full count. GraphX's large-star/small-star halves the rounds on
+    high-diameter graphs; not needed for clique-ish dup families.
+    """
+    src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = src.union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        shrunk = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if shrunk == 0:
+            break
+    edges.unpersist()  # labels are checkpointed: no lineage back to edges
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )

@@ -1,0 +1,98 @@
+"""Event-stream analytics: cohort retention, rolling per-entity stats,
+per-group exact quantiles.
+
+The longitudinal layer over the ``events`` table, complementing
+sessionization (queries.q_sessionize) and funnels (operators/funnel.py).
+All pure DataFrame compositions with DuckDB-reproducible semantics —
+window frames are pinned to a deterministic total order (ties broken on
+the unique event id) so ROWS-frame results are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cohort_retention(
+    events: DataFrame, user_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the (Monday-start) week of
+    their FIRST event; one row per (cohort_week, week_offset) counting the
+    cohort's users active in that later week.
+
+    Plan, sized for 10^11 events: the raw stream reduces FIRST —
+    ``distinct`` on (user, week) collapses every event a user fires in a
+    week to one row before anything user-global happens. The cohort week
+    then comes from a window min over the (much smaller) user-week table,
+    and the final count is a plain groupBy: because (user, week) rows are
+    already unique, ``count(*)`` IS the distinct-user count — no
+    count-distinct state at the cohort level. Offsets are exact multiples
+    of 7 days by construction (both ends week-truncated), so the /7 is
+    exact in any arithmetic.
+    """
+    uw = events.select(
+        F.col(user_col).alias("u"), F.date_trunc("week", F.col(ts_col)).alias("w")
+    ).distinct()
+    cohort = F.min("w").over(Window.partitionBy("u"))
+    return (
+        uw.select("u", "w", cohort.alias("cohort_week"))
+        .groupBy("cohort_week", (F.datediff("w", "cohort_week") / 7).cast("int").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def rolling_event_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    n: int = 3,
+) -> DataFrame:
+    """Per-user trailing-window stats: for every event, the sum and mean of
+    ``value_col`` over the last ``n`` events of that user (ROWS frame,
+    order pinned by (ts, event_id) so the frame content is deterministic
+    under timestamp ties), plus the user's running event count.
+
+    One shuffle (the window partition by user); the frame itself is
+    streaming state of O(n) per partition-local user run. A RANGE/interval
+    frame ("last 7 days") is the same shape — ROWS is used here because a
+    fixed event count is what the deterministic oracle pairing needs.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    frame = w.rowsBetween(-(n - 1), 0)
+    return events.select(
+        user_col,
+        id_col,
+        F.round(F.sum(value_col).over(frame), 4).alias("roll_sum"),
+        F.round(F.avg(value_col).over(frame), 4).alias("roll_avg"),
+        F.row_number().over(w).alias("cum_events"),
+    )
+
+
+def group_quantiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact interpolated per-group quantiles (SQL ``percentile`` — the
+    same (n-1)*q linear interpolation as DuckDB's ``quantile_cont``),
+    plus the group count.
+
+    Exact percentile is a sort-based aggregate: fine when groups are few
+    (event types) and partial aggregation bounds the shuffle to per-group
+    sketch state. For high-cardinality groups or 100 TB single columns,
+    swap ``percentile`` for ``percentile_approx`` (t-digest, mergeable,
+    bounded memory) — same call shape, approximate answer, which is why
+    the exact form is the oracle-paired default and the approx form is a
+    one-token change documented here rather than a second code path.
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, {q})"), 4).alias(
+            f"p{int(round(q * 100))}"
+        )
+        for q in quantiles
+    ]
+    return events.groupBy(group_col).agg(*aggs, F.count(F.lit(1)).alias("n"))

@@ -40,3 +40,43 @@ def project_cast(df: DataFrame, spec: IngestSpec, include_envelope: bool = True)
             expr = get_transform(t)(expr)
         cols.append(expr.alias(c.destination))
     return df.select(*cols)
+
+
+QUARANTINE_ERRORS_COL = "_rdl_errors"
+
+
+def project_cast_quarantine(
+    df: DataFrame, spec: IngestSpec, include_envelope: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split of a change batch: rows whose declared casts are
+    LOSSY (source value present, cast result NULL) detour to a quarantine
+    set instead of silently becoming NULLs (``cast`` under ANSI-off) or
+    failing the whole load (ANSI-on). The reference aborts the batch on a
+    bad value (pandas ``astype`` raising mid-load); a resident
+    10^10-event pipeline cannot — poison rows must land somewhere
+    inspectable while the batch commits.
+
+    Returns ``(good, bad)``: ``good`` is ``project_cast`` over the rows
+    with no lossy cast; ``bad`` carries the RAW source rows plus
+    ``_rdl_errors: array<string>`` naming the failing destination columns
+    (the dead-letter table shape — raw payload preserved for replay after
+    a spec fix). Cost: the try_cast flags are one narrow codegen
+    projection; both outputs filter the same scan, no shuffle, and
+    Catalyst prunes the error array out of the good side's plan.
+    """
+    fails = [
+        F.when(
+            F.col(c.source).isNotNull()
+            & F.col(c.source).try_cast(c.spark_type).isNull(),
+            F.lit(c.destination),
+        )
+        for c in spec.columns
+    ]
+    flagged = df.withColumn(
+        QUARANTINE_ERRORS_COL, F.array_compact(F.array(*fails))
+    )
+    good = flagged.filter(F.size(QUARANTINE_ERRORS_COL) == 0).drop(
+        QUARANTINE_ERRORS_COL
+    )
+    bad = flagged.filter(F.size(QUARANTINE_ERRORS_COL) > 0)
+    return project_cast(good, spec, include_envelope), bad

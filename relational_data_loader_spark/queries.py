@@ -28,12 +28,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from relational_data_loader_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
     simhash_signatures,
     token_jaccard_pairs,
+)
+from relational_data_loader_spark.operators.events import (
+    cohort_retention,
+    group_quantiles,
+    rolling_event_stats,
 )
 from relational_data_loader_spark.operators.lww import net_changes
 from relational_data_loader_spark.operators.similarity import (
@@ -1691,6 +1697,205 @@ SELECT 'purchase', 2, (SELECT count(*) FROM s3)
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup pairs → connected components → keep/drop verdict per doc
+    (operators/dedup.py dedup_clusters). The stage that turns pairwise
+    similarity into an actionable dedup decision; oracle is a recursive
+    transitive-closure CTE over the SAME pair query."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    pairs = near_dup_pairs(docs, "text", "doc_id", threshold=0.5)
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_NEAR_DUP}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s WHERE e.d <> r.n),
+labels AS (
+  SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(l.cluster_id, d.doc_id) = d.doc_id AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention over the events stream
+    (operators/events.py cohort_retention)."""
+    return cohort_retention(_t(spark, sf, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),
+c AS (SELECT u, w, min(w) OVER (PARTITION BY u) AS cohort_week FROM uw)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+       count(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_rolling_event_stats(spark, sf):
+    """Per-user trailing-3-event rolling sum/avg + running count
+    (operators/events.py rolling_event_stats)."""
+    return rolling_event_stats(_t(spark, sf, "events"), n=3)
+
+
+SQL_ROLLING_EVENT_STATS = """
+SELECT user_id, event_id,
+       CAST(round(sum(value) OVER w3, 4) AS DOUBLE) AS roll_sum,
+       CAST(round(avg(value) OVER w3, 4) AS DOUBLE) AS roll_avg,
+       CAST(row_number() OVER wo AS INT) AS cum_events
+FROM events
+WINDOW
+  w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+  wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_group_quantiles(spark, sf):
+    """Exact interpolated p50/p90/p99 of event value per event type
+    (operators/events.py group_quantiles)."""
+    return group_quantiles(_t(spark, sf, "events"))
+
+
+SQL_GROUP_QUANTILES = """
+SELECT event_type,
+       CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
+       CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90,
+       CAST(round(quantile_cont(value, 0.99), 4) AS DOUBLE) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_corpus_build(spark, sf):
+    """Flagship composed pipeline (operators/corpus.py build_corpus):
+    exact dedup -> quality gate -> benchmark decontamination -> stratified
+    sample, constants pinned here; the oracle re-derives the whole chain
+    in SQL. Benchmark = the doc_id % 97 slice, same as
+    ngram_contamination."""
+    from relational_data_loader_spark.operators.corpus import build_corpus
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return build_corpus(
+        corpus,
+        bench,
+        min_tokens=5,
+        min_alpha=0.3,
+        max_contamination=0.5,
+        rates={"en": 0.5},
+        default_rate=1.0,
+    )
+
+
+def _corpus_build_sql() -> str:
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    u32 = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE length(text) > 0 AND doc_id % 97 <> 0),
+keep AS (
+  SELECT *, min(doc_id) OVER (
+      PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+  FROM base),
+quality AS (
+  SELECT doc_id, lang, text,
+         len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS n_tokens,
+         CAST(round(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
+                    / length(text), 4) AS DOUBLE) AS alpha_ratio
+  FROM keep WHERE doc_id = k),
+q2 AS (SELECT * FROM quality WHERE n_tokens >= 5 AND alpha_ratio >= 0.3),
+toksq AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM q2),
+ngq AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM toksq)),
+toksb AS (
+  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE doc_id % 97 = 0),
+bng AS (
+  SELECT DISTINCT array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toksb)),
+sizes AS (SELECT doc_id, count(*) AS n FROM ngq GROUP BY 1),
+hits AS (SELECT n.doc_id, count(*) AS h FROM ngq n JOIN bng USING (ngram) GROUP BY 1),
+cont AS (
+  SELECT s.doc_id,
+         CAST(round(coalesce(h.h, 0) / CAST(s.n AS DOUBLE), 4) AS DOUBLE)
+           AS contaminated_frac
+  FROM sizes s LEFT JOIN hits h USING (doc_id))
+SELECT q.doc_id, q.lang, q.n_tokens, q.alpha_ratio,
+       coalesce(c.contaminated_frac, CAST(0.0 AS DOUBLE)) AS contaminated_frac
+FROM q2 q LEFT JOIN cont c USING (doc_id)
+WHERE coalesce(c.contaminated_frac, 0.0) <= 0.5
+  AND ({u32}) / {float(2**32)!r}
+      < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END)
+"""
+
+
+def q_cdc_quarantine_split(spark, sf):
+    """Dead-letter split (operators/project.py project_cast_quarantine):
+    a dirty feed where every 7th row carries an uncastable value; the
+    query returns the QUARANTINED rows (raw payload + failing columns).
+    try_cast semantics pair exactly with DuckDB's TRY_CAST."""
+    from relational_data_loader_spark.operators.project import (
+        project_cast_quarantine,
+    )
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    dirty = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.col("event_type"))
+        .otherwise(F.regexp_extract("props", r"[0-9]+", 0))
+        .alias("mixed"),
+    )
+    spec = IngestSpec(
+        name="dirty_feed",
+        source="",
+        columns=[
+            ColumnSpec("event_id", "event_id", "bigint", primary_key=True),
+            ColumnSpec("mixed", "k_int", "int"),
+        ],
+    )
+    _good, bad = project_cast_quarantine(dirty, spec, include_envelope=False)
+    return bad.select(
+        "event_id", "mixed", F.array_join("_rdl_errors", ",").alias("err")
+    )
+
+
+SQL_QUARANTINE_SPLIT = """
+WITH dirty AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN event_type
+              ELSE regexp_extract(props, '[0-9]+', 0) END AS mixed
+  FROM events)
+SELECT event_id, mixed, 'k_int' AS err
+FROM dirty
+WHERE mixed IS NOT NULL AND TRY_CAST(mixed AS INT) IS NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -1747,4 +1952,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "token_length_histogram": (q_token_length_histogram, SQL_TOKEN_HISTOGRAM),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "rolling_event_stats": (q_rolling_event_stats, SQL_ROLLING_EVENT_STATS),
+    "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "corpus_build": (q_corpus_build, _corpus_build_sql()),
+    "cdc_quarantine_split": (q_cdc_quarantine_split, SQL_QUARANTINE_SPLIT),
 }
