@@ -283,6 +283,22 @@ def doc_frequency_topk(
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Unpersist a ``localCheckpoint``-ed DataFrame's backing RDD blocks.
+
+    Spark's ContextCleaner would reclaim them eventually (after driver
+    GC), but an iterative loop creates one checkpoint per round — on a
+    10^9-node graph waiting for GC means holding every superseded round's
+    full label set in executor storage simultaneously. The checkpointed
+    plan is a ``LogicalRDD`` whose RDD handle is reachable through the
+    query execution; non-LogicalRDD plans (not a checkpoint) are left
+    alone.
+    """
+    lp = df._jdf.queryExecution().logical()
+    if lp.getClass().getSimpleName() == "LogicalRDD":
+        lp.rdd().unpersist(False)
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
@@ -315,6 +331,11 @@ def dedup_clusters(
     full count. GraphX's large-star/small-star halves the rounds on
     high-diameter graphs; not needed for clique-ish dup families.
     """
+    # pairs feeds BOTH union branches: without its own cache the entire
+    # upstream pipeline (for near-dup input: LSH + Jaccard verification)
+    # materializes twice — measured 2× the pipeline cost at sf0.1. Cache
+    # it only until the symmetric edge set is itself cached, then drop.
+    pairs = pairs.persist()
     src = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = src.union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -325,6 +346,7 @@ def dedup_clusters(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    pairs.unpersist()  # edges materialized by the labels checkpoint above
     for _ in range(max_iterations):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -342,6 +364,7 @@ def dedup_clusters(
             .limit(1)
             .count()
         )
+        _release_checkpoint(labels)  # superseded round: free its blocks now
         labels = new
         if shrunk == 0:
             break
