@@ -62,6 +62,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="maintenance: delete uncommitted data files + old manifests "
         "(snapshot sink) / expire old snapshots (iceberg), then exit",
     )
+    p.add_argument(
+        "--optimize",
+        action="store_true",
+        help="maintenance: sort-compact every bucket to one PK-sorted file "
+        "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -84,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     forced = {s.strip() for s in args.force_full_refresh.split(",") if s.strip()}
 
-    if args.expire_tombstones_below is not None or args.vacuum:
+    if args.expire_tombstones_below is not None or args.vacuum or args.optimize:
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
         # as table services, the snapshot sink ships its own)
@@ -101,6 +107,14 @@ def main(argv: list[str] | None = None) -> int:
                 # the snapshot sink counts expired rows; Iceberg's DELETE
                 # doesn't surface a count — report that honestly
                 out["tombstones_expired"] = n if n is not None else "unknown"
+            if args.optimize:
+                # order matters: optimize BEFORE vacuum, so the superseded
+                # pre-optimize files fall out of the retention window
+                if hasattr(table, "optimize"):
+                    out["files_compacted"] = table.optimize()
+                else:
+                    table.compact(sort_order=", ".join(spec.primary_keys))
+                    out["compacted"] = True
             if args.vacuum:
                 if hasattr(table, "vacuum"):
                     out["files_vacuumed"] = table.vacuum()

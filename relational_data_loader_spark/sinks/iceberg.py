@@ -782,13 +782,21 @@ class IcebergTable:
             f"WHERE {DELETED_COL} AND {LSN_COL} <= {int(below_lsn)}"
         )
 
-    def compact(self) -> None:
+    def compact(self, sort_order: str | None = None) -> None:
         """Fold merge-on-read delete files back into data files
         (rewrite_data_files — the async compaction the module docstring
-        budgets for at 10^10 events)."""
+        budgets for at 10^10 events). With ``sort_order`` (e.g.
+        ``"conv_id, turn_idx"``) the rewrite also sort-clusters rows —
+        the SnapshotTable.optimize twin: row-group stats then prune point
+        lookups inside each bucket."""
         catalog, _, table = self.identifier.partition(".")
+        extra = (
+            f", strategy => 'sort', sort_order => {_sql_quote(sort_order)}"
+            if sort_order
+            else ""
+        )
         self.spark.sql(
-            f"CALL {catalog}.system.rewrite_data_files(table => '{table}')"
+            f"CALL {catalog}.system.rewrite_data_files(table => '{table}'{extra})"
         )
 
     def expire_snapshots(self, retain_last: int = 100) -> None:

@@ -748,6 +748,49 @@ class SnapshotTable:
                 removed += 1
         return removed
 
+    def optimize(self, sort_cols: list[str] | None = None) -> int:
+        """Sort-compaction (the OPTIMIZE table service; Iceberg twin:
+        ``rewrite_data_files`` with a sort strategy): rewrite every bucket
+        as ONE file with rows sorted by ``sort_cols`` (default: the
+        primary key).
+
+        Logical content is bit-identical — tombstones, internal lsn/audit
+        columns, everything; only the physical layout changes. The win is
+        ORDER, not file count (this sink's merges already rewrite each
+        touched bucket to one file): merge output is clustered by bucket
+        but row order inside follows the LWW window processing, so parquet
+        row-group min/max stats on the PK are useless — after a sort
+        rewrite they prune point lookups (``read_keys``) and PK-range
+        scans inside the bucket, the same reason Iceberg deployments run
+        sort-strategy ``rewrite_data_files``. It also collapses
+        multi-file buckets when they do occur (full-refresh task splits,
+        speculative duplicates). Commits a
+        new manifest version (``kind=optimize``) — epochs/watermarks
+        carry over untouched, time travel to pre-optimize versions keeps
+        reading the old files until ``vacuum``. Returns the file count
+        before the rewrite (the maintenance report's "compacted N").
+        """
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        layout = int(m.get("n_buckets", self.n_buckets))
+        rels = [p for files in m["buckets"].values() for p in files]
+        df = self._read_files(rels)
+        cols = list(sort_cols) if sort_cols else self.spec.primary_keys
+        clustered = (
+            df.withColumn(_BUCKET_COL, bucket_expr(self.bucket_key, layout))
+            .repartition(layout, F.col(_BUCKET_COL))
+            .sortWithinPartitions(_BUCKET_COL, *cols)
+        )
+        new_buckets = self._write_buckets(
+            clustered, n_buckets=layout, pre_clustered=True
+        )
+        manifest = dict(m)
+        manifest["buckets"] = new_buckets
+        manifest["kind"] = "optimize"
+        self._commit(manifest)
+        return len(rels)
+
     def expire_tombstones(self, below_lsn: int) -> int:
         """Drop tombstone rows with lsn ≤ ``below_lsn`` (Iceberg twin:
         compaction). Safe once the caller knows no out-of-order event older

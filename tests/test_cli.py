@@ -190,3 +190,27 @@ def test_multi_spec_batch_run(setup, capsys, tmp_path):
     want = duck_final_state(f"{logdir}/*.parquet")
     for s in (spec, spec2):
         assert_tables_equal(spark_sorted_pdf(mgr.table(s).read()), want)
+
+
+def test_maintenance_optimize_flag(setup, capsys, tmp_path):
+    import json as _json
+
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=4)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+
+    rc = main(["--warehouse", wh, "--specs", specdir, "--optimize"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert doc["spec"] == "transcripts" and doc["files_compacted"] > 0
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    t = mgr.table(spec)
+    assert t.current_manifest()["kind"] == "optimize"
+    got = spark_sorted_pdf(t.read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))

@@ -98,3 +98,42 @@ def test_group_quantiles_interpolates(spark):
     row = group_quantiles(df, quantiles=(0.5,)).collect()[0]
     assert row["p50"] == pytest.approx(2.5)  # (n-1)*q interpolation
     assert row["n"] == 4
+
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    return {i: find(i) for i in range(n_nodes)}
+
+
+def test_dedup_clusters_random_graphs_match_union_find(spark):
+    """Property check against a driver-side union-find oracle on a batch of
+    seeded random graphs (one Spark call per graph is slow, so the graphs
+    are fixed-seed rather than hypothesis-driven; shapes chosen to cover
+    chains, cliques, stars, and isolated nodes)."""
+    import random
+
+    for seed, n, m in [(1, 12, 8), (2, 20, 25), (3, 30, 15), (4, 9, 40)]:
+        rng = random.Random(seed)
+        edges = [
+            tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+        ]
+        want = _uf_components(n, edges)
+        got = dedup_clusters(
+            _docs(spark, list(range(n))),
+            _pairs(spark, edges) if edges else _pairs(spark, []),
+            "doc_id",
+        )
+        rows = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+        assert rows == want, f"seed={seed}"
