@@ -326,10 +326,12 @@ def dedup_clusters(
     template, diameter 1-2). Two things make iteration safe at 10^9 docs:
     labels are ``localCheckpoint``-ed each round, truncating a lineage
     that would otherwise grow by two shuffles per round until the planner
-    chokes; and the convergence probe is ``limit(1).count()`` on the
-    strictly-shrunk labels — an existence check that short-circuits, not a
-    full count. GraphX's large-star/small-star halves the rounds on
-    high-diameter graphs; not needed for clique-ish dup families.
+    chokes; and the convergence probe exploits monotonicity (labels only
+    ever decrease) — ``sum(label)`` is unchanged iff the round is a
+    fixpoint, one scalar agg over the fresh checkpoint instead of a
+    join-back shuffle against the previous round. GraphX's
+    large-star/small-star halves the rounds on high-diameter graphs; not
+    needed for clique-ish dup families.
     """
     # pairs feeds BOTH union branches: without its own cache the entire
     # upstream pipeline (for near-dup input: LSH + Jaccard verification)
@@ -347,6 +349,13 @@ def dedup_clusters(
         .localCheckpoint()
     )
     pairs.unpersist()  # edges materialized by the labels checkpoint above
+    # convergence probe: labels are MONOTONE (each round takes a min over
+    # the old label and neighbors, so no label can grow) — therefore
+    # sum(label) strictly decreases iff any label changed, and an
+    # unchanged sum IS the fixpoint proof. One scalar agg over the freshly
+    # checkpointed labels, instead of a join-back against the previous
+    # round (which costs a shuffle per iteration).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -357,17 +366,12 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        shrunk = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new.agg(F.sum("label")).collect()[0][0]
         _release_checkpoint(labels)  # superseded round: free its blocks now
         labels = new
-        if shrunk == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()  # labels are checkpointed: no lineage back to edges
     return (
         docs.select(F.col(id_col).alias("doc_id"))

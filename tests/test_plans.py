@@ -218,3 +218,43 @@ def test_lang_id_counts_overlapping_trigram_positions(spark):
     docs = spark.createDataFrame([(1, "the the")], "doc_id int, text string")
     row = TXT.lang_id(docs).collect()[0]
     assert (row["lang"], row["score"]) == ("en", 18)
+
+
+def test_quarantine_split_is_pure_scan_filter(spark):
+    """The dead-letter split adds NO shuffle and NO Python: both outputs
+    are filters over the same scan with codegen try_cast flags."""
+    from relational_data_loader_spark.queries import q_cdc_quarantine_split
+
+    plan = _plan(q_cdc_quarantine_split(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_stats_single_window_exchange(spark):
+    """All three rolling outputs (sum/avg/count) ride ONE partition-by-user
+    exchange — separate windows per aggregate would re-shuffle."""
+    from relational_data_loader_spark.queries import q_rolling_event_stats
+
+    plan = _plan(q_rolling_event_stats(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_build_broadcasts_benchmark_ngrams(spark):
+    """The benchmark n-gram set joins by broadcast (eval suites are tiny
+    next to the corpus); no cartesian anywhere in the composed plan."""
+    from relational_data_loader_spark.queries import q_corpus_build
+
+    plan = _plan(q_corpus_build(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_quantiles_partial_aggregates(spark):
+    """Exact percentile must still partial-aggregate map-side (two
+    ObjectHashAggregate phases around one exchange), keeping the shuffle
+    at per-group sketch size, not row count."""
+    from relational_data_loader_spark.queries import q_group_quantiles
+
+    plan = _plan(q_group_quantiles(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
