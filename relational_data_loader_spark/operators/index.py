@@ -1,0 +1,66 @@
+"""Inverted-index maintenance: build and incrementally maintain a
+token -> doc posting table from the engine's I/U/D change feed.
+
+operators/incremental.py maintains ALGEBRAIC views (sums/counts) from the
+feed; this maintains the other common derived-table shape, an EXPLODED
+view (one row per token x doc — the search/dedup posting list). The IVM
+contract is the same: ``apply_delta_postings(index(v1), changes(v1->v2))``
+must equal ``posting_index(state(v2))`` exactly, which is what the
+sink-integration test pins through the real change feed.
+
+Delta algebra (doc-granular, not token-granular): a document's postings
+are a pure function of its text, so the minimal correct update is
+"remove every posting of every CHANGED doc, then re-derive postings from
+the new text of I/U rows" — D rows contribute removal only. Token-level
+diffing (remove only tokens that left) would save nothing: the new text
+must be tokenized anyway, and the removal side is an anti-join either way.
+
+Scale shape: the anti-join keys on doc_id, so at 10^9 docs the index
+table should be stored bucketed by doc_id — the maintenance join then
+co-locates with storage and touches only changed buckets (the same
+argument as the sink's bucket-pruned MERGE). A serving copy partitioned
+by token is a downstream projection, not this table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from relational_data_loader_spark.functions.text import normalize
+
+
+def posting_index(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Full rebuild: distinct ``(tok, doc_id)`` postings over normalized,
+    whitespace-split text (the same tokenization as operators/dedup.py, so
+    index and dedup pipelines agree on what a token is)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .select("tok", "doc_id")
+    )
+
+
+def apply_delta_postings(
+    prev_index: DataFrame,
+    changes: DataFrame,
+    text_col: str,
+    id_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """One incremental step: ``changes`` is the engine CDF envelope (one
+    row per changed doc, op in I/U/D, NEW text on I/U, text irrelevant on
+    D). Returns the maintained index — postings of unchanged docs carried
+    by anti-join, postings of I/U docs re-derived from their new text.
+    """
+    changed_ids = changes.select(F.col(id_col).alias("doc_id")).distinct()
+    kept = prev_index.join(changed_ids, "doc_id", "left_anti")
+    added = posting_index(
+        changes.where(F.col(op_col) != delete_op), text_col, id_col
+    )
+    return kept.select("tok", "doc_id").union(added)

@@ -1909,6 +1909,58 @@ WHERE mixed IS NOT NULL AND TRY_CAST(mixed AS INT) IS NULL
 """
 
 
+def q_posting_index_ivm(spark, sf):
+    """Incremental inverted-index maintenance (operators/index.py): build
+    the posting index at v1, apply a synthetic I/U/D feed (deletes every
+    11th doc, reverses the text of every remaining 7th, inserts a clone of
+    every 13th under a new id). The IVM contract is what the oracle
+    checks: the incrementally-maintained index equals a full rebuild over
+    the v2 state — the oracle derives v2 directly, never the delta
+    algebra."""
+    from relational_data_loader_spark.operators.index import (
+        apply_delta_postings,
+        posting_index,
+    )
+
+    v1 = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
+    prev = posting_index(v1, "text", "doc_id")
+    d = v1.filter(F.col("doc_id") % 11 == 0).select(
+        F.lit("D").alias("op"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+    )
+    u = v1.filter(
+        (F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 7 == 0)
+    ).select(F.lit("U").alias("op"), "doc_id", F.reverse("text").alias("text"))
+    i = v1.filter(F.col("doc_id") % 13 == 0).select(
+        F.lit("I").alias("op"),
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zzzz9")).alias("text"),
+    )
+    feed = d.union(u).union(i)
+    return apply_delta_postings(prev, feed, "text", "doc_id")
+
+
+SQL_POSTING_INDEX_IVM = r"""
+WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+  FROM v1 WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zzzz9' FROM v1 WHERE doc_id % 13 = 0)
+SELECT DISTINCT tok, doc_id FROM (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM v2)
+WHERE tok <> ''
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -1971,4 +2023,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "corpus_build": (q_corpus_build, _corpus_build_sql()),
     "cdc_quarantine_split": (q_cdc_quarantine_split, SQL_QUARANTINE_SPLIT),
+    "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
 }

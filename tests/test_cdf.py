@@ -200,3 +200,29 @@ def test_payload_identical_reupsert_reports_update(spark, tmp_path):
     }
     changed = tbl._changed_buckets(tbl.manifest_at(1), tbl.manifest_at(2))
     assert set(changed) == {bmap["c1"]}
+
+
+def test_cdf_feeds_posting_index_ivm(spark, cdf_rig):
+    """Composition: the sink's change feed maintains an inverted index
+    (operators/index.py) — index(v1) + delta(CDF 1→2) equals a rebuild
+    over read(version=2), row-exact. Composite PK folded to a surrogate
+    doc key on both sides."""
+    from relational_data_loader_spark.operators.index import (
+        apply_delta_postings,
+        posting_index,
+    )
+
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    key = F.concat_ws(":", F.col("conv_id").cast("string"), F.col("turn_idx").cast("string"))
+    v1 = tbl.read(version=1).select(key.alias("doc"), "text")
+    v2 = tbl.read(version=2).select(key.alias("doc"), "text")
+    feed = tbl.changes_between(1, 2).select("op", key.alias("doc"), "text")
+
+    inc = apply_delta_postings(
+        posting_index(v1, "text", "doc"), feed, "text", "doc"
+    )
+    full = posting_index(v2, "text", "doc")
+    a = sorted((r["tok"], r["doc_id"]) for r in inc.collect())
+    b = sorted((r["tok"], r["doc_id"]) for r in full.collect())
+    assert a == b and len(a) > 0
