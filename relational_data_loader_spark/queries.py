@@ -1961,6 +1961,83 @@ WHERE tok <> ''
 """
 
 
+_PACK_BUDGET = 1024
+_PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark, sf):
+    """Training-sequence packing assignment (operators/packing.py): lay
+    documents end-to-end per shard in doc_id order, chunk the token stream
+    at a 1024-token budget, roll up per-sequence fill stats. Single
+    shuffle: the per-shard running sum's exchange also serves the
+    (shard, seq) rollup (plan-gated)."""
+    from relational_data_loader_spark.operators.packing import (
+        pack_sequences,
+        packed_sequence_stats,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    asg = pack_sequences(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    return packed_sequence_stats(asg, budget=_PACK_BUDGET)
+
+
+SQL_SEQUENCE_PACKING = rf"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                               ' ')) AS BIGINT) AS toks
+  FROM documents),
+c AS (
+  SELECT shard, doc_id, toks,
+         sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT shard, CAST((cum - toks) // {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+       count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(CAST(sum(toks) AS DOUBLE) / {_PACK_BUDGET}, 4) AS fill_ratio
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_session_window_rollup(spark, sf):
+    """Gap-based session windows via Spark's native session_window
+    (streaming/sessions.py) run in batch mode: per (user, session) start,
+    exclusive end (= last event + 30 min), event count, value sum. The
+    streaming twin with watermark finalization is pinned by
+    tests/test_session_window.py; the oracle reproduces the merge rule as
+    gaps-and-islands with a STRICT > boundary — Spark's session merge is
+    inclusive (an event at exactly prev_ts + gap EXTENDS the session;
+    pinned empirically in tests/test_session_window.py)."""
+    from relational_data_loader_spark.streaming.sessions import (
+        session_window_stats,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value",
+        "event_id",
+    )
+    return session_window_stats(ev, gap="30 minutes")
+
+
+SQL_SESSION_WINDOW = """
+WITH g AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+i AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM i GROUP BY user_id, sid
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog
 
@@ -2024,4 +2101,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_build": (q_corpus_build, _corpus_build_sql()),
     "cdc_quarantine_split": (q_cdc_quarantine_split, SQL_QUARANTINE_SPLIT),
     "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),
 }
