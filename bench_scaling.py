@@ -43,6 +43,26 @@ log_dir = sys.argv[3]; head_dir = sys.argv[4]; scratch = sys.argv[6]
 spark = get_spark("rdl-scale", master=f"local[{{cores}}]", shuffle_partitions=2 * cores,
                   extra_conf={{"spark.local.dir": os.path.join(scratch, "sparktmp")}})
 spark.sparkContext.setLogLevel("ERROR")
+
+# JIT warm-up (UNTIMED): run the identical plan shapes on a 1/32 + 1/16
+# slice first. Cold whole-stage-codegen + C2 at wide masters serializes
+# every task thread behind compilation — run M measured t_incr 57.6 s
+# cold vs 8.9 s warm on the SAME JVM at local[32]; timing a cold trial
+# measures the compiler, not the engine, and the distortion GROWS with
+# width (more threads waiting), which biased the efficiency ratio down.
+import pyspark.sql.functions as F
+warm_a = os.path.join(scratch, f"warm_a_{{n_events}}")
+warm_b = os.path.join(scratch, f"warm_b_{{n_events}}")
+if not os.path.exists(os.path.join(warm_b, "_SUCCESS")):
+    src = spark.read.parquet(head_dir)
+    src.filter(F.col("lsn") <= n_events // 32).write.mode("overwrite").parquet(warm_a)
+    src.filter(F.col("lsn") <= n_events // 16).write.mode("overwrite").parquet(warm_b)
+wwh = os.path.join(scratch, f"warm_wh_{{cores}}")
+shutil.rmtree(wwh, ignore_errors=True)
+wmgr = DataLoadManager(spark, wwh)
+wmgr.run(transcripts_spec(source=f"parquet://{{warm_a}}", target_buckets=64, batch_size=0))
+wmgr.run(transcripts_spec(source=f"parquet://{{warm_b}}", target_buckets=64, batch_size=0))
+
 best = None
 for trial in range(trials):
     # fresh warehouse per trial; same JVM so JIT/codegen is warm after t0
@@ -152,7 +172,9 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--big", type=int, default=16)
     ap.add_argument("--events", type=int, default=2_000_000)
-    ap.add_argument("--trials", type=int, default=2, help="best-of trials per process (JIT warm on 2nd)")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="best-of trials per process (all post-warm-up; "
+                         "2 still guards against host-throttle windows)")
     ap.add_argument("--rounds", type=int, default=2, help="alternating process rounds per width")
     ap.add_argument("--storage", choices=["shm", "disk"], default="shm",
                     help="shm: RAM-backed source/warehouse/shuffle (distributed-storage stand-in)")
