@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel_reached(
@@ -28,6 +29,7 @@ def funnel_reached(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Per user: how many funnel stages were completed in order
     (``n_reached`` in 0..len(stages)).
@@ -37,11 +39,32 @@ def funnel_reached(
     match STRICTLY after the previous stage's matched timestamp; equal
     timestamps order (ts, type) lexicographically in the fold, which cannot
     create a match the strict inequality forbids.
+
+    ``max_events_per_user`` bounds the one non-spillable structure in the
+    plan (VERDICT r4 #3): ``collect_list`` materializes a user's whole
+    funnel-event history in task memory, and a single bot user with 10^8
+    stage events lands in one task. The cap keeps each user's FIRST
+    ``max_events_per_user`` events by (ts, type) via a ``row_number``
+    window partitioned on the SAME key as the groupBy — Catalyst reuses
+    one exchange, so the guard costs a per-partition sort (spillable:
+    Spark's window sorter goes through UnsafeExternalSorter) but NO extra
+    shuffle. Below the cap the result is exact; above it, stages matched
+    only by events past the user's first ``max_events_per_user`` funnel
+    events are not counted — the documented truncation trade for bounded
+    memory. ``None`` disables the guard (and the sort).
     """
     n = len(stages)
     stage_arr = F.array(*[F.lit(s) for s in stages])
+    filtered = df.filter(F.col(type_col).isin(stages))
+    if max_events_per_user is not None:
+        w = Window.partitionBy(user_col).orderBy(ts_col, type_col)
+        filtered = (
+            filtered.withColumn("_rdl_rn", F.row_number().over(w))
+            .filter(F.col("_rdl_rn") <= max_events_per_user)
+            .drop("_rdl_rn")
+        )
     ev = (
-        df.filter(F.col(type_col).isin(stages))
+        filtered
         .groupBy(F.col(user_col))
         .agg(
             F.array_sort(
@@ -78,11 +101,14 @@ def funnel_counts(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_events_per_user: int | None = 100_000,
 ) -> DataFrame:
     """Stage-level funnel: ``(stage, stage_idx, n_users)`` — users who
     completed AT LEAST stage_idx+1 stages in order. The per-user fold
     reduces to one tiny global aggregate + a stack projection."""
-    per_user = funnel_reached(df, user_col, ts_col, type_col, stages)
+    per_user = funnel_reached(
+        df, user_col, ts_col, type_col, stages, max_events_per_user
+    )
     counts = per_user.agg(
         *[
             F.count(F.when(F.col("n_reached") >= i + 1, 1)).alias(f"_s{i}")

@@ -21,6 +21,7 @@ user_id≈key, event_type≈op with 'error' playing the delete op.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2039,6 +2040,106 @@ FROM i GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# Engine end-to-end final-state entries (VERDICT r4 task #4): the benched
+# cdc_full_refresh / cdc_incremental_merge paths have been pytest-pinned but
+# never driver-oracled. These twins run the ACTUAL engine (DataLoadManager →
+# SnapshotTable merge/tombstone machinery) over a change log derived
+# deterministically from the `events` table, then return the visible final
+# table — so the DuckDB oracle (pure SQL LWW + delete-drop over the same
+# derivation) checks the whole write path, not just the netting expression.
+
+
+def _derived_changelog(spark, sf):
+    """events → transcripts change-log envelopes, deterministically.
+
+    PK = (conv_id=user_id, turn_idx=event_id%37) so each key sees several
+    I/U/D events; 'error' events are deletes; payload columns are NULLed on
+    D, mirroring a CT/CDC delete envelope (SURVEY §2 S2).
+    """
+    ev = _t(spark, sf, "events")
+    is_del = F.col("event_type") == DELETE_OP
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.col("event_id") % 37).cast("int").alias("turn_idx"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("event_type")).alias("role"),
+        F.when(is_del, F.lit(None))
+        .otherwise(F.concat_ws(":", F.col("event_type"), F.col("props")))
+        .alias("text"),
+        F.when(is_del, F.lit(None)).otherwise(F.substring("props", 1, 8)).alias("tool"),
+        F.when(is_del, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
+    )
+
+
+def _state_workdir(sf: str, tag: str) -> str:
+    import re
+    import tempfile
+
+    safe = re.sub(r"\W+", "_", sf.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"rdl_qstate_{tag}_{safe}")
+
+
+def _run_engine_replay(spark, sf, tag: str, split: bool):
+    """Write the derived log, replay it through DataLoadManager, return the
+    visible table. ``split=True`` loads the head as a full refresh then the
+    tail incrementally (watermark skips the head) — the engine invariant is
+    that both routes land on the SAME final state, so both entries share one
+    oracle shape."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, tag)
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    if split:
+        cut = log.agg(F.max("lsn")).first()[0] // 2
+        log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+        mgr.run(spec)
+        log.write.mode("overwrite").parquet(log_dir)
+        mgr.run(spec)
+    else:
+        log.write.mode("overwrite").parquet(log_dir)
+        mgr.run(spec)
+    return mgr.table(spec).read()
+
+
+def q_cdc_full_refresh_state(spark, sf):
+    """Engine full-refresh replay → visible final table (W1-W4 end to end:
+    stage write, atomic swap, tombstone filter, manifest read)."""
+    return _run_engine_replay(spark, sf, "full", split=False)
+
+
+def q_cdc_incremental_merge_state(spark, sf):
+    """Engine head-refresh + tail-incremental replay → visible final table
+    (C1/C2 decision + watermark + MERGE/delete apply end to end). Must equal
+    the full-refresh oracle state exactly — replay-route invariance."""
+    return _run_engine_replay(spark, sf, "incr", split=True)
+
+
+SQL_ENGINE_FINAL_STATE = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ':' || props AS text,
+         substr(props, 1, 8) AS tool,
+         ts,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY user_id, event_id % 37
+                            ORDER BY event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND NOT is_del
+"""
+
+
+# --------------------------------------------------------------------------
 # catalog
 
 
@@ -2103,4 +2204,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),
+    "cdc_full_refresh_state": (q_cdc_full_refresh_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_incremental_merge_state": (
+        q_cdc_incremental_merge_state,
+        SQL_ENGINE_FINAL_STATE,
+    ),
 }

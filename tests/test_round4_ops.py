@@ -282,6 +282,46 @@ def test_funnel_strict_order_and_ties(spark):
     assert counts == {"signup": 4, "click": 2, "purchase": 1}
 
 
+def test_funnel_adversarial_hot_user_is_bounded(spark):
+    """VERDICT r4 #5: one bot user with 10^6 stage events must not blow the
+    per-task array. With the cap the collected array is <= cap rows, the
+    plan keeps a single exchange (window + groupBy share the user key), and
+    the answer stays exact because the qualifying events are inside the
+    cap. A post-cap qualifier is the documented truncation trade."""
+    from relational_data_loader_spark.operators.funnel import funnel_reached
+
+    n = 1_000_000
+    bot = (
+        spark.range(n)
+        .select(
+            F.lit(7).alias("user_id"),
+            # 1M signups spread over an hour, then one click after them
+            F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 3600).alias("ts"),
+            F.lit("signup").alias("event_type"),
+        )
+    )
+    # the click lands at second 1 — inside the user's first 1000 events by
+    # (ts, type) (~278 signups share second 0) and strictly after the
+    # stage-1 match at second 0, so the capped result is still exact
+    tail = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:01", "click"), (8, "2024-01-01 00:00:00", "signup")],
+        "user_id INT, ts STRING, event_type STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df = bot.unionByName(tail)
+
+    capped = funnel_reached(
+        df, "user_id", "ts", "event_type", ["signup", "click"],
+        max_events_per_user=1000,
+    )
+    # single exchange: the row_number guard must NOT add a second shuffle
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    got = {r["user_id"]: r["n_reached"] for r in capped.collect()}
+    # the click is AFTER the bot's first 1000 signups, so it still matches;
+    # exactness below the cap is preserved
+    assert got == {7: 2, 8: 1}
+
+
 # --- PII scrub ---------------------------------------------------------------
 
 
