@@ -327,9 +327,10 @@ def dedup_clusters(
     labels are ``localCheckpoint``-ed each round, truncating a lineage
     that would otherwise grow by two shuffles per round until the planner
     chokes; and the convergence probe exploits monotonicity (labels only
-    ever decrease) — ``sum(label)`` is unchanged iff the round is a
-    fixpoint, one scalar agg over the fresh checkpoint instead of a
-    join-back shuffle against the previous round. GraphX's
+    ever decrease) — for numeric ids ``sum(label)`` is unchanged iff the
+    round is a fixpoint, one scalar agg over the fresh checkpoint; for
+    non-numeric ids (URLs, hashes) an exact changed-label join-back runs
+    instead, costing one extra equi-join per round. GraphX's
     large-star/small-star halves the rounds on high-diameter graphs; not
     needed for clique-ish dup families.
     """
@@ -349,13 +350,27 @@ def dedup_clusters(
         .localCheckpoint()
     )
     pairs.unpersist()  # edges materialized by the labels checkpoint above
-    # convergence probe: labels are MONOTONE (each round takes a min over
-    # the old label and neighbors, so no label can grow) — therefore
-    # sum(label) strictly decreases iff any label changed, and an
-    # unchanged sum IS the fixpoint proof. One scalar agg over the freshly
-    # checkpointed labels, instead of a join-back against the previous
-    # round (which costs a shuffle per iteration).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence probe, dispatched on the label TYPE (ADVICE r4: the sum
+    # probe assumed numeric ids — string ids crashed under ANSI casts or,
+    # worse, NULL-summed into a one-round early exit and silently wrong
+    # clusters for diameter>=2 components):
+    # - numeric ids: labels are MONOTONE (each round takes a min over the
+    #   old label and neighbors, so no label can grow) — sum(label) is
+    #   unchanged iff the round is a fixpoint. One scalar agg over the
+    #   fresh checkpoint, no join-back shuffle.
+    # - non-numeric ids (URLs, content hashes): min-order has no numeric
+    #   embedding, so the probe is an exact changed-label count via
+    #   join-back against the previous round — one extra equi-join per
+    #   round, both sides already node-keyed. The numeric fast path is
+    #   why callers with synthetic int ids never pay it.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType, NumericType
+    )
+    prev_sum = (
+        labels.agg(F.sum("label")).collect()[0][0] if numeric_ids else None
+    )
     for _ in range(max_iterations):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -366,12 +381,24 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        new_sum = new.agg(F.sum("label")).collect()[0][0]
+        if numeric_ids:
+            new_sum = new.agg(F.sum("label")).collect()[0][0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new.join(
+                    labels.withColumnRenamed("label", "_prev"), "node"
+                )
+                .where(F.col("label") != F.col("_prev"))
+                .limit(1)
+                .count()
+                == 0
+            )
         _release_checkpoint(labels)  # superseded round: free its blocks now
         labels = new
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     edges.unpersist()  # labels are checkpointed: no lineage back to edges
     return (
         docs.select(F.col(id_col).alias("doc_id"))

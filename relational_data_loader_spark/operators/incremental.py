@@ -41,6 +41,7 @@ def apply_delta_rollup(
     value_col: str,
     old_value_col: str,
     op_col: str = "op",
+    old_group: Column | None = None,
 ) -> DataFrame:
     """Merge a change feed into a previous rollup.
 
@@ -49,21 +50,56 @@ def apply_delta_rollup(
     I) — the shape ``operators.diff.snapshot_diff(include_old=True)`` emits.
     Groups whose net row count reaches zero are dropped (the group no longer
     exists, matching a recompute).
+
+    ``group`` is evaluated against the NEW row values. With the default
+    ``old_group=None`` the group expression MUST be immutable under
+    updates (PK-derived — the engine's own CDF satisfies this: keys never
+    change inside a U) — otherwise a U whose grouping column changed posts
+    BOTH +new and −old to the new group, leaving the old group stale
+    (ADVICE r4). When the group CAN drift, pass ``old_group`` (the same
+    expression over the ``*_old`` columns): U rows then split into
+    −old@old_group / +new@new_group, at the cost of a second aggregation
+    over the feed (still drift-proportional, never table-scan).
     """
     op = F.col(op_col)
-    add = F.when(op.isin("I", "U"), F.col(value_col).cast(_DEC)).otherwise(
-        F.lit(0).cast(_DEC)
-    )
-    sub = F.when(op.isin("D", "U"), F.col(old_value_col).cast(_DEC)).otherwise(
-        F.lit(0).cast(_DEC)
-    )
-    dn = (
-        F.when(op == "I", F.lit(1)).when(op == "D", F.lit(-1)).otherwise(F.lit(0))
-    ).cast("bigint")
-    delta = changes.groupBy(group.alias("grp")).agg(
-        F.sum(add - sub).alias("_dsum"),
-        F.sum(dn).alias("_dn"),
-    )
+    if old_group is not None:
+        adds = changes.where(op.isin("I", "U")).groupBy(
+            group.alias("grp")
+        ).agg(
+            F.sum(F.col(value_col).cast(_DEC)).alias("_asum"),
+            F.count(F.lit(1)).alias("_an"),
+        )
+        subs = changes.where(op.isin("D", "U")).groupBy(
+            old_group.alias("grp")
+        ).agg(
+            F.sum(F.col(old_value_col).cast(_DEC)).alias("_ssum"),
+            F.count(F.lit(1)).alias("_sn"),
+        )
+        zz = F.lit(0).cast(_DEC)
+        delta = adds.join(subs, "grp", "full_outer").select(
+            "grp",
+            (F.coalesce(F.col("_asum"), zz) - F.coalesce(F.col("_ssum"), zz)).alias(
+                "_dsum"
+            ),
+            (
+                F.coalesce(F.col("_an"), F.lit(0))
+                - F.coalesce(F.col("_sn"), F.lit(0))
+            ).cast("bigint").alias("_dn"),
+        )
+    else:
+        add = F.when(op.isin("I", "U"), F.col(value_col).cast(_DEC)).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+        sub = F.when(op.isin("D", "U"), F.col(old_value_col).cast(_DEC)).otherwise(
+            F.lit(0).cast(_DEC)
+        )
+        dn = (
+            F.when(op == "I", F.lit(1)).when(op == "D", F.lit(-1)).otherwise(F.lit(0))
+        ).cast("bigint")
+        delta = changes.groupBy(group.alias("grp")).agg(
+            F.sum(add - sub).alias("_dsum"),
+            F.sum(dn).alias("_dn"),
+        )
     z = F.lit(0).cast(_DEC)
     merged = prev.join(delta, "grp", "full_outer").select(
         "grp",

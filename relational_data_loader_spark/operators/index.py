@@ -64,3 +64,70 @@ def apply_delta_postings(
         changes.where(F.col(op_col) != delete_op), text_col, id_col
     )
     return kept.select("tok", "doc_id").union(added)
+
+
+def _token_bucket(tok_col, n_buckets: int):
+    """JVM xxhash64 bucket id for a token — the ONE hash definition shared
+    by writer and reader (re-implementing it driver-side is the same
+    silent-desync trap SnapshotTable.read_keys documents)."""
+    return F.pmod(F.xxhash64(tok_col), F.lit(n_buckets)).cast("int")
+
+
+def write_serving_postings(
+    index: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Materialize the doc_id-oriented IVM index as a TOKEN-bucketed
+    serving copy (the downstream projection the module docstring promises):
+    ``_bucket = pmod(xxhash64(tok), n_buckets)``, one repartition on the
+    bucket id (so each bucket is one writer task's files, not
+    n_tasks x n_buckets shards), written ``partitionBy("_bucket")`` so a
+    point lookup is directory-pruned to the probed buckets. ``n_buckets``
+    is persisted beside the data — reader desync on the bucket count would
+    silently read the wrong directories.
+
+    Scale: the serving copy is rebuilt per maintenance cycle from the IVM
+    table (one shuffle of the postings); at 10^9 docs the alternative —
+    serving straight from the doc_id-bucketed table — scans everything per
+    token, which is the point of this projection.
+    """
+    import json
+    import os
+
+    (
+        index.withColumn("_bucket", _token_bucket(F.col("tok"), n_buckets))
+        .repartition("_bucket")
+        .write.partitionBy("_bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_serving_meta.json"), "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+
+
+def lookup_postings(spark, path: str, toks: list[str]) -> DataFrame:
+    """Point lookup on the serving copy: postings of ``toks``, reading ONLY
+    the partition directories those tokens hash into. Bucket ids come from
+    one tiny control-plane job over the probe list (len(toks) rows) using
+    the same JVM hash as the writer; the partition-column IN filter then
+    prunes at the file index — the plan gate pins ``PartitionFilters`` on
+    ``_bucket``, so this stays O(probed buckets), never a table scan."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_serving_meta.json")) as fh:
+        n_buckets = int(json.load(fh)["n_buckets"])
+    probe = spark.createDataFrame([(t,) for t in toks], "tok string")
+    buckets = sorted(
+        r["b"]
+        for r in probe.select(
+            _token_bucket(F.col("tok"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("_bucket").isin(buckets))
+        .filter(F.col("tok").isin(toks))
+        .select("tok", "doc_id")
+    )

@@ -35,9 +35,23 @@ def point_in_interval_join(
     ``point_col``/``start_col``/``end_col`` must be integer-comparable
     (cast timestamps to ``unix_micros`` first). Interval-side explode emits
     one row per covered bucket — ``sequence()`` is evaluated per row, so an
-    interval spanning B buckets costs B rows, never a cross join. The
-    final filter restores exactness on bucket-boundary pairs.
+    interval spanning B buckets costs B rows, never a cross join.
+
+    The exact range predicate lives IN the join condition, not in a
+    post-join filter (ADVICE r4: a filter after an outer join silently
+    drops the null-extended rows, degenerating every outer join to inner).
+    ``how`` may be ``inner`` or ``left`` — a point has exactly ONE bucket
+    row, so left semantics survive the bucketing (one null-extended row
+    per unmatched point). Interval-side outer (``right``/``full``) is
+    rejected: the explode gives an interval B bucket rows, and an outer
+    join would emit B null-extended duplicates for an unmatched interval —
+    flip the inputs and use ``left`` instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner' and 'left' survive bucket "
+            "explosion (flip inputs for interval-side outer semantics)"
+        )
     w = F.lit(int(bucket_width))
     b_start = F.floor(F.col(start_col) / w)
     # half-open: a point equal to end is NOT matched, so the last covered
@@ -45,10 +59,11 @@ def point_in_interval_join(
     b_end = F.floor((F.col(end_col) - F.lit(1)) / w)
     iv = intervals.withColumn(
         "_bucket", F.explode(F.sequence(b_start, F.greatest(b_end, b_start)))
+    ).alias("_iv")
+    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w)).alias("_pt")
+    cond = (
+        (F.col("_pt._bucket") == F.col("_iv._bucket"))
+        & (F.col(f"_pt.{point_col}") >= F.col(f"_iv.{start_col}"))
+        & (F.col(f"_pt.{point_col}") < F.col(f"_iv.{end_col}"))
     )
-    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w))
-    joined = pt.join(iv, "_bucket", how).filter(
-        (F.col(point_col) >= F.col(start_col))
-        & (F.col(point_col) < F.col(end_col))
-    )
-    return joined.drop("_bucket")
+    return pt.join(iv, cond, how).drop("_bucket")

@@ -1962,6 +1962,44 @@ WHERE tok <> ''
 """
 
 
+_LOOKUP_TOKENS = ["data", "table", "qq_absent_token"]
+
+
+def q_posting_lookup(spark, sf):
+    """Serving-side point lookup (operators/index.py write_serving_postings
+    + lookup_postings): materialize the token-bucketed serving copy of the
+    posting index, then read back three probe tokens (one absent) touching
+    only their hash buckets. The oracle re-derives the same postings in
+    SQL — so the driver checks the whole write-projection + pruned-read
+    path, not just the tokenization."""
+    import shutil
+
+    from relational_data_loader_spark.operators.index import (
+        lookup_postings,
+        posting_index,
+        write_serving_postings,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
+    base = _state_workdir(sf, "postings")
+    shutil.rmtree(base, ignore_errors=True)
+    write_serving_postings(posting_index(docs, "text", "doc_id"), base, n_buckets=16)
+    return lookup_postings(spark, base, _LOOKUP_TOKENS)
+
+
+SQL_POSTING_LOOKUP = r"""
+SELECT DISTINCT tok, doc_id FROM (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 2000)
+WHERE tok IN ('data', 'table', 'qq_absent_token')
+"""
+
+
 _PACK_BUDGET = 1024
 _PACK_SHARDS = 8
 
@@ -2202,6 +2240,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "corpus_build": (q_corpus_build, _corpus_build_sql()),
     "cdc_quarantine_split": (q_cdc_quarantine_split, SQL_QUARANTINE_SPLIT),
     "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
+    "posting_lookup": (q_posting_lookup, SQL_POSTING_LOOKUP),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),
     "cdc_full_refresh_state": (q_cdc_full_refresh_state, SQL_ENGINE_FINAL_STATE),

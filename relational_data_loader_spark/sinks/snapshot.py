@@ -409,7 +409,15 @@ class SnapshotTable:
         """Change data feed between two committed versions: one I/U/D row
         per drifted primary key, carrying the v_to payload (NULL on D —
         deletes carry keys only, the engine's CT envelope convention) and
-        the row's new ``lsn``.
+        the row's new ``lsn``. D rows source their lsn from the v_to
+        TOMBSTONE (the delete event's sequence number, version-guard
+        advanced past the old row) — the same envelope the Iceberg twin's
+        ``classify_changelog`` emits, so a consumer ordering or
+        checkpointing the feed by lsn behaves identically on both sinks
+        (ADVICE r4: this side used to filter tombstones before the diff
+        and emit NULL). The one case left NULL is a key that vanished
+        WITHOUT a tombstone (a full-refresh rewrite dropped it) — there is
+        no event lsn to report, and claiming one would be fabrication.
 
         The Iceberg-CDF analog for the snapshot sink, built from what the
         sink already guarantees: every applied change advances the row's
@@ -432,19 +440,39 @@ class SnapshotTable:
         pks = self.spec.primary_keys
         payload = [c for c in visible if c not in pks]
 
-        def _side(m: dict[str, Any]) -> DataFrame:
+        def _side(m: dict[str, Any], with_tombstones: bool) -> DataFrame:
             rels = [p for b in changed for p in m["buckets"].get(b, [])]
             df = self._read_files(rels)
-            return df.filter(
-                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-            ).select(*visible, F.col(LSN_COL))
+            flag = F.coalesce(F.col(DELETED_COL), F.lit(False))
+            if not with_tombstones:
+                return df.filter(~flag).select(*visible, F.col(LSN_COL))
+            return df.select(*visible, F.col(LSN_COL), flag.alias("_del"))
 
+        # old side: visible rows only; new side: tombstones kept so a
+        # visible->tombstone transition classifies as D *with the delete
+        # event's lsn* instead of dropping the row before the diff
         diff = snapshot_diff(
-            _side(m0), _side(m1), pks,
-            compare_cols=[LSN_COL], carry_cols=payload,
+            _side(m0, with_tombstones=False),
+            _side(m1, with_tombstones=True),
+            pks,
+            compare_cols=[LSN_COL], carry_cols=payload + ["_del"],
         )
-        return diff.select(
-            "op", *pks, *payload, F.col(LSN_COL).alias("lsn")
+        new_dead = F.coalesce(F.col("_del"), F.lit(False))
+        return (
+            # a tombstone with no old visible row is not a visible-state
+            # change (deleted before v_from, or inserted+deleted within
+            # the window) — drop it, don't report a phantom I
+            diff.filter(~((F.col("op") == "I") & new_dead))
+            .select(
+                F.when(new_dead, F.lit("D")).otherwise(F.col("op")).alias("op"),
+                *pks,
+                # CT envelope: deletes carry keys only
+                *[
+                    F.when(new_dead, F.lit(None)).otherwise(F.col(c)).alias(c)
+                    for c in payload
+                ],
+                F.col(LSN_COL).alias("lsn"),
+            )
         )
 
     def watermark(self) -> int:

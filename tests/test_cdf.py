@@ -10,7 +10,8 @@ Contracts pinned here:
   touched-bucket report;
 - a payload-identical re-upsert still reports U (the version guard advanced
   the row's lsn — an event WAS applied);
-- deletes carry keys only (NULL payload), lsn rides on I/U rows.
+- deletes carry keys only (NULL payload); lsn rides on every row, with D
+  rows sourcing it from the tombstone (same envelope as the Iceberg twin).
 """
 
 import pyarrow.compute as pc
@@ -77,7 +78,10 @@ def test_changes_between_applies_to_old_state(spark, cdf_rig):
     for r in feed:
         k = (r["conv_id"], r["turn_idx"])
         if r["op"] == "D":
-            assert r["text"] is None and r["lsn"] is None  # keys only
+            # keys only — but the lsn IS the delete event's sequence
+            # number, sourced from the tombstone (the Iceberg twin's
+            # envelope; ADVICE r4 closed the NULL-lsn divergence)
+            assert r["text"] is None and r["lsn"] is not None
             state.pop(k)
         else:
             assert r["lsn"] is not None

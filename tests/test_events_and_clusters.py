@@ -44,6 +44,28 @@ def test_dedup_clusters_path_graph_converges(spark):
     }
 
 
+def test_dedup_clusters_string_ids_path_graph(spark):
+    """ADVICE r4: string doc ids (URLs, hashes) used to crash the numeric
+    sum probe under ANSI — or silently stop after one round with ANSI off,
+    mislabeling components of diameter >= 2. This path graph needs 3
+    propagation rounds, so a one-round early exit cannot pass it."""
+    docs = spark.createDataFrame(
+        [("url/a",), ("url/b",), ("url/c",), ("url/d",), ("url/z",)],
+        "doc_id: string",
+    )
+    pairs = spark.createDataFrame(
+        [("url/a", "url/b"), ("url/b", "url/c"), ("url/c", "url/d")],
+        "doc_a: string, doc_b: string",
+    )
+    got = dedup_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in got.collect()}
+    assert rows == {
+        "url/a": ("url/a", True), "url/b": ("url/a", False),
+        "url/c": ("url/a", False), "url/d": ("url/a", False),
+        "url/z": ("url/z", True),
+    }
+
+
 def test_dedup_clusters_merging_components(spark):
     # two chains that share a bridge edge collapse to ONE component
     got = dedup_clusters(

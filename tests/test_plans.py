@@ -258,3 +258,26 @@ def test_group_quantiles_partial_aggregates(spark):
     plan = _plan(q_group_quantiles(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_posting_lookup_prunes_buckets(spark):
+    """The serving-copy point lookup must be partition-pruned: the scan's
+    PartitionFilters carry the _bucket IN list, and only the probed
+    buckets' directories are in the file listing — O(probed buckets),
+    never a table scan."""
+    from relational_data_loader_spark.queries import q_posting_lookup
+
+    import re
+
+    df = q_posting_lookup(spark, SF)
+    plan = _plan(df)
+    # the _bucket IN (...) predicate must land in PartitionFilters (file-
+    # index directory pruning), NOT merely in the data Filter above the
+    # scan; inputFiles() can't witness this — it lists the relation's
+    # files pre-pruning
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "_bucket" in m.group(1) and " IN (" in m.group(1), m.group(1)
+    # <=3 probe tokens -> <=3 bucket ids in the pruning list
+    in_list = re.search(r"IN \(([^)]*)\)", m.group(1)).group(1)
+    assert len(in_list.split(",")) <= 3, in_list

@@ -126,6 +126,35 @@ def test_incremental_rollup_drops_emptied_group(spark):
     assert {r["grp"] for r in out.collect()} == {2}
 
 
+def test_incremental_rollup_mutable_group_via_old_group(spark):
+    """ADVICE r4: a U whose GROUPING column changed must post -old to the
+    old group and +new to the new group. The default (group from new
+    values only) requires an immutable group key; old_group handles the
+    mutable case — pinned here against a full recompute, including a
+    group emptied purely by migration."""
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "k INT, g STRING, v DOUBLE",
+    )
+    # k=2 migrates a->b with a new value; k=3 stays; k=1 unchanged... then
+    # also k=1 migrates a->c so group 'a' empties entirely via migration
+    new = spark.createDataFrame(
+        [(1, "c", 10.0), (2, "b", 25.0), (3, "b", 5.0)],
+        "k INT, g STRING, v DOUBLE",
+    )
+    prev = group_rollup(old, F.col("g"), "v")
+    chg = snapshot_diff(old, new, ["k"], ["g", "v"], include_old=True)
+    out = finalize_rollup(
+        apply_delta_rollup(
+            prev, chg, F.col("g"), "v", "v_old", old_group=F.col("g_old")
+        )
+    )
+    got = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in out.collect()}
+    full = finalize_rollup(group_rollup(new, F.col("g"), "v"))
+    exp = {r["grp"]: (r["sum_value"], r["n_rows"]) for r in full.collect()}
+    assert got == exp == {"b": (30.0, 2), "c": (10.0, 1)}
+
+
 # --- range join -------------------------------------------------------------
 
 
@@ -154,6 +183,31 @@ def test_range_join_half_open_boundaries(spark):
     iv = spark.createDataFrame([(1, 10, 20)], "iid INT, s BIGINT, e BIGINT")
     got = point_in_interval_join(pts, iv, "p", "s", "e", bucket_width=7)
     assert [r["pid"] for r in got.collect()] == [1]  # start in, end out
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    """ADVICE r4: the exactness predicate used to run as a post-join
+    filter, which silently dropped every null-extended row — `left` was
+    inner in disguise. Now the predicate is in the join condition."""
+    import pytest as _pytest
+
+    pts = spark.createDataFrame(
+        [(1, 15), (2, 99), (3, 10)], "pid INT, p BIGINT"
+    )
+    iv = spark.createDataFrame([(1, 10, 20)], "iid INT, s BIGINT, e BIGINT")
+    got = {
+        r["pid"]: r["iid"]
+        for r in point_in_interval_join(
+            pts, iv, "p", "s", "e", bucket_width=7, how="left"
+        ).collect()
+    }
+    # matched points carry the interval; unmatched survive null-extended,
+    # exactly once each (a point has ONE bucket row)
+    assert got == {1: 1, 3: 1, 2: None}
+    # interval-side outer would emit one null row per covered bucket:
+    # rejected with guidance, not silently wrong
+    with _pytest.raises(ValueError, match="flip inputs"):
+        point_in_interval_join(pts, iv, "p", "s", "e", 7, how="full")
 
 
 # --- transcripts ------------------------------------------------------------
