@@ -46,6 +46,56 @@ def word_ngrams(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     ).distinct()
 
 
+def repeated_ngrams(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Word n-grams shared across documents: ``(ngram, n_docs,
+    n_occurrences)`` for every ``n``-gram appearing in at least
+    ``min_docs`` distinct documents.
+
+    The memorization-risk twin of decontamination: long spans repeated
+    across many training documents are what models most readily memorize
+    verbatim (boilerplate, licenses, templated text), so pipelines surface
+    them for down-weighting or span-level dedup.
+
+    Plan: two-LEVEL aggregation instead of one ``count_distinct`` groupBy —
+    the (doc_id, ngram) pre-aggregation partial-combines map-side (a doc's
+    internal repeats never shuffle), and the second rollup then gets
+    distinct-doc counts as plain ``count(*)``, avoiding the Expand
+    duplication a count_distinct would put on the full exploded stream.
+    At corpus scale the explode is the large intermediate; it flows
+    straight into partial aggregation, and the final state is bounded by
+    the distinct-ngram count. Production note: swap the ngram string for
+    ``xxhash64(ngram)`` as the shuffle key when spans are long — the
+    output then carries hashes and a sample span per hash."""
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    per_doc = (
+        based.select(
+            "doc_id",
+            F.explode(word_ngrams_from_tokens(F.col("_toks"), int(n))).alias(
+                "ngram"
+            ),
+        )
+        .groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

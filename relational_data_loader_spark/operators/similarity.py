@@ -217,6 +217,7 @@ def kmeans_refine_centroids(
     centroids: list[list[float]],
     n_iters: int = 2,
     emb_col: str = "embedding",
+    round_decimals: int | None = None,
 ) -> list[list[float]]:
     """Spherical-k-means (Lloyd) refinement of IVF centroids, as DataFrame
     aggregations (VERDICT r3 task #5).
@@ -254,7 +255,16 @@ def kmeans_refine_centroids(
             v = [float(r[f"m{i}"]) for i in range(dim)]
             norm = math.sqrt(sum(x * x for x in v))
             if norm > 1e-12:
-                new[r["cell"]] = [x / norm for x in v]
+                vals = [x / norm for x in v]
+                if round_decimals is not None:
+                    # Per-iteration decimal grid: the cell means carry
+                    # ~1e-16 summation-order noise (Spark partial aggs vs
+                    # any sequential oracle), and the next iteration's
+                    # argmax assignment must not see it. Rounding the unit
+                    # vector to a fixed grid makes the refined centroids
+                    # reproducible as SQL literals/CTEs in an oracle.
+                    vals = [round(x, round_decimals) for x in vals]
+                new[r["cell"]] = vals
         cents = new
     return cents
 

@@ -127,3 +127,76 @@ def conversation_stats(
             )
         )
     return df.groupBy(F.col(conv_col)).agg(*aggs)
+
+
+def context_windows(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    k_prev: int = 3,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Sliding training-example assembly: for every turn, the concatenation
+    of the previous ``k_prev`` turns plus the turn itself — the
+    context-window construction an SFT/RLHF pipeline runs over a turn
+    table to emit one example per target turn. Output is one row per turn:
+    ``(conv, turn, n_ctx, ctx_chars, ctx_fingerprint)`` with the
+    fingerprint standing in for the assembled text (the md5 is what
+    equality checks and dedup consume; callers wanting the raw example
+    drop the md5 and keep the join).
+
+    Plan: ONE window exchange on conv_col (the same hash partitioning the
+    turn table's bucketed layout already has, so on a bucketed read the
+    exchange disappears) and a per-partition sort; the frame
+    ``rowsBetween(-k_prev, 0)`` keeps the buffer at k_prev+1 texts per row
+    regardless of conversation length — unlike a whole-conversation
+    collect_list, a hot conversation never concentrates its full history
+    in one aggregation buffer. Ordering is total because turn_col is
+    unique per conversation (PK after replay)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col)
+        .rowsBetween(-int(k_prev), 0)
+    )
+    ctx = F.array_join(
+        F.collect_list(F.col(text_col)).over(w), sep, null_replacement="\x00"
+    )
+    return df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.count(F.lit(1)).over(w).alias("n_ctx"),
+        F.md5(ctx).alias("ctx_fingerprint"),
+        F.length(ctx).cast("bigint").alias("ctx_chars"),
+    )
+
+
+def dedup_conversations(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Conversation-granular exact dedup: assemble each conversation's
+    ordered fingerprint (``assemble_conversations``), then keep the lowest
+    conv id per fingerprint. Transcript corpora duplicate at the
+    CONVERSATION level (re-ingested sessions, mirrored sources), where
+    turn-level or document-level dedup never fires. Output: one row per
+    distinct conversation content — ``(conv_fingerprint, n_convs, keeper,
+    n_turns)``; downstream joins ``keeper`` back to the turn table to
+    materialize the surviving corpus.
+
+    Plan: the assembly groupBy (one exchange on conv_col) feeds a second
+    groupBy on the 128-bit fingerprint — uniform md5 keys, no skew, both
+    aggregations partial-combine."""
+    asm = assemble_conversations(df, conv_col, turn_col, text_col)
+    return (
+        asm.groupBy("conv_fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min(conv_col).alias("keeper"),
+            F.min("n_turns").alias("n_turns"),
+        )
+    )

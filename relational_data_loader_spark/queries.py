@@ -1167,6 +1167,124 @@ WHERE rk <= {_IVF_K}
 """
 
 
+_IVF_KMEANS_ITERS = 2
+
+
+def q_ivf_cosine_topk_refined(spark, sf):
+    """IVF ANN with the spherical-k-means-refined coarse quantizer
+    (operators/similarity.py kmeans_refine_centroids), end to end: same
+    data-sampled init as ivf_cosine_topk, then 2 deterministic Lloyd
+    iterations with ``round_decimals=6`` — each iteration's renormalized
+    mean-direction centroids land on a fixed decimal grid, so the oracle
+    can re-derive them with unrolled SQL iterations instead of needing
+    data-dependent literals (which would pin the oracle to one SF). The
+    refinement itself is DataFrame aggregation: assignment is the same
+    shuffle-free codegen argmax, re-centering is one map-side-partial
+    groupBy of n_centroids x dim doubles per iteration; only n_centroids
+    rows ever reach the driver."""
+    from relational_data_loader_spark.operators.similarity import (
+        ivf_cosine_topk,
+        kmeans_refine_centroids,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    init = sample_centroids(emb, _IVF_CENTROIDS)
+    cents = kmeans_refine_centroids(
+        emb, init, n_iters=_IVF_KMEANS_ITERS, round_decimals=6
+    )
+    return ivf_cosine_topk(
+        emb.filter(F.col("vec_id") < _IVF_QUERIES), emb, cents,
+        k=_IVF_K, nprobe=_IVF_NPROBE,
+    )
+
+
+def _ivf_refined_sql(iters: int = _IVF_KMEANS_ITERS, dim: int = 64) -> str:
+    """DuckDB twin of q_ivf_cosine_topk_refined: the Lloyd iterations are
+    UNROLLED as CTE pairs (assign -> per-cell mean -> renormalize+round),
+    so the same SQL string is correct at every SF. Float discipline, per
+    term: csim rounds to 6dp before every argmax (both engines); cell
+    means carry ~1e-16 summation-order noise (Spark partial aggs vs
+    DuckDB sequential) which the 6dp rounding of the unit vector absorbs;
+    dot/norm chains are explicit left-to-right so the final reranked
+    doubles are bit-identical. Empty cells and ~zero-norm means keep the
+    previous centroid (LEFT JOIN + CASE), mirroring the operator."""
+
+    def dot(a, b):
+        return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+    def norm(a):
+        return "sqrt(" + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1)) + ")"
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        "c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb"
+        f" FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS}))",
+    ]
+    for j in range(1, iters + 1):
+        p = j - 1
+        means = ", ".join(f"avg(e.emb[{i}]) AS m{i}" for i in range(1, dim + 1))
+        mnorm = "sqrt(" + " + ".join(
+            f"m{i}*m{i}" for i in range(1, dim + 1)
+        ) + ")"
+        unit = ", ".join(
+            f"round(n.m{i} / n.nrm, 6)" for i in range(1, dim + 1)
+        )
+        ctes += [
+            f"s{j} AS (SELECT e.vec_id, c.cell,"
+            f" round(({dot('e.emb', 'c.cemb')}) /"
+            f" ({norm('e.emb')} * {norm('c.cemb')}), 6) AS csim"
+            f" FROM e CROSS JOIN c{p} c)",
+            f"a{j} AS (SELECT vec_id, cell FROM"
+            f" (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY csim DESC, cell ASC) rn FROM s{j}) WHERE rn = 1)",
+            f"m{j} AS (SELECT a.cell, {means}"
+            f" FROM a{j} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cell)",
+            f"n{j} AS (SELECT *, {mnorm} AS nrm FROM m{j})",
+            f"c{j} AS (SELECT c.cell, CASE WHEN n.cell IS NULL OR"
+            f" n.nrm <= 1e-12 THEN c.cemb ELSE [{unit}] END AS cemb"
+            f" FROM c{p} c LEFT JOIN n{j} n ON c.cell = n.cell)",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+sims AS (
+  SELECT e.vec_id, cen.cell,
+         round(({dot('e.emb', 'cen.cemb')}) /
+               ({norm('e.emb')} * {norm('cen.cemb')}), 6) AS csim
+  FROM e CROSS JOIN c{iters} cen),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell ASC) rn
+        FROM sims)
+  WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS q_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell DESC) rn
+        FROM sims WHERE vec_id < {_IVF_QUERIES})
+  WHERE rn <= {_IVF_NPROBE}),
+pairs AS (
+  SELECT p.q_id, a.vec_id AS c_id
+  FROM probe p JOIN assign a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+scored AS (
+  SELECT pr.q_id, pr.c_id,
+         CAST(round(({dot('qe.emb', 'ce.emb')}) /
+                    ({norm('qe.emb')} * {norm('ce.emb')}), 3) AS DOUBLE) AS sim
+  FROM pairs pr
+  JOIN e qe ON qe.vec_id = pr.q_id
+  JOIN e ce ON ce.vec_id = pr.c_id)
+SELECT q_id, c_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY sim DESC, c_id) rk
+      FROM scored)
+WHERE rk <= {_IVF_K}
+"""
+
+
 def q_cdc_debezium_parse(spark, sf):
     """Debezium envelope round-trip (sources/debezium.py): each event is
     serialized into a real Debezium JSON document (op c/r/u/d, before/after
@@ -1384,6 +1502,69 @@ FROM events GROUP BY user_id
 """
 
 
+def q_context_window_assembly(spark, sf):
+    """SFT example construction (operators/transcript.py context_windows):
+    one training example per turn = the previous 3 turns + the turn
+    itself, fingerprinted. events as the transcript: user_id=conv_id,
+    event_id=turn order, event_type=turn text."""
+    from relational_data_loader_spark.operators.transcript import context_windows
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    return context_windows(ev, "user_id", "event_id", "event_type", k_prev=3)
+
+
+SQL_CONTEXT_WINDOWS = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_ctx,
+       md5(array_to_string(list(event_type) OVER w, chr(31))) AS ctx_fingerprint,
+       CAST(length(array_to_string(list(event_type) OVER w, chr(31))) AS BIGINT)
+         AS ctx_chars
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_conversation_dedup(spark, sf):
+    """Conversation-granular exact dedup (operators/transcript.py
+    dedup_conversations): assembled-fingerprint grouping with keeper
+    election. A synthetic mirror (user_id + 1e9, same turns) is unioned in
+    so duplicate conversations actually exist; every fingerprint must then
+    have exactly 2 members with the original as keeper."""
+    from relational_data_loader_spark.operators.transcript import (
+        dedup_conversations,
+    )
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "event_type")
+    mirror = ev.select(
+        (F.col("user_id") + F.lit(1_000_000_000)).alias("user_id"),
+        "event_id",
+        "event_type",
+    )
+    return dedup_conversations(
+        ev.unionByName(mirror), "user_id", "event_id", "event_type"
+    )
+
+
+SQL_CONVERSATION_DEDUP = """
+WITH turns AS (
+  SELECT user_id, event_id, event_type FROM events
+  UNION ALL
+  SELECT user_id + 1000000000 AS user_id, event_id, event_type FROM events),
+asm AS (
+  SELECT user_id,
+         count(*) AS n_turns,
+         md5(string_agg(event_type, chr(31) ORDER BY event_id))
+           AS conv_fingerprint
+  FROM turns GROUP BY user_id)
+SELECT conv_fingerprint,
+       count(*) AS n_convs,
+       min(user_id) AS keeper,
+       min(n_turns) AS n_turns
+FROM asm GROUP BY conv_fingerprint
+"""
+
+
 def q_transcript_integrity(spark, sf):
     """Turn-sequence audit (operators/transcript.py turn_integrity):
     duplicate and missing turn keys per conversation. Epoch-second of ts
@@ -1588,6 +1769,33 @@ SELECT s.doc_id, s.n_ngrams,
        CAST(round(coalesce(h.n_contaminated, 0) / CAST(s.n_ngrams AS DOUBLE), 4)
             AS DOUBLE) AS contaminated_frac
 FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def q_repeated_ngrams(spark, sf):
+    """Cross-document repeated spans (operators/contamination.py
+    repeated_ngrams): every 6-gram appearing in >= 2 distinct documents,
+    with its distinct-doc count and total occurrence count — the
+    memorization-risk sweep a training-data pipeline runs alongside
+    decontamination."""
+    from relational_data_loader_spark.operators.contamination import repeated_ngrams
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return repeated_ngrams(docs, "text", "doc_id", n=6, min_docs=2)
+
+
+SQL_REPEATED_NGRAMS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+ng AS (
+  SELECT doc_id, array_to_string(ts[i:i+5], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 5)) AS i
+        FROM toks)),
+per_doc AS (SELECT doc_id, ngram, count(*) AS cnt FROM ng GROUP BY 1, 2)
+SELECT ngram, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM per_doc GROUP BY 1 HAVING count(*) >= 2
 """
 
 
@@ -2087,16 +2295,19 @@ FROM i GROUP BY user_id, sid
 # derivation) checks the whole write path, not just the netting expression.
 
 
-def _derived_changelog(spark, sf):
+def _derived_changelog(spark, sf, with_model: bool = False):
     """events → transcripts change-log envelopes, deterministically.
 
     PK = (conv_id=user_id, turn_idx=event_id%37) so each key sees several
     I/U/D events; 'error' events are deletes; payload columns are NULLed on
     D, mirroring a CT/CDC delete envelope (SURVEY §2 S2).
+
+    ``with_model=True`` appends the v2 source column (``model``) that the
+    schema-evolution replay introduces mid-stream.
     """
     ev = _t(spark, sf, "events")
     is_del = F.col("event_type") == DELETE_OP
-    return ev.select(
+    cols = [
         F.col("event_id").alias("lsn"),
         F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         F.col("user_id").cast("string").alias("conv_id"),
@@ -2107,7 +2318,14 @@ def _derived_changelog(spark, sf):
         .alias("text"),
         F.when(is_del, F.lit(None)).otherwise(F.substring("props", 1, 8)).alias("tool"),
         F.when(is_del, F.lit(None)).otherwise(F.col("ts")).alias("ts"),
-    )
+    ]
+    if with_model:
+        cols.append(
+            F.when(is_del, F.lit(None))
+            .otherwise(F.concat(F.lit("m-"), F.substring("props", 1, 4)))
+            .alias("model")
+        )
+    return ev.select(*cols)
 
 
 def _state_workdir(sf: str, tag: str) -> str:
@@ -2158,6 +2376,74 @@ def q_cdc_incremental_merge_state(spark, sf):
     (C1/C2 decision + watermark + MERGE/delete apply end to end). Must equal
     the full-refresh oracle state exactly — replay-route invariance."""
     return _run_engine_replay(spark, sf, "incr", split=True)
+
+
+def q_cdc_schema_evolution_state(spark, sf):
+    """Engine replay across a MID-STREAM schema change (reference C1/W5:
+    the model-JSON edit between loads — SURVEY §2.1 W5/C1): the head of the
+    log loads under the v1 spec (full refresh), then the spec gains an
+    additive ``model`` column AND a ``tool``→``tool_name`` rename, and the
+    tail applies INCREMENTALLY against the evolved table. The visible final
+    state must show the renamed column for every row (metadata rename, no
+    rewrite), ``model`` values only where the winning writer arrived after
+    the evolution point, and NULL ``model`` on head-era winners — which is
+    exactly what the oracle states in one SQL pass. Exercises
+    plans/decision.py classify (additive + rename, no full refresh),
+    sinks' in-place evolve, and the watermark-driven tail merge in one
+    driver-checked entry."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec, transcripts_spec
+
+    base = _state_workdir(sf, "evolve")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf, with_model=True)
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+
+    # head arrives under the v1 source schema (no `model` column on disk)
+    log.filter(F.col("lsn") <= cut).drop("model").write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    spec1 = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr.run(spec1)
+
+    # v2 spec: rename tool→tool_name + additive model; tail incrementally
+    # (the rewritten log carries `model` everywhere, but the watermark skips
+    # head lsns, so head-era winners keep their v1-loaded NULL model)
+    log.write.mode("overwrite").parquet(log_dir)
+    cols = [
+        c if c.source != "tool" else ColumnSpec("tool", "tool_name", "string")
+        for c in spec1.columns
+    ] + [ColumnSpec("model", "model", "string")]
+    spec2 = IngestSpec(
+        name="transcripts", source=f"parquet://{log_dir}", columns=cols,
+        target_buckets=8,
+    )
+    res = mgr.run(spec2)
+    assert res.decision.kind == "incremental", res.decision.reasons
+    return mgr.table(spec2).read()
+
+
+SQL_SCHEMA_EVOLUTION_STATE = f"""
+SELECT conv_id, turn_idx, role, text, tool_name, model, ts
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ':' || props AS text,
+         substr(props, 1, 8) AS tool_name,
+         CASE WHEN event_id > (SELECT max(event_id) // 2 FROM events)
+              THEN 'm-' || substr(props, 1, 4) END AS model,
+         ts,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY user_id, event_id % 37
+                            ORDER BY event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND NOT is_del
+"""
 
 
 SQL_ENGINE_FINAL_STATE = f"""
@@ -2215,6 +2501,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
     "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
     "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
+    "ivf_cosine_topk_refined": (q_ivf_cosine_topk_refined, _ivf_refined_sql()),
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
     "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
@@ -2225,11 +2512,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_frequency_topk": (q_doc_frequency_topk, SQL_DOC_FREQUENCY),
     "stratified_sample": (q_stratified_sample, _stratified_sample_sql()),
     "transcript_assembly": (q_transcript_assembly, SQL_TRANSCRIPT_ASSEMBLY),
+    "context_window_assembly": (q_context_window_assembly, SQL_CONTEXT_WINDOWS),
+    "conversation_dedup": (q_conversation_dedup, SQL_CONVERSATION_DEDUP),
     "transcript_integrity": (q_transcript_integrity, SQL_TRANSCRIPT_INTEGRITY),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cdc_incremental_rollup": (q_cdc_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "interval_event_rollup": (q_interval_event_rollup, SQL_INTERVAL_ROLLUP),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
+    "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "token_length_histogram": (q_token_length_histogram, SQL_TOKEN_HISTOGRAM),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
@@ -2247,5 +2537,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_incremental_merge_state": (
         q_cdc_incremental_merge_state,
         SQL_ENGINE_FINAL_STATE,
+    ),
+    "cdc_schema_evolution_state": (
+        q_cdc_schema_evolution_state,
+        SQL_SCHEMA_EVOLUTION_STATE,
     ),
 }

@@ -1,0 +1,118 @@
+"""Round-5 additions: repeated n-gram spans, decimal-grid k-means
+refinement, and the mid-stream schema-evolution replay entry."""
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.contamination import repeated_ngrams
+from relational_data_loader_spark.operators.similarity import (
+    kmeans_refine_centroids,
+    sample_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+
+
+def test_repeated_ngrams_no_expand_two_aggs(spark):
+    """The distinct-doc count must come from the two-level aggregation,
+    never from count_distinct's Expand (which would double the exploded
+    n-gram stream before the first combine)."""
+    out = repeated_ngrams(_docs(spark), "text", "doc_id", n=6, min_docs=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, plan
+    # explode -> partial agg runs before ANY exchange: the first shuffle
+    # key is (doc_id, ngram), already combined map-side
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_repeated_ngrams_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),      # ngram 'a b c d e f' + 'b c d e f g'
+            (2, "a b c d e f"),        # shares 'a b c d e f'
+            (3, "a b c d e f a b c d e f"),  # shares it twice
+            (4, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["ngram"]: (r["n_docs"], r["n_occurrences"])
+        for r in repeated_ngrams(df, "text", "doc_id", n=6).collect()
+    }
+    assert rows["a b c d e f"] == (3, 4)
+    assert "b c d e f g" not in rows  # single-doc span stays private
+
+
+def test_kmeans_round_decimals_grid_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    init = sample_centroids(emb, 4)
+    a = kmeans_refine_centroids(emb, init, n_iters=2, round_decimals=6)
+    b = kmeans_refine_centroids(emb, init, n_iters=2, round_decimals=6)
+    assert a == b  # bitwise-identical across invocations
+    for c in a:
+        for v in c:
+            assert v == round(v, 6)  # every component on the decimal grid
+        norm = sum(x * x for x in c) ** 0.5
+        assert abs(norm - 1.0) < 1e-4  # unit direction (post-round slack)
+
+
+def test_schema_evolution_winners_split_on_cut(spark):
+    """Head-era winners carry NULL model after the additive evolve; tail
+    winners carry the v2 value; the rename is visible on every row."""
+    from relational_data_loader_spark.queries import q_cdc_schema_evolution_state
+
+    out = q_cdc_schema_evolution_state(spark, SF)
+    assert "tool_name" in out.columns and "tool" not in out.columns
+    n_null = out.filter(F.col("model").isNull()).count()
+    n_val = out.filter(F.col("model").startswith("m-")).count()
+    assert n_null > 0 and n_val > 0
+    assert n_null + n_val == out.count()
+
+
+def test_context_windows_frame_semantics(spark):
+    from relational_data_loader_spark.operators.transcript import context_windows
+
+    df = spark.createDataFrame(
+        [("c1", 1, "a"), ("c1", 2, "b"), ("c1", 3, "c"), ("c1", 4, "d"),
+         ("c1", 5, "e"), ("c2", 1, "x")],
+        ["conv", "turn", "text"],
+    )
+    out = {
+        (r["conv"], r["turn"]): (r["n_ctx"], r["ctx_chars"])
+        for r in context_windows(df, "conv", "turn", "text", k_prev=2).collect()
+    }
+    assert out[("c1", 1)] == (1, 1)       # no history yet
+    assert out[("c1", 3)] == (3, 5)       # 'a<US>b<US>c'
+    assert out[("c1", 5)] == (3, 5)       # frame caps at k_prev+1
+    assert out[("c2", 1)] == (1, 1)       # partitions isolated
+
+
+def test_context_windows_single_exchange(spark):
+    from relational_data_loader_spark.operators.transcript import context_windows
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "event_type"
+    )
+    plan = (
+        context_windows(ev, "user_id", "event_id", "event_type")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dedup_conversations_finds_mirror(spark):
+    from relational_data_loader_spark.operators.transcript import (
+        dedup_conversations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "hi"), (1, 2, "yo"), (2, 1, "hi"), (2, 2, "yo"),
+         (3, 1, "different")],
+        ["conv", "turn", "text"],
+    )
+    rows = {r["keeper"]: r for r in dedup_conversations(df, "conv", "turn", "text").collect()}
+    assert rows[1]["n_convs"] == 2 and rows[1]["n_turns"] == 2
+    assert rows[3]["n_convs"] == 1
