@@ -261,6 +261,55 @@ def token_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Subset-duplication detector: containment C(A,B) = |A∩B| /
+    min(|A|, |B|) over distinct word ``n``-gram sets, for pairs scoring
+    >= ``threshold``.
+
+    Broder's resemblance/containment split: a document embedded verbatim
+    inside a much larger one (quote-with-boilerplate, aggregator pages,
+    prompt+completion concatenations) scores LOW on Jaccard — the union is
+    dominated by the larger doc — but ~1.0 on containment of the smaller
+    side, so Jaccard-thresholded near-dup passes keep both copies and this
+    operator is what catches them.
+
+    Plan: same inverted-index self-join shape as ``token_jaccard_pairs``
+    (posting join → per-pair intersection count → broadcast-friendly size
+    joins); quadratic in the worst case, so at corpus scale it runs over
+    LSH candidates, not the raw corpus — compose exactly like
+    ``near_dup_pairs`` does for Jaccard."""
+    from relational_data_loader_spark.operators.contamination import word_ngrams
+
+    ng = word_ngrams(df, text_col, id_col, int(n))
+    sizes = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        ng.alias("a")
+        .join(ng.alias("b"), "ngram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i") / F.least(F.col("sa.sz"), F.col("sb.sz"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(cont >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 4).cast("double").alias("containment"),
+        )
+    )
+
+
 def doc_frequency_topk(
     df: DataFrame, text_col: str, id_col: str, k: int = 50
 ) -> DataFrame:

@@ -602,6 +602,59 @@ WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
 """
 
 
+def q_ngram_containment_pairs(spark, sf):
+    """Subset-duplication sweep (operators/dedup.py ngram_containment_pairs):
+    trigram containment of the smaller doc >= 0.8. The corpus slice is
+    augmented with a deterministic 200-char EXCERPT of each doc (id +
+    100000) — the aggregator/quote shape this operator exists for, which
+    the fixture corpus doesn't naturally contain at every SF — and the
+    operator must recover every (original, excerpt) pair while Jaccard
+    scores them near zero (the excerpt's n-grams are a tiny fraction of
+    the union)."""
+    from relational_data_loader_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    excerpts = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return ngram_containment_pairs(
+        docs.unionByName(excerpts), "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+SQL_NGRAM_CONTAINMENT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 200) AS text
+  FROM documents WHERE doc_id < 100),
+toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM corpus),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(round(i * 1.0 / least(sa.sz, sb.sz), 4) AS DOUBLE) AS containment
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE i * 1.0 / least(sa.sz, sb.sz) >= 0.8
+"""
+
+
 def q_text_quality(spark, sf):
     d = _t(spark, sf, "documents").filter(F.length("text") > 0)
     return d.select(
@@ -2336,12 +2389,14 @@ def _state_workdir(sf: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"rdl_qstate_{tag}_{safe}")
 
 
-def _run_engine_replay(spark, sf, tag: str, split: bool):
+def _run_engine_replay(spark, sf, tag: str, split: bool, maintain: bool = False):
     """Write the derived log, replay it through DataLoadManager, return the
     visible table. ``split=True`` loads the head as a full refresh then the
     tail incrementally (watermark skips the head) — the engine invariant is
     that both routes land on the SAME final state, so both entries share one
-    oracle shape."""
+    oracle shape. ``maintain=True`` additionally runs BOTH table services
+    (tombstone expiry past the log's max lsn, then sort-compaction) before
+    reading — maintenance must change layout, never content."""
     import shutil
 
     from relational_data_loader_spark.plans.manager import DataLoadManager
@@ -2362,6 +2417,11 @@ def _run_engine_replay(spark, sf, tag: str, split: bool):
     else:
         log.write.mode("overwrite").parquet(log_dir)
         mgr.run(spec)
+    if maintain:
+        tbl = mgr.table(spec)
+        hi = log.agg(F.max("lsn")).first()[0]
+        tbl.expire_tombstones(below_lsn=hi)
+        tbl.optimize()
     return mgr.table(spec).read()
 
 
@@ -2376,6 +2436,16 @@ def q_cdc_incremental_merge_state(spark, sf):
     (C1/C2 decision + watermark + MERGE/delete apply end to end). Must equal
     the full-refresh oracle state exactly — replay-route invariance."""
     return _run_engine_replay(spark, sf, "incr", split=True)
+
+
+def q_cdc_compaction_state(spark, sf):
+    """Maintenance invariance, driver-checked: full replay, then the two
+    table services — tombstone expiry past the log's max lsn and the
+    PK-sorted compaction rewrite (SnapshotTable.optimize) — and the
+    visible table must still hash-equal the plain replay's LWW oracle.
+    Maintenance changes LAYOUT (files, row order, prunable stats), never
+    CONTENT; this entry pins that on the driver's hard signal."""
+    return _run_engine_replay(spark, sf, "compact", split=False, maintain=True)
 
 
 def q_cdc_schema_evolution_state(spark, sf):
@@ -2489,6 +2559,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, _simhash_sql()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
+    "ngram_containment_pairs": (q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_stopword_ratio": (q_lang_stopword_ratio, SQL_STOPWORD_RATIO),
     "text_fingerprints": (q_text_fingerprints, SQL_TEXT_FINGERPRINTS),
@@ -2542,4 +2613,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_cdc_schema_evolution_state,
         SQL_SCHEMA_EVOLUTION_STATE,
     ),
+    "cdc_compaction_state": (q_cdc_compaction_state, SQL_ENGINE_FINAL_STATE),
 }

@@ -116,3 +116,36 @@ def test_dedup_conversations_finds_mirror(spark):
     rows = {r["keeper"]: r for r in dedup_conversations(df, "conv", "turn", "text").collect()}
     assert rows[1]["n_convs"] == 2 and rows[1]["n_turns"] == 2
     assert rows[3]["n_convs"] == 1
+
+
+def test_ngram_containment_catches_subset_jaccard_misses(spark):
+    from relational_data_loader_spark.operators.dedup import (
+        ngram_containment_pairs,
+        token_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(30))
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+
+    cont = ngram_containment_pairs(df, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+
+    # the same pair scores far below any usable Jaccard threshold
+    jac = token_jaccard_pairs(df, "text", "doc_id", threshold=0.0).collect()
+    assert jac[0]["jaccard"] < 0.1
+
+
+def test_compaction_state_preserves_content(spark):
+    """Maintenance invariance at the query-catalog surface: the compacted
+    replay must equal the plain replay row-for-row."""
+    from relational_data_loader_spark.queries import (
+        q_cdc_compaction_state,
+        q_cdc_full_refresh_state,
+    )
+
+    plain = q_cdc_full_refresh_state(spark, SF).orderBy("conv_id", "turn_idx")
+    compacted = q_cdc_compaction_state(spark, SF).orderBy("conv_id", "turn_idx")
+    assert [r.asDict() for r in plain.collect()] == [
+        r.asDict() for r in compacted.collect()
+    ]
