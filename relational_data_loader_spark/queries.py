@@ -2438,6 +2438,33 @@ def q_cdc_incremental_merge_state(spark, sf):
     return _run_engine_replay(spark, sf, "incr", split=True)
 
 
+def q_cdc_streaming_state(spark, sf):
+    """Engine STREAMING replay → visible final table: the same derived
+    change log tailed as a Structured Streaming file source and applied
+    through the foreachBatch MERGE path (streaming/runner.py) with the
+    opt-in cross-batch stateful dedup enabled, drained to caught-up. Must
+    hash-equal the BATCH replay's LWW oracle — the batch/stream
+    equivalence the north rule demands, previously pinned only in pytest,
+    now on the driver's hard signal."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    base = _state_workdir(sf, "stream")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    _derived_changelog(spark, sf).write.mode("overwrite").parquet(log_dir)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    ing = StreamingIngest(
+        mgr, spec, os.path.join(base, "ckpt"), stateful_dedup=True
+    )
+    ing.run_until_caught_up()
+    return mgr.table(spec).read()
+
+
 def q_cdc_compaction_state(spark, sf):
     """Maintenance invariance, driver-checked: full replay, then the two
     table services — tombstone expiry past the log's max lsn and the
@@ -2614,4 +2641,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_SCHEMA_EVOLUTION_STATE,
     ),
     "cdc_compaction_state": (q_cdc_compaction_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_streaming_state": (q_cdc_streaming_state, SQL_ENGINE_FINAL_STATE),
 }
