@@ -131,3 +131,67 @@ def lookup_postings(spark, path: str, toks: list[str]) -> DataFrame:
         .filter(F.col("tok").isin(toks))
         .select("tok", "doc_id")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Ranked retrieval over the posting shape: BM25 top-``k`` documents
+    for a bag of query terms (Lucene's always-positive idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``). With ``posting_index`` /
+    ``write_serving_postings`` / ``lookup_postings`` this completes the
+    search path: maintain → serve → rank.
+
+    Plan: ZERO driver collects. Corpus stats (N, avgdl rounded to a 6dp
+    grid so any oracle's own average agrees) are a 1-row aggregate
+    broadcast-cross-joined; per-term document frequencies are a
+    query-terms-sized broadcast. The explode filters to the query's terms
+    immediately after the Generate, so the only shuffled stream is
+    (docs containing a query term) — corpus-independent for rare terms.
+    Scores are rounded before ranking and ties break on doc_id, making
+    the top-k cut deterministic across engines and runs."""
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    stats = based.select(F.size("_toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    tf = (
+        based.select(
+            "doc_id",
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("tok"),
+        )
+        .filter(F.col("tok").isin([str(t) for t in query_terms]))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1p1 = float(k1) + 1.0
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b))
+        + F.lit(float(b)) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1p1)) / denom
+    return (
+        tf.join(F.broadcast(dfs), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(int(k))
+    )

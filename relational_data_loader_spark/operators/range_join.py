@@ -67,3 +67,51 @@ def point_in_interval_join(
         & (F.col(f"_pt.{point_col}") < F.col(f"_iv.{end_col}"))
     )
     return pt.join(iv, cond, how).drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Join every left interval to every right interval it OVERLAPS
+    (half-open: ``l_start < r_end AND r_start < l_end``) — the general
+    interval×interval sibling of ``point_in_interval_join`` (session-vs-
+    session concurrency, downtime-vs-deploy attribution, speech-turn
+    overlap in diarized audio).
+
+    Same bucket-quantization rewrite, with the one extra trick the
+    two-sided explode needs: a pair overlapping across B shared buckets
+    would match B times, and deduplicating with DISTINCT would shuffle the
+    whole pair stream again. Instead each candidate pair is emitted ONLY
+    from the bucket containing the overlap's start, ``max(l_start,
+    r_start)`` — a per-pair canonical bucket, so the join output is
+    exactly-once by construction, no dedup stage. Cost is
+    O(Σ len/w) rows per side, equi-shuffled on the bucket id; never a
+    nested-loop cross.
+    """
+    w = F.lit(int(bucket_width))
+
+    def boxed(df, s, e, tag):
+        lo = F.floor(F.col(s) / w)
+        hi = F.floor((F.col(e) - F.lit(1)) / w)
+        return df.withColumn(
+            "_bucket", F.explode(F.sequence(lo, F.greatest(hi, lo)))
+        ).alias(tag)
+
+    lv = boxed(left, l_start, l_end, "_l")
+    rv = boxed(right, r_start, r_end, "_r")
+    ls, le = F.col(f"_l.{l_start}"), F.col(f"_l.{l_end}")
+    rs, re_ = F.col(f"_r.{r_start}"), F.col(f"_r.{r_end}")
+    cond = (
+        (F.col("_l._bucket") == F.col("_r._bucket"))
+        & (ls < re_)
+        & (rs < le)
+        # canonical bucket: the one holding the overlap's first instant
+        & (F.col("_l._bucket") == F.floor(F.greatest(ls, rs) / w))
+    )
+    return lv.join(rv, cond, "inner").drop("_bucket")

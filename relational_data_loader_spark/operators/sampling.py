@@ -52,3 +52,39 @@ def stratified_sample(
             rate
         )
     return df.filter(hash_uniform(F.col(key_col)) < rate)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]],
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every GROUP (conversation,
+    user, document family) lands wholly in one split, decided by the
+    group key's own content hash against cumulative fraction bounds.
+
+    The guard this exists for: a row-level random split leaks shared
+    context across partitions — turns of one conversation (or docs of one
+    near-dup family) end up on both sides of train/eval, and eval scores
+    measure memorization of the family, not generalization. Hashing the
+    GROUP key makes co-membership structural, and the content hash makes
+    the split identical on every run, cluster layout, and retry (same
+    argument as ``hash_uniform`` sampling).
+
+    ``splits`` is ``[(name, fraction), ...]``; fractions should sum to 1
+    (the last split absorbs any remainder, so rounding dust can't drop
+    rows). Pure projection — no shuffle, no state; downstream writers
+    partition by ``out_col`` to materialize the three corpora in one pass.
+    """
+    u = hash_uniform(F.col(group_col))
+    expr = None
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += float(frac)
+        clause = u < F.lit(cum)
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(
+            clause, F.lit(name)
+        )
+    last = F.lit(splits[-1][0])
+    return df.withColumn(out_col, last if expr is None else expr.otherwise(last))

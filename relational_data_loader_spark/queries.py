@@ -1852,6 +1852,143 @@ FROM per_doc GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_interval_overlap_join(spark, sf):
+    """Interval×interval overlap join (operators/range_join.py
+    interval_overlap_join): deterministic synthetic intervals over events
+    (duration keyed on event_id so overlaps actually occur), even-user
+    intervals vs odd-user intervals, emitting each overlapping pair
+    exactly once with its overlap length. The bucket rewrite of a join
+    that would otherwise compile to BroadcastNestedLoopJoin."""
+    from relational_data_loader_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 60)
+    s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    li = ev.filter(F.col("user_id") % 2 == 0).select(
+        F.col("event_id").alias("l_id"),
+        s.alias("ls"),
+        (s + (F.col("event_id") % 7 + 1) * 60).alias("le"),
+    )
+    ri = ev.filter(F.col("user_id") % 2 == 1).select(
+        F.col("event_id").alias("r_id"),
+        s.alias("rs"),
+        (s + (F.col("event_id") % 5 + 1) * 90).alias("re"),
+    )
+    out = interval_overlap_join(li, ri, "ls", "le", "rs", "re", bucket_width=300)
+    return out.select(
+        "l_id",
+        "r_id",
+        (
+            F.least(F.col("le"), F.col("re"))
+            - F.greatest(F.col("ls"), F.col("rs"))
+        ).alias("overlap_s"),
+    )
+
+
+SQL_INTERVAL_OVERLAP = """
+WITH li AS (
+  SELECT event_id AS l_id,
+         epoch_us(ts) // 1000000 AS ls,
+         epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60 AS le
+  FROM events WHERE user_id % 2 = 0 AND user_id < 60),
+ri AS (
+  SELECT event_id AS r_id,
+         epoch_us(ts) // 1000000 AS rs,
+         epoch_us(ts) // 1000000 + (event_id % 5 + 1) * 90 AS re
+  FROM events WHERE user_id % 2 = 1 AND user_id < 60)
+SELECT l_id, r_id,
+       least(le, re) - greatest(ls, rs) AS overlap_s
+FROM li JOIN ri ON ls < re AND rs < le
+"""
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_leakage_safe_split(spark, sf):
+    """Group-granular train/val/test split (operators/sampling.py
+    group_split): every conversation lands wholly in one split by its own
+    content hash — the leakage guard a row-level random split lacks.
+    Output is the per-split audit (conversation and row counts); the
+    group-granularity invariant is structural (split is a pure function
+    of user_id), so distinct-conv counts summing to the corpus total IS
+    the no-leak proof."""
+    from relational_data_loader_spark.operators.sampling import group_split
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id")
+    return (
+        group_split(ev, "user_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def _leakage_split_sql() -> str:
+    """DuckDB twin: the same md5 nibble-fold uniform as the sampling
+    oracle, on user_id, against the cumulative split bounds."""
+    h = "md5(CAST(user_id AS VARCHAR))"
+    u32 = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    u = f"(({u32}) / {float(2**32)!r})"
+    cum, cases = 0.0, []
+    for name, frac in _SPLITS[:-1]:
+        cum += frac
+        cases.append(f"WHEN {u} < {cum!r} THEN '{name}'")
+    case = " ".join(cases)
+    return f"""
+SELECT CASE {case} ELSE '{_SPLITS[-1][0]}' END AS split,
+       count(DISTINCT user_id) AS n_convs,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+"""
+
+
+_BM25_TERMS = ("merge", "window", "stream")
+
+
+def q_bm25_topk(spark, sf):
+    """Ranked retrieval (operators/index.py bm25_topk): BM25 top-10 for a
+    3-term query, completing the posting-index search path (maintain →
+    serve → rank). Scores round to 4dp before the deterministic
+    (score desc, doc_id) cut."""
+    from relational_data_loader_spark.operators.index import bm25_topk
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=10)
+
+
+SQL_BM25_TOPK = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, round(avg(len(ts)), 6) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(ts) AS dl, t AS tok, count(*) AS tf
+  FROM (SELECT doc_id, ts, unnest(ts) AS t FROM toks)
+  WHERE t IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+  GROUP BY 1, 2, 3),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS raw
+  FROM tf JOIN dfs d USING (tok) CROSS JOIN stats s
+  GROUP BY 1)
+SELECT doc_id, CAST(round(raw, 4) AS DOUBLE) AS score
+FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
+"""
+
+
 def q_pii_redact(spark, sf):
     """PII scrub (functions/text.py redact_pii/pii_counts): every document
     is augmented with a deterministic synthetic email + phone derived from
@@ -2616,6 +2753,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "cdc_incremental_rollup": (q_cdc_incremental_rollup, SQL_INCREMENTAL_ROLLUP),
     "interval_event_rollup": (q_interval_event_rollup, SQL_INTERVAL_ROLLUP),
+    "interval_overlap_join": (q_interval_overlap_join, SQL_INTERVAL_OVERLAP),
     "ngram_contamination": (q_ngram_contamination, SQL_NGRAM_CONTAMINATION),
     "repeated_ngrams": (q_repeated_ngrams, SQL_REPEATED_NGRAMS),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
@@ -2629,6 +2767,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_quarantine_split": (q_cdc_quarantine_split, SQL_QUARANTINE_SPLIT),
     "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
     "posting_lookup": (q_posting_lookup, SQL_POSTING_LOOKUP),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "leakage_safe_split": (q_leakage_safe_split, _leakage_split_sql()),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),
     "cdc_full_refresh_state": (q_cdc_full_refresh_state, SQL_ENGINE_FINAL_STATE),

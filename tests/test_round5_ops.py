@@ -149,3 +149,66 @@ def test_compaction_state_preserves_content(spark):
     assert [r.asDict() for r in plain.collect()] == [
         r.asDict() for r in compacted.collect()
     ]
+
+
+def test_interval_overlap_no_nested_loop_exactly_once(spark):
+    from relational_data_loader_spark.operators.range_join import (
+        interval_overlap_join,
+    )
+
+    # long intervals spanning MANY shared buckets: the canonical-bucket
+    # guard must keep each pair to exactly one output row
+    li = spark.createDataFrame([(1, 0, 10_000), (2, 5_000, 6_000)],
+                               ["l_id", "ls", "le"])
+    ri = spark.createDataFrame([(10, 100, 9_900), (11, 20_000, 21_000)],
+                               ["r_id", "rs", "re"])
+    out = interval_overlap_join(li, ri, "ls", "le", "rs", "re", bucket_width=100)
+    rows = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+    assert rows == [(1, 10), (2, 10)]  # one row per overlapping pair
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
+
+
+def test_group_split_is_group_granular_and_exhaustive(spark):
+    from relational_data_loader_spark.operators.sampling import group_split
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "event_id")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    tagged = group_split(ev, "user_id", splits)
+    import pyspark.sql.functions as _F
+
+    # every group in exactly one split; every row tagged
+    per_group = tagged.groupBy("user_id").agg(
+        _F.count_distinct("split").alias("k")
+    )
+    assert per_group.filter(_F.col("k") != 1).count() == 0
+    assert tagged.filter(_F.col("split").isNull()).count() == 0
+    # deterministic across invocations
+    a = sorted(r["user_id"] for r in tagged.filter(_F.col("split") == "val")
+               .select("user_id").distinct().collect())
+    b = sorted(r["user_id"] for r in group_split(ev, "user_id", splits)
+               .filter(_F.col("split") == "val").select("user_id").distinct().collect())
+    assert a == b
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    from relational_data_loader_spark.operators.index import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "merge merge merge scan"),
+            (2, "merge scan sort window filter"),
+            (3, "sort filter agg join"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_topk(df, "text", "doc_id", ["merge"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [1, 2]  # doc 3 never matches
+    assert rows[0]["score"] > rows[1]["score"]
+    # zero driver collects: the plan contains the broadcast stats, not a
+    # literal from a pre-collected aggregate
+    plan = (
+        bm25_topk(df, "text", "doc_id", ["merge"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
