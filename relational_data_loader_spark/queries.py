@@ -2602,6 +2602,53 @@ def q_cdc_streaming_state(spark, sf):
     return mgr.table(spec).read()
 
 
+def q_cdc_streaming_debezium_state(spark, sf):
+    """Engine streaming replay over the WIRE format: the derived log
+    serialized to Debezium JSON-lines envelopes (to_json with a µs
+    timestamp format — the image must round-trip the fixture's
+    microsecond timestamps), tailed via the debezium:// streaming source
+    (text stream → the same from_json parser the batch path uses) and
+    applied through foreachBatch MERGE. Must hash-equal the batch LWW
+    oracle — binlog/WAL-wire-to-final-state, end to end, on the driver's
+    hard signal."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    base = _state_workdir(sf, "dbz_stream")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    is_del = F.col("op") == "D"
+    image = F.struct("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    doc = F.to_json(
+        F.struct(
+            F.when(is_del, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            # delete envelopes carry keys in `before` only; to_json omits
+            # null structs, which the parser reads as an absent image
+            F.when(is_del, F.struct("conv_id", "turn_idx")).alias("before"),
+            F.when(~is_del, image).alias("after"),
+            F.struct(F.col("lsn").alias("lsn")).alias("source"),
+        ),
+        {
+            # the parquet-derived log's ts is TIMESTAMP_NTZ, which to_json
+            # formats via its OWN option — without it the NTZ default
+            # truncates to millis and the round-trip loses 3 digits
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+        },
+    )
+    log.orderBy("lsn").select(doc.alias("value")).coalesce(4).write.mode(
+        "overwrite"
+    ).text(log_dir)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    spec = transcripts_spec(source=f"debezium://{log_dir}", target_buckets=8)
+    StreamingIngest(mgr, spec, os.path.join(base, "ckpt")).run_until_caught_up()
+    return mgr.table(spec).read()
+
+
 def q_cdc_compaction_state(spark, sf):
     """Maintenance invariance, driver-checked: full replay, then the two
     table services — tombstone expiry past the log's max lsn and the
@@ -2782,4 +2829,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "cdc_compaction_state": (q_cdc_compaction_state, SQL_ENGINE_FINAL_STATE),
     "cdc_streaming_state": (q_cdc_streaming_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_streaming_debezium_state": (
+        q_cdc_streaming_debezium_state,
+        SQL_ENGINE_FINAL_STATE,
+    ),
 }

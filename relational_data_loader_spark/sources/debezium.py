@@ -48,9 +48,24 @@ _DBZ_DELETE_OP = "d"
 
 
 def envelope_schema(spec: IngestSpec) -> T.StructType:
-    """from_json target: the Debezium envelope with spec-typed row images."""
+    """from_json target: the Debezium envelope with spec-typed row images.
+
+    Timestamp fields parse as STRINGS and cast afterwards: from_json's
+    pattern-based formatter silently truncates sub-millisecond fractions
+    (measured: ``.963378`` → ``.963000`` under the default format), while
+    the string→timestamp cast accepts any fraction length — and a
+    transcript feed's event times are microsecond-grained."""
     row_image = T.StructType(
-        [T.StructField(c.source, c.spark_type, True) for c in spec.columns]
+        [
+            T.StructField(
+                c.source,
+                T.StringType()
+                if isinstance(c.spark_type, T.TimestampType)
+                else c.spark_type,
+                True,
+            )
+            for c in spec.columns
+        ]
     )
     return T.StructType(
         [
@@ -128,5 +143,7 @@ def parse_debezium(
         else:
             # payload NULL on delete — the change_schema contract
             expr = env["after"][c.source]
-        cols.append(expr.alias(c.source))
+        # lands string-parsed timestamp fields (envelope_schema) on the
+        # spec type; a no-op for already-typed fields
+        cols.append(expr.cast(c.spark_type).alias(c.source))
     return parsed.select(*cols)

@@ -212,3 +212,22 @@ def test_bm25_ranks_term_dense_doc_first(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_debezium_roundtrip_preserves_microseconds(spark):
+    """Regression: from_json's pattern formatter truncated image
+    timestamps to millis; envelope_schema now parses them as strings and
+    casts (any fraction length survives)."""
+    from relational_data_loader_spark.sources.debezium import parse_debezium
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    doc = (
+        '{"op":"u","ts_ms":1,"after":{"conv_id":"c1","turn_idx":1,'
+        '"role":"user","text":"t","tool":null,'
+        '"ts":"2024-01-21T03:16:16.963378"},"source":{"lsn":7}}'
+    )
+    spec = transcripts_spec(source="debezium://x")
+    row = parse_debezium(
+        spark.createDataFrame([(doc,)], ["value"]), spec
+    ).first()
+    assert row["ts"].microsecond == 963378
