@@ -26,9 +26,21 @@ Scale: state is one long per live PK. At 10^9 live keys that is tens of GB
 across the cluster — fine for RocksDB state stores
 (``spark.sql.streaming.stateStore.providerClass``), meaningful for the
 default in-memory HDFS-backed store; the operator is therefore OPT-IN
-(``StreamingIngest(..., stateful_dedup=True)``). The groupBy shuffles on the
-full fine-grained PK — the same key the merge shuffles on, uniform by
-construction, so no new skew surface.
+(``StreamingIngest(..., stateful_dedup=True)``).
+
+State granularity vs group granularity: ``applyInPandasWithState`` pays a
+fixed per-GROUP Python cost (state decode/encode + pandas frame assembly)
+every micro-batch, so grouping on the full fine-grained PK makes the cost
+proportional to DISTINCT PKS per batch — measured 55 s for a 46k-PK batch
+(~1.2 ms/group) on the r5 bench's single-batch replay, 30x the rest of the
+pipeline. For a composite PK the filter therefore groups on the LEADING
+key (conv_id) and keeps the per-PK max-lsn map for that conversation
+INSIDE the state row as parallel arrays — groups drop from (keys) to
+(conversations), the per-key guard stays exact, and the inner filter is
+vectorized pandas. State per group is O(turns of that conversation) — the
+transcript domain bounds it (a conversation's turn count is context-bound),
+and a hot conversation's per-batch work is bounded by its events in that
+batch, the same bound the merge shuffle has.
 
 This is the engine's ``applyInPandasWithState`` surface: Arrow-batched
 pandas per group-partition, no per-row Python.
@@ -47,6 +59,21 @@ from relational_data_loader_spark.spec import IngestSpec
 
 _STATE_SCHEMA = T.StructType([T.StructField("max_lsn", T.LongType(), True)])
 
+# composite-PK state: per-conversation map {remaining-PK -> max_lsn} as
+# parallel arrays (applyInPandasWithState state rows are flat structs; a
+# MapType field is not portable across state-store encodings)
+_MAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sub_keys", T.ArrayType(T.StringType()), True),
+        T.StructField("max_lsns", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+# joins the non-leading PK values into one state key; PKs are scalar
+# identifiers (spec validation forbids nullable PKs) and \x1f never occurs
+# in identifier-like values — document, don't pay a per-row escape
+_SUBKEY_SEP = "\x1f"
+
 
 def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
     """Drop events at-or-below the per-PK high-water LSN seen so far.
@@ -54,33 +81,82 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
     Works on a streaming DataFrame with the spec's change schema; returns
     the same schema. Batch DataFrames should use the sink's guard directly
     (state needs a stream).
+
+    Single-column PK: one state row per key (scalar max_lsn). Composite PK:
+    one state row per LEADING key holding the per-subkey max-lsn map — see
+    the module docstring's group-granularity argument (a 46k-group batch
+    costs ~55 s in per-group overhead alone; the coarse grouping removes
+    exactly that, the guard stays per-PK exact).
     """
     lsn = spec.lsn_column
     out_schema = stream.schema
-
-    def dedup(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        prior = state.get[0] if state.exists else -1
-        if prior is None:
-            prior = -1
-        mx = prior
-        for pdf in pdf_iter:
-            keep = pdf[pdf[lsn] > prior]
-            if len(keep):
-                batch_max = int(keep[lsn].max())
-                if batch_max > mx:
-                    mx = batch_max
-                yield keep
-        if mx > prior:
-            state.update((mx,))
+    pks = list(spec.source_primary_keys)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    # the change stream carries SOURCE column names (spec.change_schema);
-    # destination names only coincide when the spec doesn't rename its PKs
-    return stream.groupBy(*spec.source_primary_keys).applyInPandasWithState(
-        dedup,
+    if len(pks) == 1:
+
+        def dedup(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+            prior = state.get[0] if state.exists else -1
+            if prior is None:
+                prior = -1
+            mx = prior
+            for pdf in pdf_iter:
+                keep = pdf[pdf[lsn] > prior]
+                if len(keep):
+                    batch_max = int(keep[lsn].max())
+                    if batch_max > mx:
+                        mx = batch_max
+                    yield keep
+            if mx > prior:
+                state.update((mx,))
+
+        return stream.groupBy(*pks).applyInPandasWithState(
+            dedup,
+            out_schema,
+            _STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+    sub_pks = pks[1:]
+
+    def dedup_map(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sub_keys, max_lsns = state.get
+            prior: dict[str, int] = dict(zip(sub_keys or [], max_lsns or []))
+        else:
+            prior = {}
+        updated: dict[str, int] = {}
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            sub = pdf[sub_pks[0]].astype(str)
+            for c in sub_pks[1:]:
+                sub = sub + _SUBKEY_SEP + pdf[c].astype(str)
+            # vectorized per-subkey guard against the PRIOR state only —
+            # intra-batch duplicates pass (the sink's fused LWW netting
+            # handles them), identical to the fine-grained variant
+            floor = sub.map(prior).fillna(-1).astype("int64")
+            mask = pdf[lsn].astype("int64") > floor
+            keep = pdf[mask]
+            if len(keep):
+                for k, v in keep[lsn].groupby(sub[mask].values).max().items():
+                    k, v = str(k), int(v)  # plain python for the state row
+                    if v > updated.get(k, -1):
+                        updated[k] = v
+                yield keep
+        advanced = {
+            k: v for k, v in updated.items() if v > prior.get(k, -1)
+        }
+        if advanced:
+            prior.update(advanced)
+            state.update((list(prior.keys()), list(prior.values())))
+
+    return stream.groupBy(pks[0]).applyInPandasWithState(
+        dedup_map,
         out_schema,
-        _STATE_SCHEMA,
+        _MAP_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )
