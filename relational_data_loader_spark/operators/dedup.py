@@ -89,13 +89,7 @@ def lsh_candidate_pairs(
     signatures — 4× the exchanges and 4× the signature recomputation for
     identical output rows.
     """
-    band_args = ", ".join(
-        f"'{name}', {_band_hash_sql(cols)}" for name, cols in LSH_BANDS
-    )
-    long = sigs.selectExpr(
-        "doc_id",
-        f"stack({len(LSH_BANDS)}, {band_args}) AS (band, band_key)",
-    )
+    long = _bands_long(sigs)
     sized = (
         long.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -117,6 +111,18 @@ def lsh_candidate_pairs(
 
 def _band_hash_sql(cols: tuple[str, str]) -> str:
     return f"md5(concat({', '.join(cols)}))"
+
+
+def _bands_long(sigs: DataFrame) -> DataFrame:
+    """Melt a signature frame into long form ``(doc_id, band, band_key)``
+    — ``stack`` is a projection, no shuffle."""
+    band_args = ", ".join(
+        f"'{name}', {_band_hash_sql(cols)}" for name, cols in LSH_BANDS
+    )
+    return sigs.selectExpr(
+        "doc_id",
+        f"stack({len(LSH_BANDS)}, {band_args}) AS (band, band_key)",
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -226,6 +232,110 @@ def near_dup_pairs_with_handle(
         )
     )
     return pairs, release
+
+
+def incremental_near_dup_pairs(
+    base_docs: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    base_sigs: DataFrame | None = None,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The IVM step of corpus near-dedup: every near-dup pair TOUCHING a
+    CDC delta of documents, without recomputing the corpus's pairs.
+
+    Contract (the engine's change-feed shape, operators/index.py's twin
+    for the dedup view): ``base_docs`` is the post-change corpus MINUS the
+    changed ids (old versions of U docs and D docs already removed);
+    ``delta_docs`` carries the NEW text of I/U docs; ``base_sigs`` is the
+    maintained MinHash signature table over ``base_docs``
+    (``minhash_signatures`` output — persist it like the posting index;
+    recomputed here only if not supplied, which forfeits the IVM saving).
+
+    Result == ``near_dup_pairs(base ∪ delta)`` restricted to pairs with at
+    least one delta side — the only pairs a delta can create or change;
+    unchanged-vs-unchanged pairs are by definition already in the
+    maintained pair table. That equation is the oracle (and the pytest).
+
+    Cost shape at 10^10 docs: signature explode over |delta| only; ONE
+    band equi-join of the delta's band rows against base∪delta band rows
+    (shuffled on md5-uniform band keys, ``max_bucket`` capped over the
+    FULL bucket population so the guard agrees with the full rebuild);
+    exact-Jaccard verification explodes base text ONLY for docs that
+    appear in a candidate pair (semi-join pushdown) — Σ candidate tokens,
+    never corpus tokens.
+    """
+    delta_toks = _distinct_tokens(delta_docs, text_col, id_col).persist()
+    delta_sigs = _signatures_from_tokens(delta_toks)
+    if base_sigs is None:
+        base_sigs = minhash_signatures(base_docs, text_col, id_col)
+    long_delta = _bands_long(delta_sigs)
+    long_all = _bands_long(base_sigs).unionByName(long_delta)
+    sized = (
+        long_all.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    cand = (
+        long_delta.alias("x")
+        .join(long_all.join(sized, ["band", "band_key"]).alias("y"),
+              ["band", "band_key"])
+        .filter(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    # verification tokens: delta's (already exploded) plus ONLY the base
+    # docs that made it into a candidate pair
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("_cand_id"))
+        .union(cand.select(F.col("doc_b").alias("_cand_id")))
+        .distinct()
+    )
+    base_cand_toks = _distinct_tokens(
+        base_docs.join(
+            cand_ids, base_docs[id_col] == cand_ids["_cand_id"], "left_semi"
+        ),
+        text_col,
+        id_col,
+    )
+    toks = delta_toks.unionByName(base_cand_toks).persist()
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    pairs = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("double").alias("jaccard"),
+        )
+    )
+
+    def release() -> None:
+        delta_toks.unpersist(blocking=False)
+        cand.unpersist(blocking=False)
+        toks.unpersist(blocking=False)
+
+    pairs.unpersist_postings = release
+    return pairs
 
 
 def token_jaccard_pairs(

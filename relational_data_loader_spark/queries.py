@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 from relational_data_loader_spark.operators.dedup import (
     dedup_clusters,
     exact_dedup,
+    incremental_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     near_dup_pairs,
@@ -551,6 +552,28 @@ JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
 """
+
+
+def q_incremental_near_dup(spark, sf):
+    """IVM near-dedup (operators/dedup.py incremental_near_dup_pairs): the
+    corpus's near-dup pairs TOUCHING a CDC delta, computed from the
+    maintained base signature table + the delta's text only — the marriage
+    of the engine's change feed with the dedup stack (change a doc, learn
+    exactly which dup pairs that creates). Delta = every 7th doc id (a
+    deterministic ~14% churn); base = the rest; same doc_id < 500 cap and
+    threshold as near_dup_pairs. Oracle: the FULL pair pipeline filtered
+    to delta-touching pairs — the defining equation of the incremental
+    step."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    delta = docs.filter(F.col("doc_id") % 7 == 0)
+    base = docs.filter(F.col("doc_id") % 7 != 0)
+    base_sigs = minhash_signatures(base, "text", "doc_id")
+    return incremental_near_dup_pairs(
+        base, delta, "text", "doc_id", base_sigs=base_sigs, threshold=0.5
+    )
+
+
+SQL_INCR_NEAR_DUP = SQL_NEAR_DUP + " AND (doc_a % 7 = 0 OR doc_b % 7 = 0)"
 
 
 def q_simhash_signatures(spark, sf):
@@ -2768,6 +2791,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_LSH_PAIRS),
     "near_dup_pairs": (q_near_dup_pairs, SQL_NEAR_DUP),
+    "incremental_near_dup": (q_incremental_near_dup, SQL_INCR_NEAR_DUP),
     "simhash_signatures": (q_simhash_signatures, _simhash_sql()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_JACCARD),
     "ngram_containment_pairs": (q_ngram_containment_pairs, SQL_NGRAM_CONTAINMENT),

@@ -231,3 +231,57 @@ def test_debezium_roundtrip_preserves_microseconds(spark):
         spark.createDataFrame([(doc,)], ["value"]), spec
     ).first()
     assert row["ts"].microsecond == 963378
+
+
+def test_incremental_near_dup_equals_full_filtered(spark):
+    """The defining IVM equation: incremental(base, delta) must equal the
+    full pipeline over base ∪ delta restricted to delta-touching pairs —
+    same pairs, same jaccard values."""
+    from relational_data_loader_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+        near_dup_pairs,
+    )
+
+    docs = _docs(spark).filter(F.col("doc_id") < 200)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+
+    incr = incremental_near_dup_pairs(
+        base, delta, "text", "doc_id",
+        base_sigs=minhash_signatures(base, "text", "doc_id"),
+        threshold=0.3,
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in incr.collect()}
+    incr.unpersist_postings()
+
+    full = near_dup_pairs(docs, "text", "doc_id", threshold=0.3)
+    want = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in full.collect()
+        if r.doc_a % 5 == 0 or r.doc_b % 5 == 0
+    }
+    full.unpersist_postings()
+    assert got == want and len(want) > 0
+
+
+def test_incremental_near_dup_base_explode_is_candidate_bounded(spark):
+    """A delta that collides with nothing must verify nothing: no
+    candidate pairs, empty result (the semi-join keeps the base explode
+    proportional to candidates, and zero candidates mean zero work)."""
+    from relational_data_loader_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    base = _docs(spark).filter(F.col("doc_id") < 100)
+    delta = spark.createDataFrame(
+        [(10_000, "qzx wvu tsr qpo nml kji")], ["doc_id", "text"]
+    )
+    out = incremental_near_dup_pairs(
+        base, delta, "text", "doc_id",
+        base_sigs=minhash_signatures(base, "text", "doc_id"),
+        threshold=0.1,
+    )
+    assert out.count() == 0
+    out.unpersist_postings()
