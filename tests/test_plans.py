@@ -281,3 +281,17 @@ def test_posting_lookup_prunes_buckets(spark):
     # <=3 probe tokens -> <=3 bucket ids in the pruning list
     in_list = re.search(r"IN \(([^)]*)\)", m.group(1)).group(1)
     assert len(in_list.split(",")) <= 3, in_list
+
+
+def test_incremental_near_dup_no_cartesian_semi_pushdown(spark):
+    """The IVM dedup step must stay equi-join-shaped at every stage: no
+    nested-loop/cartesian anywhere (the band join is an equi-join on
+    md5-uniform keys), and the base-corpus explode must sit behind a
+    LEFT-SEMI join on candidate ids — the property that bounds
+    verification cost by candidates, not corpus."""
+    from relational_data_loader_spark.queries import q_incremental_near_dup
+
+    plan = _plan(q_incremental_near_dup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
