@@ -230,3 +230,44 @@ def test_cdf_feeds_posting_index_ivm(spark, cdf_rig):
     a = sorted((r["tok"], r["doc_id"]) for r in inc.collect())
     b = sorted((r["tok"], r["doc_id"]) for r in full.collect())
     assert a == b and len(a) > 0
+
+
+def test_cdf_feeds_incremental_near_dup(spark, cdf_rig):
+    """Composition: the sink's change feed drives the IVM dedup step
+    (operators/dedup.py incremental_near_dup_pairs) — pairs touching the
+    CDF 1→2 delta, computed from v2-minus-delta + the delta's new text +
+    the base signature table, must equal the FULL pipeline over read(v2)
+    filtered to delta-touching docs. Composite PK folded to a surrogate
+    doc key on both sides, low threshold so transcript turns collide."""
+    from relational_data_loader_spark.operators.dedup import (
+        incremental_near_dup_pairs,
+        minhash_signatures,
+        near_dup_pairs,
+    )
+
+    mgr, spec, *_ = cdf_rig
+    tbl = mgr.table(spec)
+    key = F.concat_ws(":", F.col("conv_id").cast("string"), F.col("turn_idx").cast("string"))
+    v2 = tbl.read(version=2).select(key.alias("doc"), "text")
+    feed = tbl.changes_between(1, 2).select("op", key.alias("doc"), "text")
+    changed = feed.select("doc").distinct()
+    delta = feed.filter(F.col("op") != "D").select("doc", "text")
+    base = v2.join(changed, "doc", "left_anti")
+
+    inc = incremental_near_dup_pairs(
+        base, delta, "text", "doc",
+        base_sigs=minhash_signatures(base, "text", "doc"),
+        threshold=0.2,
+    )
+    got = sorted((r.doc_a, r.doc_b, r.jaccard) for r in inc.collect())
+    inc.unpersist_postings()
+
+    delta_ids = {r["doc"] for r in delta.select("doc").distinct().collect()}
+    full = near_dup_pairs(v2, "text", "doc", threshold=0.2)
+    want = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in full.collect()
+        if r.doc_a in delta_ids or r.doc_b in delta_ids
+    )
+    full.unpersist_postings()
+    assert got == want and len(want) > 0
