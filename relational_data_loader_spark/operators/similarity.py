@@ -179,6 +179,51 @@ def ivf_cell_expr(emb_col: str, centroids: list[list[float]]):
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def ivf_cell_assignments(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Full rebuild of the IVF assignment view: ``(id, cell)`` per vector
+    — the ANN-serving twin of ``posting_index`` (operators/index.py): the
+    derived table an IVF search probes, maintained under CDC by
+    ``apply_delta_cells``."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        ivf_cell_expr(emb_col, centroids).alias("cell"),
+    )
+
+
+def apply_delta_cells(
+    prev_cells: DataFrame,
+    changes: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """One incremental step of the IVF assignment view — the third derived-
+    view shape the engine's change feed maintains (algebraic rollups:
+    operators/incremental.py; exploded postings: operators/index.py;
+    ASSIGNMENT views: here). A vector's cell is a pure function of its
+    embedding under a FIXED coarse quantizer (the production contract:
+    quantizers retrain offline, assignments update online), so the minimal
+    correct update mirrors the posting algebra exactly: anti-join out every
+    changed id, re-derive I/U rows' cells from their new embeddings — one
+    narrow codegen projection over the delta, no rebuild, no shuffle beyond
+    the anti-join on the id. ``apply_delta_cells(cells(v1), changes(v1→v2))
+    == ivf_cell_assignments(state(v2))`` is the defining equation (pinned
+    in pytest + the oracle-paired entry)."""
+    changed = changes.select(F.col(id_col).alias("vec_id")).distinct()
+    kept = prev_cells.join(changed, "vec_id", "left_anti")
+    added = ivf_cell_assignments(
+        changes.where(F.col(op_col) != delete_op), centroids, id_col, emb_col
+    )
+    return kept.select("vec_id", "cell").union(added)
+
+
 def ivf_probe_expr(emb_col: str, centroids: list[list[float]], nprobe: int):
     """The query's ``nprobe`` nearest cells, as an array (IVF probe list).
 

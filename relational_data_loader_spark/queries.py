@@ -1243,6 +1243,57 @@ WHERE rk <= {_IVF_K}
 """
 
 
+def q_ivf_cell_ivm(spark, sf):
+    """IVM for the IVF ASSIGNMENT view (operators/similarity.py
+    apply_delta_cells): a delta of re-embedded vectors (every 9th vec_id,
+    op=U) updates the maintained (vec_id, cell) table under the FIXED
+    coarse quantizer — anti-join out changed ids, re-derive cells from the
+    delta's embeddings only. Result must equal the full rebuild over the
+    whole corpus, which is what the oracle states directly (the same
+    argmax-cosine assignment the ivf_cosine_topk oracle uses)."""
+    from relational_data_loader_spark.operators.similarity import (
+        apply_delta_cells,
+        ivf_cell_assignments,
+        sample_centroids,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = sample_centroids(emb, _IVF_CENTROIDS)
+    delta = emb.filter(F.col("vec_id") % 9 == 0).withColumn("op", F.lit("U"))
+    base = emb.filter(F.col("vec_id") % 9 != 0)
+    prev = ivf_cell_assignments(base, centroids)
+    return apply_delta_cells(prev, delta, centroids)
+
+
+def _ivf_cells_sql(dim: int = 64) -> str:
+    """DuckDB twin of the maintained assignment view: the full-corpus
+    argmax-cosine assignment (IVM result == rebuild is the equation being
+    checked). Same 6dp rounding and low-cell tie as _ivf_sql's assign."""
+
+    def dot(a, b):
+        return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+    def norm(a):
+        return "sqrt(" + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1)) + ")"
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})),
+sims AS (
+  SELECT e.vec_id, cen.cell,
+         round(({dot('e.emb', 'cen.cemb')}) /
+               ({norm('e.emb')} * {norm('cen.cemb')}), 6) AS csim
+  FROM e CROSS JOIN cen)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell
+FROM (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY csim DESC, cell ASC) rn
+      FROM sims)
+WHERE rn = 1
+"""
+
+
 _IVF_KMEANS_ITERS = 2
 
 
@@ -2807,6 +2858,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_cosine_topk": (q_lsh_cosine_topk, _lsh_sql()),
     "cdc_debezium_parse": (q_cdc_debezium_parse, SQL_DEBEZIUM_PARSE),
     "ivf_cosine_topk": (q_ivf_cosine_topk, _ivf_sql()),
+    "ivf_cell_ivm": (q_ivf_cell_ivm, _ivf_cells_sql()),
     "ivf_cosine_topk_refined": (q_ivf_cosine_topk_refined, _ivf_refined_sql()),
     "embedding_near_dup": (q_embedding_near_dup, _embedding_near_dup_sql()),
     "windowed_rollup": (q_windowed_rollup, SQL_WINDOWED_ROLLUP),

@@ -285,3 +285,37 @@ def test_incremental_near_dup_base_explode_is_candidate_bounded(spark):
     )
     assert out.count() == 0
     out.unpersist_postings()
+
+
+def test_ivf_cell_ivm_equals_rebuild_with_deletes(spark):
+    """The assignment-view IVM equation, including the delete case the
+    catalog entry can't exercise: cells(base) + delta(U rows re-embedded,
+    D rows removed) == rebuild over the post-change corpus."""
+    from relational_data_loader_spark.operators.similarity import (
+        apply_delta_cells,
+        ivf_cell_assignments,
+        sample_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    centroids = sample_centroids(emb, 4)
+    # v1 = everything; delta: ids %7==0 re-embedded (reversed vector), %11==0 deleted
+    upd = (
+        emb.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") % 11 != 0))
+        .withColumn("embedding", F.reverse("embedding"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = emb.filter(F.col("vec_id") % 11 == 0).withColumn("op", F.lit("D"))
+    changes = upd.unionByName(dels)
+
+    prev = ivf_cell_assignments(emb, centroids)
+    inc = apply_delta_cells(prev, changes, centroids)
+
+    v2 = emb.filter(F.col("vec_id") % 11 != 0).alias("e").join(
+        upd.select("vec_id", F.col("embedding").alias("_new")), "vec_id", "left"
+    ).select("vec_id", F.coalesce("_new", "embedding").alias("embedding"))
+    full = ivf_cell_assignments(v2, centroids)
+
+    got = sorted((r.vec_id, r.cell) for r in inc.collect())
+    want = sorted((r.vec_id, r.cell) for r in full.collect())
+    assert got == want and len(want) > 0
