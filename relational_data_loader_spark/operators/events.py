@@ -96,3 +96,71 @@ def group_quantiles(
         for q in quantiles
     ]
     return events.groupBy(group_col).agg(*aggs, F.count(F.lit(1)).alias("n"))
+
+
+def flag_anomalies(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 2.5,
+    round_dp: int = 3,
+) -> DataFrame:
+    """Per-group z-score outliers: events whose value sits more than
+    ``z_threshold`` population standard deviations from their group's
+    mean. The monitoring primitive a CDC pipeline runs over an incoming
+    window before trusting it (a source that suddenly emits value*100 is
+    a schema/unit bug, not data).
+
+    Two passes, one cheap: group stats are a partial-agged groupBy on the
+    (tiny) group dimension — count/sum/sum-of-squares state only — and
+    broadcast back onto the stream, so the scan is the only full-data
+    stage and the filter runs inside codegen. The threshold compares the
+    ROUNDED z (both engines round before comparing), so boundary events
+    cannot flip on 1e-15 accumulation-order noise.
+    """
+    stats = events.groupBy(group_col).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sigma"),
+    )
+    z = F.round(
+        (F.col(value_col) - F.col("_mu")) / F.col("_sigma"), round_dp
+    ).cast("double")
+    return (
+        events.join(F.broadcast(stats), group_col)
+        .filter(F.col("_sigma") > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(id_col, group_col, value_col, "z")
+    )
+
+
+def staleness_report(
+    events: DataFrame,
+    key_col: str = "user_id",
+    lsn_col: str = "event_id",
+    ts_col: str = "ts",
+    stale_after_days: int = 30,
+) -> DataFrame:
+    """Per-key sync lag against the stream's global watermark: last lsn,
+    last business timestamp, lag in whole days, and a stale verdict. The
+    freshness dashboard behind a CDC destination (RDL's tracker records
+    last-sync per table — SURVEY.md §2.1 C3; this is the per-key
+    generalization).
+
+    One partial-agged groupBy on the key + a 1-row global max broadcast
+    back; lag arithmetic is integer (whole days on timestamps both
+    engines truncate identically), so no FP pairing risk.
+    """
+    per_key = events.groupBy(key_col).agg(
+        F.max(lsn_col).alias("last_lsn"), F.max(ts_col).alias("last_ts")
+    )
+    wm = events.agg(F.max(ts_col).alias("wm_ts"))
+    lag = F.datediff(F.col("wm_ts"), F.col("last_ts"))
+    return per_key.crossJoin(F.broadcast(wm)).select(
+        key_col,
+        "last_lsn",
+        "last_ts",
+        lag.cast("int").alias("lag_days"),
+        (lag >= stale_after_days).alias("is_stale"),
+    )

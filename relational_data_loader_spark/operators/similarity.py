@@ -464,3 +464,49 @@ def lsh_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("q_id", "c_id", "sim")
     )
+
+
+def label_centroid_cohesion(
+    embs: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Per-label cluster quality: the element-wise mean embedding
+    (centroid) of each label, and the average cosine of the label's
+    vectors to it — the intra-cluster cohesion a curation pipeline reads
+    before trusting a label column (or a k-means assignment) for
+    stratification.
+
+    Plan, sized for 10^10 vectors: the centroid is a (label, position)
+    groupBy over the exploded components — the explode multiplies rows by
+    dim, but partial aggregation collapses them map-side to
+    labels × dim running sums, so the shuffle carries only that tiny
+    state. The centroid table (n_labels rows) then BROADCASTS back onto
+    the vectors, and the cosine runs inside codegen (zip_with/aggregate,
+    operators/similarity._dot) — the second pass is one scan + one
+    partial-agged groupBy on the label. No vector ever crosses the wire
+    twice; nothing driver-side.
+    """
+    comp = (
+        embs.select(label_col, F.posexplode(emb_col).alias("pos", "val"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("c"))
+    )
+    cent = comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    return (
+        embs.join(F.broadcast(cent), label_col)
+        .select(
+            label_col,
+            cosine_expr(F.col(emb_col), F.col("centroid")).alias("cos"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos"), round_dp).cast("double").alias("cohesion"),
+        )
+    )

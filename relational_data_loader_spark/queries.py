@@ -2822,6 +2822,285 @@ WHERE rn = 1 AND NOT is_del
 # catalog
 
 
+# --------------------------------------------------------------------------
+# Round-5 session-2 additions: erasure cascade, bitemporal / consistent-cut
+# reads, anomaly + staleness monitoring, window-rank stats, label-centroid
+# cohesion, at-least-once redelivery invariance.
+
+
+def q_gdpr_erasure_cascade(spark, sf):
+    """Right-to-erasure audit (operators/erasure.py): the CDC delete keys
+    (users whose final netted op is a delete) cascaded through the
+    customer → orders → lineitem FK chain; per table, rows the cascade
+    erases vs keeps. Every hop is a broadcast of the (small) key frame —
+    no fact-table shuffle anywhere."""
+    from relational_data_loader_spark.operators.erasure import (
+        cascade_keys,
+        erasure_report,
+    )
+
+    erased = q_cdc_delete_keys(spark, sf)
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    root = erasure_report(
+        erased, [("customer", cust, "c_custkey"), ("orders", orders, "o_custkey")]
+    )
+    okeys = cascade_keys(erased, orders, "o_custkey", "o_orderkey")
+    leaf = erasure_report(okeys, [("lineitem", li, "l_orderkey")])
+    return root.unionByName(leaf)
+
+
+SQL_GDPR_ERASURE = f"""
+WITH erased AS ({SQL_DELETE_KEYS}),
+okeys AS (SELECT DISTINCT o_orderkey FROM orders
+          JOIN erased ON o_custkey = user_id)
+SELECT 'customer' AS table_name,
+       count(CASE WHEN e.user_id IS NOT NULL THEN 1 END) AS rows_erased,
+       count(CASE WHEN e.user_id IS NULL THEN 1 END) AS rows_kept
+FROM customer LEFT JOIN erased e ON c_custkey = e.user_id
+UNION ALL
+SELECT 'orders',
+       count(CASE WHEN e.user_id IS NOT NULL THEN 1 END),
+       count(CASE WHEN e.user_id IS NULL THEN 1 END)
+FROM orders LEFT JOIN erased e ON o_custkey = e.user_id
+UNION ALL
+SELECT 'lineitem',
+       count(CASE WHEN k.o_orderkey IS NOT NULL THEN 1 END),
+       count(CASE WHEN k.o_orderkey IS NULL THEN 1 END)
+FROM lineitem LEFT JOIN okeys k ON l_orderkey = k.o_orderkey
+"""
+
+
+def q_cdc_consistent_cut(spark, sf):
+    """Multi-source consistent snapshot (operators/bitemporal.py): the log
+    models 4 independently-syncing source shards (user_id % 4); the only
+    transactionally consistent LWW snapshot is the one cut at the SLOWEST
+    shard's high-watermark (min over shards of max lsn). The cut is a
+    1-row broadcast; the snapshot costs exactly one per-key window."""
+    from relational_data_loader_spark.operators.bitemporal import (
+        consistent_cut,
+        cut_snapshot,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op"),
+        "user_id",
+        "value",
+        "ts",
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("src"),
+    )
+    cut = consistent_cut(ev, "src", lsn_col="lsn")
+    snap = cut_snapshot(ev, cut, ["user_id"], lsn_col="lsn", op_col="op", delete_op=DELETE_OP)
+    return snap.select(
+        "user_id",
+        F.col("lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+SQL_CONSISTENT_CUT = f"""
+WITH cut AS (
+  SELECT min(hwm) AS cut_lsn
+  FROM (SELECT user_id % 4 AS src, max(event_id) AS hwm FROM events GROUP BY 1)),
+below AS (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+  FROM events e, cut WHERE e.event_id <= cut.cut_lsn)
+SELECT user_id, event_id AS last_lsn, value AS last_value, ts AS last_ts
+FROM below WHERE rn = 1 AND event_type <> '{DELETE_OP}'
+"""
+
+
+def q_bitemporal_asof(spark, sf):
+    """Bitemporal point read (operators/bitemporal.py): per key, the state
+    valid at business time T (= max ts − 7 days) as KNOWN at system lsn
+    L (= floor(0.7·max lsn)) — the audit question plain time travel can't
+    answer. Cuts derive from a 1-row agg broadcast into the filter; the
+    as-of itself is one per-key window."""
+    from relational_data_loader_spark.operators.bitemporal import bitemporal_asof
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op"),
+        "user_id",
+        "value",
+        "ts",
+    )
+    cuts = ev.agg(
+        F.floor(F.max("lsn") * 0.7).cast("bigint").alias("sys_l"),
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("valid_t"),
+    )
+    log = ev.join(F.broadcast(cuts), F.lit(True), "inner")
+    out = bitemporal_asof(
+        log,
+        ["user_id"],
+        system_cut=F.col("sys_l"),
+        valid_cut=F.col("valid_t"),
+        lsn_col="lsn",
+        valid_col="ts",
+        op_col="op",
+        delete_op=DELETE_OP,
+    )
+    return out.select("user_id", "lsn", "ts", "value")
+
+
+SQL_BITEMPORAL_ASOF = f"""
+WITH cuts AS (
+  SELECT CAST(floor(max(event_id) * 0.7) AS BIGINT) AS sys_l,
+         max(ts) - INTERVAL 7 DAY AS valid_t
+  FROM events),
+vis AS (
+  SELECT e.*, row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events e, cuts
+  WHERE e.event_id <= cuts.sys_l AND e.ts <= cuts.valid_t)
+SELECT user_id, event_id AS lsn, ts, value
+FROM vis WHERE rn = 1 AND event_type <> '{DELETE_OP}'
+"""
+
+
+def q_anomaly_zscore(spark, sf):
+    """Per-group z-score anomaly flags (operators/events.flag_anomalies):
+    events > 2.5 population σ from their event_type's mean. Group stats
+    are a tiny partial-agged groupBy broadcast back onto the scan; both
+    engines compare the ROUNDED z so boundary rows can't flip on
+    accumulation-order noise."""
+    from relational_data_loader_spark.operators.events import flag_anomalies
+
+    ev = _t(spark, sf, "events")
+    return flag_anomalies(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+SQL_ANOMALY_Z = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+  FROM events GROUP BY 1)
+SELECT event_id, event_type, value,
+       CAST(round((value - mu) / sigma, 3) AS DOUBLE) AS z
+FROM events JOIN stats USING (event_type)
+WHERE sigma > 0 AND abs(round((value - mu) / sigma, 3)) > 2.5
+"""
+
+
+def q_cdc_staleness_report(spark, sf):
+    """Per-key freshness vs the stream watermark (operators/events.
+    staleness_report): last lsn/ts, lag in days, stale verdict — the
+    tracker dashboard (SURVEY §2.1 C3) generalized per key. One groupBy
+    + a 1-row broadcast; lag arithmetic is integer-exact."""
+    from relational_data_loader_spark.operators.events import staleness_report
+
+    ev = _t(spark, sf, "events")
+    return staleness_report(ev, stale_after_days=30)
+
+
+SQL_STALENESS = """
+WITH per_key AS (
+  SELECT user_id, max(event_id) AS last_lsn, max(ts) AS last_ts
+  FROM events GROUP BY 1),
+wm AS (SELECT max(ts) AS wm_ts FROM events)
+SELECT user_id, last_lsn, last_ts,
+       CAST(date_diff('day', CAST(last_ts AS DATE), CAST(wm_ts AS DATE)) AS INT)
+         AS lag_days,
+       date_diff('day', CAST(last_ts AS DATE), CAST(wm_ts AS DATE)) >= 30
+         AS is_stale
+FROM per_key, wm
+"""
+
+
+def q_window_rank_stats(spark, sf):
+    """Distribution-rank windows over each event_type: percent_rank,
+    cume_dist, decile (ntile) on a (value, event_id)-pinned total order —
+    deterministic under value ties by construction. One exchange; the
+    rank math is exact rational arithmetic identical in both engines."""
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pr"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cd"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT event_id, event_type,
+       CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pr,
+       CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cd,
+       CAST(ntile(10) OVER w AS INT) AS decile
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+def q_label_centroid_cohesion(spark, sf):
+    """Per-label centroid cohesion (operators/similarity.
+    label_centroid_cohesion): element-wise mean embedding per label and
+    the average cosine of members to it — cluster-quality audit before
+    trusting a label column for stratification. The explode collapses
+    map-side to labels × dim running sums; centroids broadcast back; the
+    cosine stays in codegen."""
+    from relational_data_loader_spark.operators.similarity import (
+        label_centroid_cohesion,
+    )
+
+    embs = _t(spark, sf, "embeddings")
+    return label_centroid_cohesion(embs)
+
+
+SQL_CENTROID_COHESION = """
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS val
+  FROM embeddings),
+cent AS (
+  SELECT label, pos, avg(CAST(val AS DOUBLE)) AS c
+  FROM comp GROUP BY 1, 2),
+nc AS (SELECT label, sqrt(sum(c * c)) AS n FROM cent GROUP BY 1),
+per_vec AS (
+  SELECT e.vec_id, e.label,
+         sum(CAST(e.val AS DOUBLE) * cent.c) AS dot,
+         sqrt(sum(CAST(e.val AS DOUBLE) * CAST(e.val AS DOUBLE))) AS nv
+  FROM (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS val FROM embeddings) e
+  JOIN cent ON cent.label = e.label AND cent.pos = e.pos
+  GROUP BY 1, 2)
+SELECT p.label, count(*) AS n_vecs,
+       CAST(round(avg(dot / (nv * nc.n)), 3) AS DOUBLE) AS cohesion
+FROM per_vec p JOIN nc ON nc.label = p.label
+GROUP BY 1
+"""
+
+
+def q_cdc_redelivery_state(spark, sf):
+    """At-least-once delivery invariance on the engine path: the derived
+    change log with its ENTIRE TAIL HALF DUPLICATED (same lsns, same
+    payloads — a redelivered CDC window) replayed through the engine must
+    land on the byte-identical LWW state the exactly-once log produces.
+    The netting layer collapses same-(key,lsn) duplicates before MERGE,
+    so redelivery is absorbed without a dedup pre-pass."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "redeliver")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    dup = log.unionByName(log.filter(F.col("lsn") > cut))
+    dup.write.mode("overwrite").parquet(log_dir)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr.run(spec)
+    return mgr.table(spec).read()
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -2909,4 +3188,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_cdc_streaming_debezium_state,
         SQL_ENGINE_FINAL_STATE,
     ),
+    "cdc_redelivery_state": (q_cdc_redelivery_state, SQL_ENGINE_FINAL_STATE),
+    "gdpr_erasure_cascade": (q_gdpr_erasure_cascade, SQL_GDPR_ERASURE),
+    "cdc_consistent_cut": (q_cdc_consistent_cut, SQL_CONSISTENT_CUT),
+    "bitemporal_asof": (q_bitemporal_asof, SQL_BITEMPORAL_ASOF),
+    "anomaly_zscore": (q_anomaly_zscore, SQL_ANOMALY_Z),
+    "cdc_staleness_report": (q_cdc_staleness_report, SQL_STALENESS),
+    "window_rank_stats": (q_window_rank_stats, SQL_WINDOW_RANK),
+    "label_centroid_cohesion": (q_label_centroid_cohesion, SQL_CENTROID_COHESION),
 }

@@ -1,0 +1,195 @@
+"""Round-5 session-2 additions: erasure cascade, bitemporal/consistent-cut
+reads, anomaly + staleness monitoring, label-centroid cohesion."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.bitemporal import (
+    bitemporal_asof,
+    consistent_cut,
+    cut_snapshot,
+)
+from relational_data_loader_spark.operators.erasure import (
+    cascade_keys,
+    erasure_report,
+)
+from relational_data_loader_spark.operators.events import (
+    flag_anomalies,
+    staleness_report,
+)
+from relational_data_loader_spark.operators.similarity import (
+    label_centroid_cohesion,
+)
+
+
+def _ts(d):
+    return dt.datetime(2026, 1, d)
+
+
+# --------------------------------------------------------------------------
+# erasure cascade
+
+
+def test_erasure_cascade_counts_and_depth(spark):
+    erased = spark.createDataFrame([(1,), (3,)], ["k"]).select("k")
+    cust = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["c_id"])
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["o_id", "o_cust"]
+    )
+    items = spark.createDataFrame(
+        [(10, "a"), (10, "b"), (12, "c"), (13, "d")], ["i_order", "sku"]
+    )
+    root = erasure_report(
+        erased.select(F.col("k")),
+        [("cust", cust, "c_id"), ("orders", orders, "o_cust")],
+    )
+    okeys = cascade_keys(erased, orders, "o_cust", "o_id")
+    leaf = erasure_report(okeys, [("items", items, "i_order")])
+    got = {r["table_name"]: (r["rows_erased"], r["rows_kept"]) for r in root.unionByName(leaf).collect()}
+    assert got == {"cust": (2, 2), "orders": (3, 1), "items": (3, 1)}
+
+
+def test_erasure_joins_are_broadcast(spark):
+    """Every cascade hop must broadcast the key frame — a fact-vs-fact
+    SortMergeJoin anywhere means the cascade re-shuffles a 100 TB table
+    per hop."""
+    erased = spark.range(5).select(F.col("id").alias("k"))
+    fact = spark.range(1000).select(F.col("id").alias("fk"), (F.col("id") % 7).alias("v"))
+    rep = erasure_report(erased, [("fact", fact, "fk")])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    keys2 = cascade_keys(erased, fact, "fk", "v")
+    plan2 = keys2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan2, plan2
+
+
+# --------------------------------------------------------------------------
+# bitemporal / consistent cut
+
+
+def test_bitemporal_belief_revision(spark):
+    """A later-ingested correction (higher lsn) of the SAME business time
+    wins only once system time includes it."""
+    log = spark.createDataFrame(
+        [
+            (1, "U", 7, 10.0, _ts(5)),
+            (2, "U", 7, 20.0, _ts(9)),   # newer business state
+            (3, "U", 7, 11.0, _ts(5)),   # late correction of day-5 belief
+        ],
+        ["lsn", "op", "key", "v", "ts"],
+    )
+    # As known at lsn 2, valid at day 6: day-5 row, original belief
+    out1 = bitemporal_asof(
+        log, ["key"], F.lit(2), F.lit(_ts(6)), lsn_col="lsn", valid_col="ts"
+    ).collect()
+    assert [(r["v"]) for r in out1] == [10.0]
+    # As known at lsn 3: the correction supersedes
+    out2 = bitemporal_asof(
+        log, ["key"], F.lit(3), F.lit(_ts(6)), lsn_col="lsn", valid_col="ts"
+    ).collect()
+    assert [(r["v"]) for r in out2] == [11.0]
+    # valid cut at day 9 picks the newer business state regardless
+    out3 = bitemporal_asof(
+        log, ["key"], F.lit(3), F.lit(_ts(9)), lsn_col="lsn", valid_col="ts"
+    ).collect()
+    assert [(r["v"]) for r in out3] == [20.0]
+
+
+def test_bitemporal_delete_hides_key(spark):
+    log = spark.createDataFrame(
+        [(1, "U", 7, 1.0, _ts(1)), (2, "D", 7, None, _ts(2))],
+        ["lsn", "op", "key", "v", "ts"],
+    )
+    assert (
+        bitemporal_asof(log, ["key"], F.lit(9), F.lit(_ts(9)), lsn_col="lsn", valid_col="ts").count()
+        == 0
+    )
+
+
+def test_consistent_cut_held_by_slowest_source(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "U", "a", 1, 1.0),
+            (5, "U", "a", 1, 5.0),   # source a is ahead
+            (3, "U", "b", 2, 3.0),   # source b's watermark = 3
+            (4, "U", "b", 2, 4.0),
+        ],
+        ["lsn", "op", "src", "key", "v"],
+    )
+    cut = consistent_cut(log, "src", lsn_col="lsn")
+    assert cut.collect()[0]["cut_lsn"] == 4
+    snap = cut_snapshot(log, cut, ["key"], lsn_col="lsn")
+    got = {r["key"]: r["v"] for r in snap.collect()}
+    # lsn-5 row from the fast source is NOT visible at the cut
+    assert got == {1: 1.0, 2: 4.0}
+
+
+def test_cut_snapshot_single_window_shuffle(spark):
+    log = spark.range(100).select(
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+        (F.col("id") % 10).alias("key"),
+        F.rand(1).alias("v"),
+        (F.col("id") % 4).alias("src"),
+    )
+    snap = cut_snapshot(log, consistent_cut(log, "src", lsn_col="lsn"), ["key"], lsn_col="lsn")
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    # the 1-row cut joins as broadcast; the per-key window is the only
+    # full-data exchange
+    assert "SortMergeJoin" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# monitoring
+
+
+def test_flag_anomalies_constant_group_and_outlier(spark):
+    rows = [(i, "steady", 5.0) for i in range(20)]
+    rows += [(100 + i, "noisy", float(i % 5)) for i in range(40)]
+    rows += [(999, "noisy", 1000.0)]  # blatant outlier
+    ev = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    out = flag_anomalies(ev, z_threshold=2.5).collect()
+    ids = {r["event_id"] for r in out}
+    assert 999 in ids
+    # zero-variance group can't divide; it must be excluded, not NaN/crash
+    assert all(r["event_type"] != "steady" for r in out)
+
+
+def test_staleness_report_boundary(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 1, _ts(1)),    # 29 days behind the watermark (day 30)
+            (2, 2, _ts(30)),   # the watermark row itself
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    got = {r["user_id"]: (r["lag_days"], r["is_stale"]) for r in staleness_report(ev, stale_after_days=29).collect()}
+    assert got == {1: (29, True), 2: (0, False)}
+
+
+# --------------------------------------------------------------------------
+# centroid cohesion
+
+
+def test_label_centroid_cohesion_known_geometry(spark):
+    # label 0: identical vectors -> cohesion 1.0
+    # label 1: two orthogonal unit vectors -> centroid at 45deg, cos = cos(45) ~ 0.707
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [1.0, 0.0], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["label"]: (r["n_vecs"], r["cohesion"]) for r in label_centroid_cohesion(emb).collect()}
+    assert got[0] == (2, 1.0)
+    assert got[1] == (2, 0.707)
+
+
+def test_label_centroid_cohesion_broadcasts_centroids(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = label_centroid_cohesion(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
