@@ -24,7 +24,7 @@ by token is a downstream projection, not this table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from relational_data_loader_spark.functions.text import normalize
@@ -194,4 +194,62 @@ def bm25_topk(
         .agg(F.round(F.sum(contrib), 4).cast("double").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(int(k))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Keyword extraction: the top-``k`` terms of each document by
+    tf·idf (idf = ln(N/df)) — the per-document complement of
+    :func:`bm25_topk` (which ranks documents for one query, this ranks
+    terms for every document).
+
+    Plan: tf is one groupBy over the exploded token stream (map-side
+    combined to (doc, tok, count) state); df then re-aggregates the tf
+    table — already one row per (doc, tok), so df is a count, not a
+    count-distinct, and its input is the REDUCED table, not the raw
+    stream. The df side joins back on ``tok``: vocabulary-sized, so a
+    shuffle join on the token key — both sides are already small
+    reductions of the corpus (no raw text crosses either exchange). N is
+    a 1-row broadcast. Scores rank on the ROUNDED value with a term
+    tie-break, so the cut is engine-stable.
+    """
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    tf = (
+        based.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfs, "tok")
+        .join(F.broadcast(n_docs), F.lit(True), "inner")
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), round_dp
+            )
+            .cast("double")
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "tok", "tfidf", "rk")
     )

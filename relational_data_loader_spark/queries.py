@@ -3101,6 +3101,150 @@ def q_cdc_redelivery_state(spark, sf):
     return mgr.table(spec).read()
 
 
+def q_cdc_reconciliation_state(spark, sf):
+    """Destination validation (operators/reconcile.py): replay the log
+    through the engine, then summarize the VISIBLE table into 16 bucketed
+    (count, order-independent 56-bit-md5-sum) checksums. The oracle
+    derives the same summary from the raw events in SQL — so a green row
+    proves the engine's materialized state is content-identical to the
+    source expectation bucket by bucket, the audit a destination-of-record
+    runs after every load. Timestamps enter the hash as epoch micros
+    (no formatter in the hash path); checksums travel as strings (a
+    56-bit × N sum overflows doubles)."""
+    from relational_data_loader_spark.operators.reconcile import bucket_checksums
+
+    tbl = _run_engine_replay(spark, sf, "recon", split=True)
+    canon = tbl.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    out = bucket_checksums(
+        canon,
+        ["conv_id", "turn_idx"],
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts_us"],
+        n_buckets=16,
+    )
+    return out.select("bucket", "n_rows", F.col("checksum").cast("string").alias("checksum"))
+
+
+SQL_RECONCILIATION = f"""
+WITH final AS ({SQL_ENGINE_FINAL_STATE}),
+canon AS (
+  SELECT CAST(
+           CAST(concat('0x', substr(md5(
+             concat_ws('|', coalesce(CAST(conv_id AS VARCHAR), '␀'),
+                            coalesce(CAST(turn_idx AS VARCHAR), '␀'))
+           ), 1, 14)) AS BIGINT) % 16 AS INT) AS bucket,
+         CAST(concat('0x', substr(md5(
+           concat_ws('|', coalesce(CAST(conv_id AS VARCHAR), '␀'),
+                          coalesce(CAST(turn_idx AS VARCHAR), '␀'),
+                          coalesce(CAST(role AS VARCHAR), '␀'),
+                          coalesce(CAST(text AS VARCHAR), '␀'),
+                          coalesce(CAST(tool AS VARCHAR), '␀'),
+                          coalesce(CAST(epoch_us(ts) AS VARCHAR), '␀'))
+         ), 1, 14)) AS BIGINT) AS h
+  FROM final)
+SELECT bucket, count(*) AS n_rows,
+       CAST(sum(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM canon GROUP BY 1
+"""
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Keyword extraction (operators/index.tfidf_top_terms): top-3 terms
+    per document by tf·ln(N/df). tf/df both aggregate REDUCED tables (the
+    raw token stream shuffles once); N broadcasts; ranking cuts on the
+    rounded score with a term tie-break."""
+    from relational_data_loader_spark.operators.index import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+SQL_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 500),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+scored AS (
+  SELECT doc_id, tok,
+         CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS DOUBLE) AS tfidf
+  FROM tf JOIN dfs USING (tok), n)
+SELECT doc_id, tok, tfidf, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) rk
+      FROM scored)
+WHERE rk <= 3
+"""
+
+
+def q_rollup_pricing(spark, sf):
+    """Multi-granularity aggregation (ROLLUP): the pricing summary at
+    (returnflag, linestatus), per returnflag, and grand-total levels in
+    ONE pass — Spark's partial aggregation computes all three levels
+    map-side, where the naive 3-query union scans the fact table three
+    times. Subtotal rows carry NULL group values (the input columns are
+    never null, so NULL is unambiguous)."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_ROLLUP_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_event_matrix(spark, sf):
+    """Pivot (long → wide): per-user event counts, one column per event
+    type. The value list is PINNED (never inferred) — inferred pivot
+    values cost an extra distinct pass AND make the output schema
+    data-dependent, which breaks downstream DDL at scale. Deliberately
+    NOT ``DataFrame.pivot``: with a pinned list that API still compiles
+    to TWO exchanges (pre-agg on (user, type), then pivotfirst on user —
+    measured on this plan), where conditional counters are one exchange
+    with 5 map-side partial counts. Same result, half the shuffles."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ]
+    )
+
+
+SQL_PIVOT_MATRIX = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3196,4 +3340,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_staleness_report": (q_cdc_staleness_report, SQL_STALENESS),
     "window_rank_stats": (q_window_rank_stats, SQL_WINDOW_RANK),
     "label_centroid_cohesion": (q_label_centroid_cohesion, SQL_CENTROID_COHESION),
+    "cdc_reconciliation_state": (q_cdc_reconciliation_state, SQL_RECONCILIATION),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
+    "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
+    "pivot_user_event_matrix": (q_pivot_user_event_matrix, SQL_PIVOT_MATRIX),
 }

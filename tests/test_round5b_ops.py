@@ -193,3 +193,117 @@ def test_label_centroid_cohesion_broadcasts_centroids(spark):
     plan = label_centroid_cohesion(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# reconciliation
+
+
+def test_reconcile_flags_exactly_the_tampered_bucket(spark):
+    from relational_data_loader_spark.operators.reconcile import (
+        bucket_checksums,
+        reconcile,
+    )
+
+    src = spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    dst_bad = src.withColumn(
+        "v", F.when(F.col("k") == 17, F.lit("TAMPERED")).otherwise(F.col("v"))
+    )
+    rep = reconcile(
+        bucket_checksums(src, ["k"], ["k", "v"], n_buckets=8),
+        bucket_checksums(dst_bad, ["k"], ["k", "v"], n_buckets=8),
+    ).collect()
+    bad = [r for r in rep if not r["checksum_match"]]
+    good = [r for r in rep if r["checksum_match"]]
+    assert len(bad) == 1  # only the bucket containing k=17
+    assert len(good) == 7
+    # row counts still agree everywhere: checksum catches what counts miss
+    assert all(r["rows_match"] for r in rep)
+
+
+def test_reconcile_missing_row_changes_count_and_checksum(spark):
+    from relational_data_loader_spark.operators.reconcile import (
+        bucket_checksums,
+        reconcile,
+    )
+
+    src = spark.range(50).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    dst = src.filter(F.col("k") != 3)
+    rep = reconcile(
+        bucket_checksums(src, ["k"], ["k", "v"], n_buckets=4),
+        bucket_checksums(dst, ["k"], ["k", "v"], n_buckets=4),
+    ).collect()
+    bad = [r for r in rep if not r["rows_match"]]
+    assert len(bad) == 1 and not bad[0]["checksum_match"]
+    assert bad[0]["src_rows"] == bad[0]["dst_rows"] + 1
+
+
+def test_bucket_checksums_order_independent(spark):
+    from relational_data_loader_spark.operators.reconcile import bucket_checksums
+
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    a = {
+        r["bucket"]: (r["n_rows"], r["checksum"])
+        for r in bucket_checksums(df, ["k"], ["k", "v"], 4).collect()
+    }
+    b = {
+        r["bucket"]: (r["n_rows"], r["checksum"])
+        for r in bucket_checksums(
+            df.orderBy(F.desc("k")).repartition(7), ["k"], ["k", "v"], 4
+        ).collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# tfidf
+
+
+def test_tfidf_scores_known_corpus(spark):
+    import math
+
+    from relational_data_loader_spark.operators.index import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["tok"]): r["tfidf"]
+        for r in tfidf_top_terms(docs, "text", "doc_id", k=2).collect()
+    }
+    # 'apple': tf=2 in doc1, df=1, N=3 -> 2*ln(3)
+    assert got[(1, "apple")] == round(2 * math.log(3.0), 4)
+    # 'cherry' in doc3: tf=3, df=2 -> 3*ln(3/2)
+    assert got[(3, "cherry")] == round(3 * math.log(1.5), 4)
+    # doc2: both terms df=2 -> ln(1.5), banana before cherry on tie
+    assert got[(2, "banana")] == got[(2, "cherry")] == round(math.log(1.5), 4)
+
+
+# --------------------------------------------------------------------------
+# rollup / pivot plans
+
+
+def test_rollup_levels_present(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+    rows = out.collect()
+    grand = [r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None]
+    per_flag = [r for r in rows if r["l_returnflag"] is not None and r["l_linestatus"] is None]
+    assert len(grand) == 1
+    assert grand[0]["n"] == li.count()
+    assert sum(r["n"] for r in per_flag) == li.count()
+
+
+def test_pivot_single_shuffle(spark):
+    from relational_data_loader_spark.queries import q_pivot_user_event_matrix
+
+    out = q_pivot_user_event_matrix(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
