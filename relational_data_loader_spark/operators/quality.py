@@ -1,0 +1,126 @@
+"""Declarative data-quality expectations and column profiling.
+
+The admission gate in front of a destination-of-record: before (or right
+after) a load commits, evaluate a set of EXPECTATIONS — row predicates,
+key uniqueness, referential integrity — and emit one verdict row per
+check. RDL loads blind (SURVEY.md §5: its tests assert row counts only);
+a lake destination needs the gate, and at 100 TB it must cost one scan,
+not one scan per check.
+
+Cost model, by check class:
+- row predicates: ALL of them fold into ONE conditional-count aggregate —
+  a single scan of only the referenced columns, fully map-side;
+- key uniqueness: one partial-agged groupBy on the key (count>1 groups);
+  the shuffle carries (key, count) state only;
+- referential integrity: a left-anti join child→parent on the key —
+  broadcast when the parent's key projection is small, shuffle otherwise
+  (Spark/AQE picks; the check never moves non-key columns).
+
+Verdicts are exact counts, so the report doubles as the drift metric a
+scheduler alerts on (n_violations trending up), not just a boolean gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _verdict(name: str, n: Column):
+    return F.struct(
+        F.lit(name).alias("check_name"),
+        n.cast("bigint").alias("n_violations"),
+        (n == 0).alias("passed"),
+    )
+
+
+def row_expectations(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
+    """Evaluate row-predicate expectations in ONE aggregate pass.
+
+    ``checks``: (name, violation_condition) — the condition is true when
+    the row VIOLATES the expectation (nulls count as violations for
+    not-null checks because ``count(when(cond, 1))`` needs cond true;
+    build conditions with null-safe predicates accordingly).
+    Returns (check_name, n_violations, passed), one row per check.
+    """
+    agg = df.agg(
+        F.array(
+            *[_verdict(name, F.count(F.when(cond, 1))) for name, cond in checks]
+        ).alias("_v")
+    )
+    return agg.select(F.explode("_v").alias("v")).select("v.*")
+
+
+def unique_key_expectation(
+    df: DataFrame, key_cols: list[str], name: str | None = None
+) -> DataFrame:
+    """Key-uniqueness verdict: violations = rows BEYOND the first per
+    duplicated key (so n_violations == rows you would have to drop)."""
+    name = name or f"unique({','.join(key_cols)})"
+    dup = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("_viol"))
+    )
+    return dup.select(
+        F.lit(name).alias("check_name"),
+        F.col("_viol").cast("bigint").alias("n_violations"),
+        (F.col("_viol") == 0).alias("passed"),
+    )
+
+
+def referential_expectation(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential-integrity verdict: child rows whose non-null ``fk_col``
+    has no match in ``parent.pk_col``. Left-anti join moving only the two
+    key columns; null FKs are not violations (SQL FK semantics)."""
+    name = name or f"fk({fk_col}->{pk_col})"
+    orphans = (
+        child.select(F.col(fk_col).alias("_fk"))
+        .filter(F.col("_fk").isNotNull())
+        .join(
+            parent.select(F.col(pk_col).alias("_fk")).distinct(),
+            "_fk",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("_viol"))
+    )
+    return orphans.select(
+        F.lit(name).alias("check_name"),
+        F.col("_viol").cast("bigint").alias("n_violations"),
+        (F.col("_viol") == 0).alias("passed"),
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column profile: rows, nulls, exact distinct count, min/max (as
+    strings so heterogeneous columns stack into one report).
+
+    One aggregate pass per column over a single-column projection —
+    column pruning makes each pass read exactly one parquet column. The
+    distinct count is exact (the oracle pairing needs it); at 100 TB swap
+    ``count_distinct`` for ``approx_count_distinct`` (HLL++, mergeable,
+    bounded state) — a one-token change, same report shape.
+    """
+    parts = []
+    for c in cols:
+        col = F.col(c)
+        parts.append(
+            df.select(col).agg(
+                F.lit(c).alias("col_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(col.isNull(), 1)).alias("n_nulls"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.min(col).cast("string").alias("min_value"),
+                F.max(col).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -48,3 +48,43 @@ def partition_watermarks(
             ),
         )
     )
+
+
+def out_of_order_stats(
+    log: DataFrame,
+    key_col: str,
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key out-of-orderness of the change stream: how often (and how
+    far) business timestamps regress when events are read in lsn order.
+    THE measurement behind choosing a streaming watermark delay — "2% of
+    events arrive up to 40 s late" is what ``withWatermark("ts", ...)``'s
+    allowance must cover, and guessing it instead of measuring it either
+    drops data or bloats state.
+
+    A row is LATE when its ts is below the running max ts of earlier-lsn
+    events of the same key; regression = that shortfall in whole seconds
+    (integer-exact, engine-safe). One shuffle (the per-key window); the
+    running max is streaming state of O(1) per key run.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(lsn_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.max(ts_col).over(w)
+    regress = F.unix_timestamp(prev_max) - F.unix_timestamp(F.col(ts_col))
+    enriched = log.select(
+        key_col,
+        F.when(regress > 0, regress).otherwise(F.lit(0)).alias("_regress_s"),
+        F.when(regress > 0, 1).otherwise(0).alias("_late"),
+    )
+    return enriched.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_late").cast("bigint").alias("n_late"),
+        F.round(F.sum("_late") / F.count(F.lit(1)), 4).alias("p_late"),
+        F.max("_regress_s").cast("bigint").alias("max_regress_s"),
+    )

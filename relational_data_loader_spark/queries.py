@@ -3185,19 +3185,28 @@ WHERE rk <= 3
 
 
 def q_rollup_pricing(spark, sf):
-    """Multi-granularity aggregation (ROLLUP): the pricing summary at
-    (returnflag, linestatus), per returnflag, and grand-total levels in
-    ONE pass — Spark's partial aggregation computes all three levels
-    map-side, where the naive 3-query union scans the fact table three
-    times. Subtotal rows carry NULL group values (the input columns are
-    never null, so NULL is unambiguous)."""
+    """Multi-granularity aggregation (ROLLUP) at (returnflag, linestatus),
+    per returnflag, and grand-total levels. Deliberately NOT
+    ``DataFrame.rollup`` on the fact table: that compiles to an Expand
+    that replicates EVERY fact row once per grouping set (3× the scan's
+    output, measured 2.7 s vs 1.1 s here) — instead aggregate once at the
+    finest level, then roll the 6-row leaf result up. Decimal sums are
+    associative, so re-aggregating partials is bit-exact; rounding
+    happens once, after the final sum."""
     li = _t(spark, sf, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        _dec_sum(F.col("l_quantity"), "sum_qty"),
-        _dec_sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
-        ),
-        F.count(F.lit(1)).alias("n_rows"),
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_qty"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return leaf.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("_qty"), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+        F.sum("_n").alias("n_rows"),
     )
 
 
@@ -3242,6 +3251,152 @@ SELECT user_id,
        count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
        count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
 FROM events GROUP BY 1
+"""
+
+
+def q_dq_expectations(spark, sf):
+    """Data-quality gate (operators/quality.py): row predicates folded
+    into ONE conditional-count scan, key uniqueness as one (key,count)
+    groupBy, referential integrity as a keys-only anti join. The report
+    is exact counts, so it doubles as a drift metric; the value-bound
+    check is a deliberately tight SLA threshold so nonzero counting is
+    exercised, not just all-green booleans."""
+    from relational_data_loader_spark.operators.quality import (
+        referential_expectation,
+        row_expectations,
+        unique_key_expectation,
+    )
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    ev = _t(spark, sf, "events")
+    rows = row_expectations(
+        orders,
+        [
+            (
+                "o_totalprice_positive",
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+            ),
+            (
+                "o_orderstatus_accepted",
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+            ),
+            ("o_orderdate_not_null", F.col("o_orderdate").isNull()),
+        ],
+    )
+    ev_rows = row_expectations(
+        ev, [("events_value_le_100", F.col("value").isNull() | (F.col("value") > 100))]
+    )
+    uniq = unique_key_expectation(orders, ["o_orderkey"])
+    fk = referential_expectation(orders, "o_custkey", customer, "c_custkey")
+    return rows.unionByName(ev_rows).unionByName(uniq).unionByName(fk)
+
+
+SQL_DQ_EXPECTATIONS = """
+SELECT 'o_totalprice_positive' AS check_name,
+       CAST(count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END) AS BIGINT) AS n_violations,
+       count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0 THEN 1 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_accepted',
+       CAST(count(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_not_null',
+       CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT),
+       count(CASE WHEN o_orderdate IS NULL THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'events_value_le_100',
+       CAST(count(CASE WHEN value IS NULL OR value > 100 THEN 1 END) AS BIGINT),
+       count(CASE WHEN value IS NULL OR value > 100 THEN 1 END) = 0
+FROM events
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+       coalesce(sum(n - 1), 0) = 0
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'fk(o_custkey->c_custkey)',
+       CAST(count(*) AS BIGINT),
+       count(*) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+"""
+
+
+def q_table_profile(spark, sf):
+    """Column profiling (operators/quality.profile_columns): rows, nulls,
+    exact distinct, min/max per column — one single-column pruned pass
+    each (ReadSchema carries exactly one column per pass). Exact distinct
+    is the oracle-pairable choice; the 100 TB swap is
+    approx_count_distinct (documented in the operator)."""
+    from relational_data_loader_spark.operators.quality import profile_columns
+
+    orders = _t(spark, sf, "orders")
+    return profile_columns(orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+       count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_value,
+       CAST(max(o_orderstatus) AS VARCHAR) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*),
+       count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*),
+       count(CASE WHEN o_custkey IS NULL THEN 1 END),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+"""
+
+
+def q_out_of_order_stats(spark, sf):
+    """Out-of-orderness measurement (operators/watermark.out_of_order_
+    stats): per key, how often and how far business timestamps regress in
+    lsn order — the datum that SIZES a streaming watermark allowance
+    (guessing it drops data or bloats state). One per-key window; the
+    running max is O(1) state. The fixture's log is perfectly ordered
+    (ts monotone in event_id), which would exercise only the zero path —
+    so the entry deliberately disorders delivery by XOR-ing the lsn's low
+    3 bits (a deterministic 8-block shuffle both engines compute
+    identically), the way a multi-threaded tailer interleaves commits."""
+    from relational_data_loader_spark.operators.watermark import out_of_order_stats
+
+    ev = _t(spark, sf, "events").select(
+        "user_id", F.col("event_id").bitwiseXOR(F.lit(7)).alias("lsn"), "ts"
+    )
+    return out_of_order_stats(ev, "user_id", lsn_col="lsn", ts_col="ts")
+
+
+SQL_OUT_OF_ORDER = """
+WITH run AS (
+  SELECT user_id, ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY xor(event_id, 7)
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM events),
+marked AS (
+  SELECT user_id,
+         CASE WHEN prev_max > ts
+              THEN date_diff('second', ts, prev_max) ELSE 0 END AS regress_s,
+         CASE WHEN prev_max > ts THEN 1 ELSE 0 END AS late
+  FROM run)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       round(sum(late) / CAST(count(*) AS DOUBLE), 4) AS p_late,
+       CAST(max(regress_s) AS BIGINT) AS max_regress_s
+FROM marked GROUP BY 1
 """
 
 
@@ -3344,4 +3499,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "pivot_user_event_matrix": (q_pivot_user_event_matrix, SQL_PIVOT_MATRIX),
+    "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "out_of_order_stats": (q_out_of_order_stats, SQL_OUT_OF_ORDER),
 }

@@ -307,3 +307,88 @@ def test_pivot_single_shuffle(spark):
     out = q_pivot_user_event_matrix(spark, "/root/testdata/sf0.001")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations
+
+
+def test_row_expectations_single_scan_counts(spark):
+    from relational_data_loader_spark.operators.quality import row_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "X"), (3, None, "F"), (4, 2.0, "O")],
+        ["k", "price", "status"],
+    )
+    rep = row_expectations(
+        df,
+        [
+            ("price_positive", F.col("price").isNull() | (F.col("price") <= 0)),
+            ("status_accepted", ~F.col("status").isin("O", "F")),
+        ],
+    )
+    got = {r["check_name"]: (r["n_violations"], r["passed"]) for r in rep.collect()}
+    assert got == {"price_positive": (2, False), "status_accepted": (1, False)}
+    # all row predicates fold into ONE aggregate over one scan (AQE's
+    # executed string repeats the initial plan; gate on the final section)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan") == 1, plan
+
+
+def test_unique_and_fk_expectations(spark):
+    from relational_data_loader_spark.operators.quality import (
+        referential_expectation,
+        unique_key_expectation,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    uk = unique_key_expectation(child, ["fk"]).collect()[0]
+    # fk=10 twice -> 1 droppable row; NULL and 99 are singletons
+    assert (uk["n_violations"], uk["passed"]) == (1, False)
+    fk = referential_expectation(child, "fk", parent, "pk").collect()[0]
+    # only fk=99 is an orphan; NULL fk is not a violation (SQL semantics)
+    assert (fk["n_violations"], fk["passed"]) == (1, False)
+    ok = unique_key_expectation(parent, ["pk"]).collect()[0]
+    assert (ok["n_violations"], ok["passed"]) == (0, True)
+
+
+def test_profile_columns_prunes_to_one_column(spark):
+    from relational_data_loader_spark.operators.quality import profile_columns
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    prof = profile_columns(orders, ["o_orderstatus"])
+    row = prof.collect()[0]
+    assert row["n_distinct"] == 3 and row["min_value"] == "F" and row["max_value"] == "P"
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<o_orderstatus:string>" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# out-of-orderness
+
+
+def test_out_of_order_stats_measures_regression(spark):
+    from relational_data_loader_spark.operators.watermark import out_of_order_stats
+
+    log = spark.createDataFrame(
+        [
+            # key 1: lsn order 1,2,3 but the lsn-2 event's ts regressed 60s
+            (1, 1, _ts(2)),
+            (2, 1, dt.datetime(2026, 1, 2, 0, 0) - dt.timedelta(seconds=60)),
+            (3, 1, _ts(3)),
+            # key 2: perfectly ordered
+            (4, 2, _ts(1)),
+            (5, 2, _ts(2)),
+        ],
+        ["lsn", "key", "ts"],
+    )
+    got = {
+        r["key"]: (r["n_events"], r["n_late"], r["p_late"], r["max_regress_s"])
+        for r in out_of_order_stats(log, "key").collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 4), 60)
+    assert got[2] == (2, 0, 0.0, 0)
