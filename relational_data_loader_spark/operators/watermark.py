@@ -88,3 +88,50 @@ def out_of_order_stats(
         F.round(F.sum("_late") / F.count(F.lit(1)), 4).alias("p_late"),
         F.max("_regress_s").cast("bigint").alias("max_regress_s"),
     )
+
+
+def simulate_watermark_drops(
+    log: DataFrame,
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    batch_size: int = 500,
+    delay_seconds: int = 30,
+) -> DataFrame:
+    """Batch-twin of Structured Streaming's watermark semantics: group the
+    log into micro-batches of ``batch_size`` lsns; after each batch the
+    watermark advances to (max event time seen in PRIOR batches −
+    ``delay_seconds``); rows in a batch older than the current watermark
+    are the ones ``withWatermark`` would drop from stateful aggregation.
+
+    Use it to AUDIT a proposed (batch size, delay) pair against a real
+    log before deploying the stream — the per-batch drop counts are the
+    rows a production stream would silently lose. Mirrors Spark's
+    semantics exactly: the watermark is the PREVIOUS batches' max (Spark
+    updates the watermark between micro-batches, never within one).
+
+    Scale: per-batch max is a partial-agged groupBy on the (tiny) batch
+    dimension; the running max is a window over that batch table, not the
+    log; verdicts join back as a broadcast. The log is scanned once.
+    """
+    from pyspark.sql.window import Window
+
+    batch = (F.col(lsn_col) / batch_size).cast("bigint").alias("batch")
+    with_b = log.select(batch, F.col(ts_col).alias("_ts"))
+    bmax = with_b.groupBy("batch").agg(F.max("_ts").alias("_bmax"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "batch",
+        (
+            F.max("_bmax").over(w)
+            - F.make_interval(secs=F.lit(float(delay_seconds)))
+        ).alias("wm_ts"),
+    )
+    return (
+        with_b.join(F.broadcast(wm), "batch")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("_ts") < F.col("wm_ts"), 1)).alias("n_dropped"),
+            F.max("wm_ts").alias("watermark_ts"),
+        )
+    )

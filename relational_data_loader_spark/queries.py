@@ -3400,6 +3400,89 @@ FROM marked GROUP BY 1
 """
 
 
+def q_sliding_window_rollup(spark, sf):
+    """Sliding (hopping) event-time windows via native ``F.window``:
+    10-minute windows every 5 minutes, per event type — each event lands
+    in exactly width/slide = 2 windows. The oracle states the same
+    algebra explicitly (two grid-aligned candidate starts per event);
+    Spark's window() is the same epoch-aligned arithmetic fused into the
+    aggregation, one exchange."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW = """
+WITH assigned AS (
+  SELECT e.event_type, e.value,
+         CAST(to_timestamp(floor(epoch(e.ts) / 300) * 300 - o.off * 300)
+              AS TIMESTAMP) AS win_start
+  FROM events e, (VALUES (0), (1)) AS o(off)
+  WHERE e.ts < CAST(to_timestamp(floor(epoch(e.ts) / 300) * 300 - o.off * 300)
+                    AS TIMESTAMP) + INTERVAL 10 MINUTE)
+SELECT win_start, event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY 1, 2
+"""
+
+
+_WM_BATCH = 500
+_WM_DELAY_S = 30
+
+
+def q_cdc_watermark_drops(spark, sf):
+    """Watermark-policy audit (operators/watermark.simulate_watermark_
+    drops): Structured Streaming's exact semantics — watermark = prior
+    micro-batches' max event time − delay, updated BETWEEN batches —
+    replayed as a batch query, so a (batch size, delay) pair can be
+    audited against a real log BEFORE the stream silently drops rows.
+    Delivery order is the same low-bits XOR scramble as
+    out_of_order_stats (the fixture log is perfectly ordered; a stream
+    that in-order never drops anything exercises nothing)."""
+    from relational_data_loader_spark.operators.watermark import (
+        simulate_watermark_drops,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").bitwiseXOR(F.lit(255)).alias("lsn"), "ts"
+    )
+    return simulate_watermark_drops(
+        ev, lsn_col="lsn", ts_col="ts", batch_size=_WM_BATCH, delay_seconds=_WM_DELAY_S
+    )
+
+
+SQL_WATERMARK_DROPS = f"""
+WITH b AS (
+  SELECT CAST(floor(xor(event_id, 255) / {_WM_BATCH}) AS BIGINT) AS batch, ts
+  FROM events),
+bmax AS (SELECT batch, max(ts) AS bmax FROM b GROUP BY 1),
+wm AS (
+  SELECT batch,
+         max(bmax) OVER (ORDER BY batch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL {_WM_DELAY_S} SECOND AS wm_ts
+  FROM bmax)
+SELECT b.batch, count(*) AS n_events,
+       count(CASE WHEN b.ts < wm.wm_ts THEN 1 END) AS n_dropped,
+       max(wm.wm_ts) AS watermark_ts
+FROM b JOIN wm USING (batch)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3502,4 +3585,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dq_expectations": (q_dq_expectations, SQL_DQ_EXPECTATIONS),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "out_of_order_stats": (q_out_of_order_stats, SQL_OUT_OF_ORDER),
+    "sliding_window_rollup": (q_sliding_window_rollup, SQL_SLIDING_WINDOW),
+    "cdc_watermark_drops": (q_cdc_watermark_drops, SQL_WATERMARK_DROPS),
 }

@@ -392,3 +392,50 @@ def test_out_of_order_stats_measures_regression(spark):
     }
     assert got[1] == (3, 1, round(1 / 3, 4), 60)
     assert got[2] == (2, 0, 0.0, 0)
+
+
+# --------------------------------------------------------------------------
+# watermark-drop simulation
+
+
+def test_simulate_watermark_drops_matches_streaming_semantics(spark):
+    from relational_data_loader_spark.operators.watermark import (
+        simulate_watermark_drops,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # batch 0 (lsn 0-1): max ts = day 5
+            (0, _ts(1)),
+            (1, _ts(5)),
+            # batch 1 (lsn 2-3): day-2 event is behind the day-5 watermark
+            (2, _ts(2)),
+            (3, _ts(6)),
+            # batch 2 (lsn 4): watermark is now day 6; day 3 drops
+            (4, _ts(3)),
+        ],
+        ["lsn", "ts"],
+    )
+    got = {
+        r["batch"]: (r["n_events"], r["n_dropped"], r["watermark_ts"])
+        for r in simulate_watermark_drops(
+            log, batch_size=2, delay_seconds=0
+        ).collect()
+    }
+    assert got[0][:2] == (2, 0) and got[0][2] is None  # no prior batch: no wm
+    assert got[1] == (2, 1, _ts(5))
+    assert got[2] == (1, 1, _ts(6))
+
+
+def test_simulate_watermark_drops_delay_rescues(spark):
+    from relational_data_loader_spark.operators.watermark import (
+        simulate_watermark_drops,
+    )
+
+    log = spark.createDataFrame(
+        [(0, _ts(1)), (1, _ts(5)), (2, _ts(4))], ["lsn", "ts"]
+    )
+    # watermark day5 - 2 days = day3 < day4: the late row survives
+    got = simulate_watermark_drops(log, batch_size=2, delay_seconds=2 * 86400)
+    row = {r["batch"]: r for r in got.collect()}[1]
+    assert (row["n_events"], row["n_dropped"]) == (1, 0)
