@@ -3483,6 +3483,90 @@ GROUP BY 1
 """
 
 
+def q_json_props_extract(spark, sf):
+    """Semi-structured payload handling: the events' ``props`` column is a
+    JSON document; extract ``$.k`` JVM-side (``get_json_object`` —
+    codegen, no Python) and aggregate it per event type. The everyday CDC
+    reality of sources that stuff payloads into JSON columns; the scan
+    reads only (event_type, props)."""
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(k.isNull(), 1)).alias("n_unparsed"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+WITH x AS (
+  SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events)
+SELECT event_type, count(*) AS n,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_unparsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 4) AS avg_k,
+       min(k) AS min_k, max(k) AS max_k
+FROM x GROUP BY 1
+"""
+
+
+_HIST_WIDTH = 25
+
+
+def q_value_histogram(spark, sf):
+    """Equi-width histogram of the value column per event type — the
+    distribution sketch a quality monitor plots per ingest window. Bucket
+    arithmetic is floor division (integer-exact both engines); one
+    partial-agged groupBy on (type, bucket)."""
+    ev = _t(spark, sf, "events")
+    b = F.floor(F.col("value") / _HIST_WIDTH).cast("int")
+    return ev.groupBy("event_type", b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("bucket_min"),
+        F.round(F.max("value"), 4).alias("bucket_max"),
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+SELECT event_type, CAST(floor(value / {_HIST_WIDTH}) AS INT) AS bucket,
+       count(*) AS n,
+       round(min(value), 4) AS bucket_min,
+       round(max(value), 4) AS bucket_max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_group_stats_suite(spark, sf):
+    """Second-moment statistics per group: Pearson correlation, population
+    covariance and stddev of (quantity, extendedprice) per returnflag —
+    the aggregates a feature-engineering pass and a drift monitor share.
+    All are single-pass mergeable sketches (sum/sumsq/cross-sum state),
+    so partial aggregation keeps the shuffle at O(groups); results round
+    at 4dp where both engines' accumulation orders agree."""
+    li = _t(spark, sf, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop(q, p), 4).alias("covar_qty_price"),
+        F.round(F.stddev_pop(q), 4).alias("std_qty"),
+        F.round(F.stddev_pop(p), 4).alias("std_price"),
+    )
+
+
+SQL_GROUP_STATS = """
+SELECT l_returnflag, count(*) AS n,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(stddev_pop(l_quantity), 4) AS std_qty,
+       round(stddev_pop(l_extendedprice), 4) AS std_price
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3587,4 +3671,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "out_of_order_stats": (q_out_of_order_stats, SQL_OUT_OF_ORDER),
     "sliding_window_rollup": (q_sliding_window_rollup, SQL_SLIDING_WINDOW),
     "cdc_watermark_drops": (q_cdc_watermark_drops, SQL_WATERMARK_DROPS),
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "group_stats_suite": (q_group_stats_suite, SQL_GROUP_STATS),
 }
