@@ -42,6 +42,7 @@ def windowed_turn_stats(
     late_allowance: str = "10 minutes",
     ts_col: str = "ts",
     role_col: str = "role",
+    slide: str | None = None,
 ) -> DataFrame:
     """Per (event-time window, role) upsert/delete counts over the change
     stream, watermarked so state stays bounded.
@@ -51,10 +52,20 @@ def windowed_turn_stats(
     distincts are unsupported in streaming and unnecessary for a rollup).
     Works in batch mode too (the watermark is a no-op there), which is what
     the equivalence test uses as its oracle.
+
+    ``slide`` turns the tumbling window into a SLIDING (hopping) one —
+    each event lands in size/slide windows; streaming state grows by the
+    same factor (still O(open windows × roles)), and finalization is per
+    window end exactly as for tumbling, so append-mode semantics carry
+    over unchanged (pinned by the batch/stream equivalence test).
     """
     op = spec.op_column
     delete = spec.delete_op
-    win = F.window(F.col(ts_col), window_size)
+    win = (
+        F.window(F.col(ts_col), window_size, slide)
+        if slide
+        else F.window(F.col(ts_col), window_size)
+    )
     df = stream.withWatermark(ts_col, late_allowance) if stream.isStreaming else stream
     return (
         df.groupBy(win.alias("w"), F.col(role_col).alias("role"))
