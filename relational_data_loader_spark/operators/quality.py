@@ -124,3 +124,29 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+class ExpectationFailedError(ValueError):
+    """An enforce-mode data-quality gate rejected a batch; nothing was
+    committed (the epoch is safely re-runnable after the source is fixed)."""
+
+    def __init__(self, spec_name: str, violations: dict[str, int]):
+        self.spec_name = spec_name
+        self.violations = violations
+        detail = ", ".join(f"{k}={v}" for k, v in sorted(violations.items()))
+        super().__init__(
+            f"spec {spec_name!r}: expectations failed before commit: {detail}"
+        )
+
+
+def gate_counts(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
+    """Evaluate named violation expressions (SQL boolean strings, true =
+    the row violates) in ONE conditional-count aggregate pass; returns
+    {check_name: n_violations}. The collect is control-plane — one row of
+    n_checks scalars."""
+    aggs = [
+        F.count(F.when(F.expr(expr), 1)).alias(name)
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name]) for name in checks}

@@ -43,6 +43,10 @@ class RunResult:
     wall_ms: int
     n_chunks: int = 1            # incremental apply chunks (spec.batch_size)
     salt_buckets: int = 0        # salt factor the netting actually used
+    # audit-mode data-quality counts ({check: n_violations} summed across
+    # chunks; None when the spec declares no expectations). Enforce mode
+    # never reaches a RunResult — it raises ExpectationFailedError instead.
+    dq_violations: dict[str, int] | None = None
 
 
 class DataLoadManager:
@@ -132,6 +136,35 @@ class DataLoadManager:
 
     # -- entry point -----------------------------------------------------------
 
+    def _dq_gate(self, spec: IngestSpec, changes) -> dict[str, int] | None:
+        """Admission gate (spec.expectations): evaluate the violation
+        expressions over the epoch's PROJECTED upsert rows (deletes exempt
+        — their payload is NULL by envelope contract) in one
+        conditional-count pass, BEFORE anything commits.
+
+        Enforce mode raises and commits nothing — at-least-once safe: the
+        watermark did not advance, so the epoch reruns identically once
+        the source is fixed. Audit mode returns the counts for RunResult.
+        The pass costs one extra scan of the chunk; enforce semantics
+        require pre-commit counts, so it cannot ride the write's Observe.
+        """
+        if not spec.expectations:
+            return None
+        from relational_data_loader_spark.operators.quality import (
+            ExpectationFailedError,
+            gate_counts,
+        )
+
+        ups = self.project(spec, changes).filter(
+            F.col(spec.op_column) != spec.delete_op
+        )
+        counts = gate_counts(ups, spec.expectations)
+        if spec.expectations_mode == "enforce":
+            bad = {k: v for k, v in counts.items() if v}
+            if bad:
+                raise ExpectationFailedError(spec.name, bad)
+        return counts
+
     def run(self, spec: IngestSpec, force_full: bool = False) -> RunResult:
         """One load execution: decide, run, commit, track (reference C1+C3)."""
         t0 = time.time()
@@ -165,6 +198,7 @@ class DataLoadManager:
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version
             wm = max(cti.current_version, 0)
+            dq = self._dq_gate(spec, log)
             if hasattr(table, "full_refresh_from_envelopes") and not spec.salt_buckets:
                 # fused initial load: net + drop-deletes + bucketed write on
                 # one exchange, survivor count observed during the write
@@ -198,7 +232,10 @@ class DataLoadManager:
                 wall,
                 kind="full_refresh",
             )
-            return RunResult(decision, n, 0, table.watermark(), epoch_id, False, wall)
+            return RunResult(
+                decision, n, 0, table.watermark(), epoch_id, False, wall,
+                dq_violations=dq,
+            )
 
         # incremental: only events past the committed watermark (each chunk
         # below filters the log on its own lsn range directly).
@@ -243,6 +280,7 @@ class DataLoadManager:
         applied_any = False
         chunks_run = 0
         lo = last
+        dq_total: dict[str, int] | None = None
         # the Iceberg sink needs unique source keys (MERGE INTO cardinality):
         # feed it the explicitly netted prepare_batch; the snapshot sink gets
         # the shuffle-minimal fused path (netting inside its merge window)
@@ -252,6 +290,11 @@ class DataLoadManager:
                 continue
             chunks_run += 1
             chunk = log.filter((F.col(lsn) > F.lit(lo)) & (F.col(lsn) <= F.lit(hi)))
+            dq = self._dq_gate(spec, chunk)
+            if dq is not None:
+                dq_total = {
+                    k: (dq_total or {}).get(k, 0) + v for k, v in dq.items()
+                }
             prepared = (
                 self.prepare_batch(spec, chunk, salt)
                 if needs_unique
@@ -276,4 +319,5 @@ class DataLoadManager:
             int((time.time() - t0) * 1000),
             n_chunks=max(chunks_run, 1),
             salt_buckets=salt,
+            dq_violations=dq_total,
         )

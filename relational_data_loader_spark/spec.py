@@ -126,6 +126,19 @@ class IngestSpec:
     # the reference has no user extension point (SURVEY.md §2.2 "UDF surface");
     # this is our single, Arrow-vectorized one.
 
+    # Data-quality admission gate (operators/quality.py): check name -> SQL
+    # boolean expression over DESTINATION columns that is TRUE when a row
+    # VIOLATES the expectation. Evaluated on every epoch's upsert rows
+    # (deletes exempt — their payload is NULL by envelope contract) BEFORE
+    # the merge commits, in one conditional-count pass. Mode "enforce"
+    # raises ExpectationFailedError and commits nothing (the epoch reruns
+    # cleanly after the source is fixed); "audit" commits and reports the
+    # counts on RunResult.dq_violations. Deliberately NOT part of
+    # checksum(): tightening a gate is an operational change, not a schema
+    # change — it must never force a full refresh.
+    expectations: dict[str, str] = field(default_factory=dict)
+    expectations_mode: str = "enforce"  # "enforce" | "audit"
+
     # ---- derived --------------------------------------------------------
 
     @property
@@ -254,6 +267,8 @@ class IngestSpec:
             "salt_buckets": self.salt_buckets,
             "audit_columns": self.audit_columns,
             "transforms": self.transforms,
+            "expectations": self.expectations,
+            "expectations_mode": self.expectations_mode,
             "columns": [
                 {
                     "source": c.source,
@@ -284,6 +299,8 @@ class IngestSpec:
             salt_buckets=doc.get("salt_buckets", 0),
             audit_columns=doc.get("audit_columns", False),
             transforms=doc.get("transforms", {}),
+            expectations=doc.get("expectations", {}),
+            expectations_mode=doc.get("expectations_mode", "enforce"),
         )
 
 

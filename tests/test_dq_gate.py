@@ -1,0 +1,123 @@
+"""Admission gate on the load path (spec.expectations): enforce-mode
+rejection commits nothing, audit mode reports counts, deletes are exempt,
+and the gate never perturbs the schema-change machinery."""
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from relational_data_loader_spark.operators.quality import ExpectationFailedError
+from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.spec import IngestSpec, transcripts_spec
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _log(rows):
+    """rows: (lsn, op, conv, turn, role, text)."""
+    return pa.table(
+        {
+            "lsn": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows]),
+            "conv_id": pa.array([r[2] for r in rows]),
+            "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+            "role": pa.array([r[4] for r in rows]),
+            "text": pa.array([r[5] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([T0] * len(rows), pa.timestamp("us")),
+        }
+    )
+
+
+def _write(logdir, table):
+    os.makedirs(logdir, exist_ok=True)
+    pq.write_table(table, os.path.join(logdir, "seg-000.parquet"))
+
+
+EXPECT = {"text_not_null": "text IS NULL", "role_known": "role NOT IN ('user','assistant')"}
+
+
+def _spec(logdir, mode="enforce"):
+    s = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    s.expectations = dict(EXPECT)
+    s.expectations_mode = mode
+    return s
+
+
+def test_enforce_rejects_and_commits_nothing(spark, warehouse, tmp_path):
+    logdir = str(tmp_path / "log")
+    _write(logdir, _log([
+        (1, "I", "c1", 0, "user", "hi"),
+        (2, "I", "c1", 1, "assistant", None),  # poison: NULL text on upsert
+    ]))
+    mgr = DataLoadManager(spark, warehouse)
+    spec = _spec(logdir)
+    with pytest.raises(ExpectationFailedError) as ei:
+        mgr.run(spec)
+    assert ei.value.violations == {"text_not_null": 1}
+    # nothing committed: the table does not exist yet
+    assert not mgr.table(spec).exists()
+
+
+def test_enforce_incremental_leaves_watermark(spark, warehouse, tmp_path):
+    logdir = str(tmp_path / "log")
+    _write(logdir, _log([(1, "I", "c1", 0, "user", "hi")]))
+    mgr = DataLoadManager(spark, warehouse)
+    spec = _spec(logdir)
+    r1 = mgr.run(spec)
+    assert r1.decision.kind == "full_refresh" and r1.rows_upserted == 1
+    wm = mgr.table(spec).watermark()
+    # tail chunk carries a bad role
+    _write(logdir, _log([
+        (1, "I", "c1", 0, "user", "hi"),
+        (2, "I", "c1", 1, "robot", "x"),   # poison: unknown role
+    ]))
+    with pytest.raises(ExpectationFailedError) as ei:
+        mgr.run(spec)
+    assert ei.value.violations == {"role_known": 1}
+    assert mgr.table(spec).watermark() == wm  # epoch not committed
+    # source fixed -> the SAME epoch replays cleanly
+    _write(logdir, _log([
+        (1, "I", "c1", 0, "user", "hi"),
+        (2, "I", "c1", 1, "assistant", "x"),
+    ]))
+    r3 = mgr.run(spec)
+    assert r3.rows_upserted == 1 and not r3.skipped
+    assert mgr.table(spec).watermark() == 2
+
+
+def test_audit_mode_commits_and_reports(spark, warehouse, tmp_path):
+    logdir = str(tmp_path / "log")
+    _write(logdir, _log([
+        (1, "I", "c1", 0, "user", "hi"),
+        (2, "I", "c1", 1, "assistant", None),
+    ]))
+    mgr = DataLoadManager(spark, warehouse)
+    spec = _spec(logdir, mode="audit")
+    r = mgr.run(spec)
+    assert r.dq_violations == {"text_not_null": 1, "role_known": 0}
+    assert mgr.table(spec).read().count() == 2  # committed anyway
+
+
+def test_deletes_exempt_from_expectations(spark, warehouse, tmp_path):
+    logdir = str(tmp_path / "log")
+    # a delete envelope's payload is NULL by contract; must NOT trip the gate
+    _write(logdir, _log([
+        (1, "I", "c1", 0, "user", "hi"),
+        (2, "D", "c1", 0, None, None),
+    ]))
+    mgr = DataLoadManager(spark, warehouse)
+    r = mgr.run(_spec(logdir))
+    assert r.rows_upserted == 0 or r.rows_upserted == 1  # net state: deleted
+    assert mgr.table(_spec(logdir)).read().count() == 0
+
+
+def test_expectations_not_in_checksum_and_roundtrip(tmp_path):
+    a = _spec(str(tmp_path), mode="audit")
+    b = transcripts_spec(source=a.source, target_buckets=4)
+    assert a.checksum() == b.checksum()  # gate changes never force reloads
+    rt = IngestSpec.from_json(a.to_json())
+    assert rt.expectations == EXPECT and rt.expectations_mode == "audit"
