@@ -3567,6 +3567,49 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_kmv_distinct_tokens(spark, sf):
+    """Deterministic cardinality sketch (operators/sketch.kmv_distinct):
+    per-language distinct-token estimate via k-minimum-values (k=64) next
+    to the exact count and relative error. Unlike HLL, KMV's estimate is
+    reproducible across engines (md5-derived uniforms), so the ORACLE
+    verifies the sketch itself — the audit that justifies the swap from
+    exact count-distinct at scale. Top-k per group rides a
+    WindowGroupLimit (each map partition forwards ≤ k rows/group)."""
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+    from relational_data_loader_spark.operators.sketch import kmv_distinct
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        "lang", _one_to_one(tokens(F.col("text")), "_toks")
+    ).select("lang", F.explode("_toks").alias("tok"))
+    return kmv_distinct(toks, "lang", "tok", k=64)
+
+
+SQL_KMV_DISTINCT = r"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT DISTINCT lang,
+         CAST(concat('0x', substr(md5(tok), 1, 14)) AS BIGINT)
+           / 72057594037927936.0 AS u
+  FROM toks),
+topk AS (
+  SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u) AS rk
+  FROM hashed QUALIFY rk <= 64),
+est AS (
+  SELECT lang,
+         CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+              ELSE round(63.0 / max(u), 4) END AS n_estimate
+  FROM topk GROUP BY 1),
+exact AS (SELECT lang, count(*) AS n_exact FROM hashed GROUP BY 1)
+SELECT lang, n_exact, n_estimate,
+       round((n_estimate - n_exact) / n_exact, 4) AS rel_error
+FROM exact JOIN est USING (lang)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3674,4 +3717,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "group_stats_suite": (q_group_stats_suite, SQL_GROUP_STATS),
+    "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT),
 }

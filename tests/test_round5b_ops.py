@@ -439,3 +439,37 @@ def test_simulate_watermark_drops_delay_rescues(spark):
     got = simulate_watermark_drops(log, batch_size=2, delay_seconds=2 * 86400)
     row = {r["batch"]: r for r in got.collect()}[1]
     assert (row["n_events"], row["n_dropped"]) == (1, 0)
+
+
+# --------------------------------------------------------------------------
+# KMV sketch
+
+
+def test_kmv_exact_path_and_estimate_accuracy(spark):
+    from relational_data_loader_spark.operators.sketch import kmv_distinct
+
+    small = spark.createDataFrame(
+        [("a", f"v{i % 10}") for i in range(100)], ["g", "v"]
+    )
+    row = kmv_distinct(small, "g", "v", k=64).collect()[0]
+    # below k distinct -> the sketch IS the distinct set: exact, zero error
+    assert (row["n_exact"], row["n_estimate"], row["rel_error"]) == (10, 10.0, 0.0)
+
+    big = spark.range(5000).select(
+        F.lit("b").alias("g"), F.concat(F.lit("tok"), F.col("id")).alias("v")
+    )
+    r = kmv_distinct(big, "g", "v", k=64).collect()[0]
+    assert r["n_exact"] == 5000
+    # se ~ 1/sqrt(62) ~ 12.7%; 4 sigma bound keeps the test deterministic
+    # in spirit AND in fact (the hash set is fixed, so this never flakes)
+    assert abs(r["rel_error"]) < 0.5, r
+
+
+def test_kmv_topk_rides_window_group_limit(spark):
+    from relational_data_loader_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(10000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").cast("string").alias("v")
+    )
+    plan = kmv_distinct(df, "g", "v", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
