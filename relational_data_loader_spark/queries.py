@@ -3610,6 +3610,60 @@ FROM exact JOIN est USING (lang)
 """
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware keeper election: near-dup clusters with the LONGEST
+    member kept (n_chars, doc_id tie-break) instead of the min-id default
+    — the policy real corpus dedup ships (the longest variant of a
+    template family usually carries the most content). Reuses the
+    clustering pipeline; the election is one window over the (tiny)
+    cluster assignment."""
+    from relational_data_loader_spark.operators.dedup import (
+        near_dup_pairs_with_handle,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    pairs, release = near_dup_pairs_with_handle(
+        docs, "text", "doc_id", threshold=0.5
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    release()
+    joined = clusters.select("doc_id", "cluster_id").join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep_best"),
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+WITH RECURSIVE pairs AS ({SQL_NEAR_DUP}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s WHERE e.d <> r.n),
+labels AS (
+  SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n),
+cl AS (
+  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500) d
+  LEFT JOIN labels l ON l.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, n_chars,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS keep_best
+FROM cl
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3718,4 +3772,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "group_stats_suite": (q_group_stats_suite, SQL_GROUP_STATS),
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT),
+    "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
 }
