@@ -88,3 +88,44 @@ def group_split(
         )
     last = F.lit(splits[-1][0])
     return df.withColumn(out_col, last if expr is None else expr.otherwise(last))
+
+
+def weighted_sample_topk(
+    df,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 5,
+    round_dp: int = 9,
+):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis): rank on ln(u)/w where u is the row's
+    md5-derived uniform — the top-k by that key IS a weight-proportional
+    sample. Used to sample training documents proportional to a quality
+    or length weight, reproducibly: same data → same sample, on any
+    engine and any partitioning (the u are content-derived, not RNG).
+
+    ln(u)/w (monotone with the textbook u^(1/w)) keeps keys spread out
+    where large weights would compress u^(1/w) against 1.0; the key is
+    rounded before ranking with an id tie-break, so a ≤1-ulp libm
+    difference between engines cannot flip the cut. One shuffle; the
+    top-k rides WindowGroupLimit (≤ k rows per group leave each map
+    partition).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from relational_data_loader_spark.operators.sketch import uniform_hash
+
+    key = F.round(
+        F.log(uniform_hash(F.col(id_col).cast("string")))
+        / F.col(weight_col).cast("double"),
+        round_dp,
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("sample_key"), F.asc(id_col))
+    return (
+        df.select(group_col, id_col, weight_col, key.alias("sample_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, weight_col, "sample_key", "rk")
+    )

@@ -3664,6 +3664,35 @@ FROM cl
 """
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (operators/
+    sampling.weighted_sample_topk): top-5 docs per language, selection
+    probability ∝ n_chars, reproducible on any engine/partitioning (the
+    Efraimidis–Spirakis keys derive from md5 uniforms, not an RNG —
+    which is also why an ORACLE can check a *sample*)."""
+    from relational_data_loader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return weighted_sample_topk(docs, "lang", "doc_id", "n_chars", k=5)
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+                       AS BIGINT) / 72057594037927936.0)
+               / CAST(n_chars AS DOUBLE), 9) AS sample_key
+  FROM documents)
+SELECT lang, doc_id, n_chars, sample_key, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY sample_key DESC, doc_id) AS rk
+      FROM keyed)
+WHERE rk <= 5
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3773,4 +3802,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "group_stats_suite": (q_group_stats_suite, SQL_GROUP_STATS),
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
 }

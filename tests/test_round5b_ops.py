@@ -473,3 +473,44 @@ def test_kmv_topk_rides_window_group_limit(spark):
     )
     plan = kmv_distinct(df, "g", "v", k=64)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# weighted sampling
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from relational_data_loader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    # one heavy doc among 200 light ones: with weight 10_000 vs 1 the
+    # heavy doc's inclusion probability in a top-20 sample is ~1
+    rows = [(i, "g", 1) for i in range(200)] + [(999, "g", 10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    s1 = weighted_sample_topk(df, "lang", "doc_id", "n_chars", k=20)
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    assert 999 in ids1
+    # determinism across partitionings
+    ids2 = {
+        r["doc_id"]
+        for r in weighted_sample_topk(
+            df.repartition(7), "lang", "doc_id", "n_chars", k=20
+        ).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_weighted_sample_rides_window_group_limit(spark):
+    from relational_data_loader_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        weighted_sample_topk(docs, "lang", "doc_id", "n_chars", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
