@@ -125,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     queries = []
+    rejected = False
     for f in spec_files:
         with open(f) as fh:
             spec = IngestSpec.from_json(fh.read())
@@ -145,7 +146,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"[rdl-spark] streaming {spec.name} (checkpoint={ckpt})")
         else:
-            res = mgr.run(spec, force_full=force)
+            from relational_data_loader_spark.operators.quality import (
+                ExpectationFailedError,
+            )
+
+            try:
+                res = mgr.run(spec, force_full=force)
+            except ExpectationFailedError as e:
+                # admission gate rejected the epoch: nothing committed, the
+                # watermark never moved — report and keep servicing the
+                # OTHER specs (one poisoned source must not stall the rest),
+                # then exit nonzero so the scheduler alerts
+                print(
+                    json.dumps(
+                        {"spec": spec.name, "rejected": True, "violations": e.violations}
+                    )
+                )
+                rejected = True
+                continue
             print(
                 json.dumps(
                     {
@@ -159,12 +177,13 @@ def main(argv: list[str] | None = None) -> int:
                         "n_chunks": res.n_chunks,
                         "salt_buckets": res.salt_buckets,
                         "wall_ms": res.wall_ms,
+                        "dq_violations": res.dq_violations,
                     }
                 )
             )
     for q in queries:
         q.awaitTermination()
-    return 0
+    return 3 if rejected else 0
 
 
 if __name__ == "__main__":

@@ -121,3 +121,52 @@ def test_expectations_not_in_checksum_and_roundtrip(tmp_path):
     assert a.checksum() == b.checksum()  # gate changes never force reloads
     rt = IngestSpec.from_json(a.to_json())
     assert rt.expectations == EXPECT and rt.expectations_mode == "audit"
+
+
+def test_gate_mid_backlog_commits_earlier_chunks(spark, warehouse, tmp_path):
+    """A rejection in chunk 2 of a chunked backlog must leave chunk 1
+    COMMITTED (its manifest landed before the gate saw chunk 2) and the
+    watermark at chunk 1's upper bound — the resume point after the fix."""
+    logdir = str(tmp_path / "log")
+    # bootstrap an (empty-ish) table so the next run is incremental
+    _write(logdir, _log([(1, "I", "c0", 0, "user", "seed")]))
+    mgr = DataLoadManager(spark, warehouse)
+    spec = _spec(logdir)
+    spec.batch_size = 5  # force chunking of the 10-lsn backlog below
+    mgr.run(spec)
+    # backlog lsns 2..11: poison sits in the SECOND chunk (lsn >= 7)
+    rows = [(i, "I", f"c{i}", 0, "user", f"t{i}") for i in range(2, 10)]
+    rows.append((10, "I", "cx", 1, "robot", "bad-role"))  # violates role_known
+    rows.append((11, "I", "cy", 0, "user", "ok"))
+    _write(logdir, _log([(1, "I", "c0", 0, "user", "seed")] + rows))
+    with pytest.raises(ExpectationFailedError):
+        mgr.run(spec)
+    wm = mgr.table(spec).watermark()
+    assert 1 < wm < 10  # chunk 1 committed, poisoned chunk did not
+    # fix the poison row -> rerun applies ONLY the remaining chunks
+    fixed = [r for r in rows if r[0] != 10] + [(10, "I", "cx", 1, "user", "ok")]
+    _write(logdir, _log([(1, "I", "c0", 0, "user", "seed")] + fixed))
+    r = mgr.run(spec)
+    assert mgr.table(spec).watermark() == 11 and not r.skipped
+    assert mgr.table(spec).read().count() == 11  # all 11 live rows landed
+
+
+def test_cli_reports_rejection_and_exits_nonzero(spark, tmp_path, capsys):
+    import json as _json
+
+    from relational_data_loader_spark import cli
+
+    logdir = str(tmp_path / "log")
+    _write(logdir, _log([(1, "I", "c1", 0, "user", None)]))  # poison
+    specdir = str(tmp_path / "specs")
+    os.makedirs(specdir)
+    with open(os.path.join(specdir, "t.json"), "w") as fh:
+        fh.write(_spec(logdir).to_json())
+    rc = cli.main(
+        ["--warehouse", str(tmp_path / "wh"), "--specs", specdir,
+         "--master", "local[4]"]
+    )
+    assert rc == 3
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rep = _json.loads(out[-1])
+    assert rep["rejected"] is True and rep["violations"] == {"text_not_null": 1}
