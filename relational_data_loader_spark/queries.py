@@ -3693,6 +3693,54 @@ WHERE rk <= 5
 """
 
 
+def q_cdc_gap_check(spark, sf):
+    """Change-stream continuity audit: within each shard (user_id % 4,
+    the consistent-cut sharding), lsns should be gap-free relative to the
+    shard's own observed set — missing lsns mean LOST CHANGE EVENTS (the
+    failure CT retention expiry causes, SURVEY §2.1 S3's min-valid rule).
+    Shards interleave one global sequence here, so the audit counts gaps
+    against each shard's (max−min+1) span MINUS what interleaving
+    accounts for globally: the global stream must have zero gaps; per
+    shard the span arithmetic is reported for the operator to baseline.
+    Pure integer aggregates, one partial-agged groupBy + a 1-row global."""
+    ev = _t(spark, sf, "events")
+    per_shard = ev.groupBy(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+    )
+    glob = ev.agg(
+        F.lit(-1).cast("int").alias("shard"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+    )
+    both = per_shard.unionByName(glob)
+    return both.select(
+        "shard",
+        "n_events",
+        "min_lsn",
+        "max_lsn",
+        (F.col("max_lsn") - F.col("min_lsn") + 1 - F.col("n_events")).alias(
+            "missing_lsns"
+        ),
+    )
+
+
+SQL_GAP_CHECK = """
+SELECT CAST(user_id % 4 AS INT) AS shard, count(*) AS n_events,
+       min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+       max(event_id) - min(event_id) + 1 - count(*) AS missing_lsns
+FROM events GROUP BY 1
+UNION ALL
+SELECT -1, count(*), min(event_id), max(event_id),
+       max(event_id) - min(event_id) + 1 - count(*)
+FROM events
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3803,4 +3851,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_distinct_tokens": (q_kmv_distinct_tokens, SQL_KMV_DISTINCT),
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "cdc_gap_check": (q_cdc_gap_check, SQL_GAP_CHECK),
 }
