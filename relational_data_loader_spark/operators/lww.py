@@ -100,3 +100,43 @@ def scd2_history(
         "is_current",
         F.col("valid_to_lsn").isNull() & (F.col(op_col) != delete_op),
     )
+
+
+def live_key_timeline(
+    log: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Daily live-key timeline from a change log: for every day that saw a
+    liveness transition, the net change and the running count of keys
+    alive at end-of-day — "how big was the table over time" without
+    snapshotting it per day.
+
+    The scale trick is the boundary-delta formulation: instead of joining
+    every day against every validity interval (days × keys work), each
+    event emits a ±1 only when its key's liveness FLIPS (lag over the
+    per-key (ts, lsn) order), the deltas collapse to one row per day
+    map-side, and a single running sum over the tiny day dimension
+    finishes the job. Cost: one per-key window + one groupBy + one window
+    over n_days rows (n_days ≤ 10^4 for any real table, so the
+    single-partition running sum is irrelevant at any data scale).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, lsn_col)
+    live = (F.col(op_col) != delete_op).cast("int")
+    prev = F.lag(live).over(w)
+    delta = (live - F.coalesce(prev, F.lit(0))).alias("_d")
+    days = (
+        log.select(F.to_date(ts_col).alias("day"), delta)
+        .filter(F.col("_d") != 0)
+        .groupBy("day")
+        .agg(F.sum("_d").alias("net_change"))
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return days.select(
+        "day",
+        F.col("net_change").cast("bigint").alias("net_change"),
+        F.sum("net_change").over(run).cast("bigint").alias("live_keys"),
+    )

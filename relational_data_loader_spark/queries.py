@@ -3741,6 +3741,45 @@ FROM events
 """
 
 
+def q_live_key_timeline(spark, sf):
+    """Daily table-size timeline (operators/lww.live_key_timeline): net
+    liveness transitions per day + running live-key count, via the
+    boundary-delta trick — each event contributes a ±1 only when its
+    key's liveness FLIPS, so the cost is one per-key window plus a
+    running sum over the (tiny) day dimension, never days × keys."""
+    from relational_data_loader_spark.operators.lww import live_key_timeline
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("event_type").alias("op"),
+        "user_id",
+        "ts",
+    )
+    return live_key_timeline(
+        ev, ["user_id"], lsn_col="lsn", ts_col="ts", op_col="op",
+        delete_op=DELETE_OP,
+    )
+
+
+SQL_LIVE_TIMELINE = f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         CAST(event_type <> '{DELETE_OP}' AS INT) AS live,
+         lag(CAST(event_type <> '{DELETE_OP}' AS INT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+deltas AS (
+  SELECT CAST(ts AS DATE) AS day, live - coalesce(prev, 0) AS d
+  FROM seq WHERE live - coalesce(prev, 0) <> 0),
+daily AS (SELECT day, sum(d) AS net_change FROM deltas GROUP BY 1)
+SELECT day, CAST(net_change AS BIGINT) AS net_change,
+       CAST(sum(net_change) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS live_keys
+FROM daily
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3852,4 +3891,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_keep_best": (q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cdc_gap_check": (q_cdc_gap_check, SQL_GAP_CHECK),
+    "live_key_timeline": (q_live_key_timeline, SQL_LIVE_TIMELINE),
 }

@@ -514,3 +514,34 @@ def test_weighted_sample_rides_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+# --------------------------------------------------------------------------
+# live-key timeline
+
+
+def test_live_key_timeline_transitions(spark):
+    from relational_data_loader_spark.operators.lww import live_key_timeline
+
+    log = spark.createDataFrame(
+        [
+            (1, "U", 1, _ts(1)),   # key 1 born day 1
+            (2, "U", 2, _ts(1)),   # key 2 born day 1
+            (3, "U", 1, _ts(2)),   # update: NOT a transition
+            (4, "D", 2, _ts(3)),   # key 2 dies day 3
+            (5, "U", 2, _ts(5)),   # key 2 resurrected day 5
+            (6, "D", 2, _ts(5)),   # ... and dies again same day: net 0
+        ],
+        ["lsn", "op", "key", "ts"],
+    )
+    got = {
+        str(r["day"]): (r["net_change"], r["live_keys"])
+        for r in live_key_timeline(log, ["key"]).collect()
+    }
+    # day 5's resurrection+death are BOTH transitions, so the day keeps a
+    # row whose deltas cancel to net 0 (live count unchanged)
+    assert got == {
+        "2026-01-01": (2, 2),
+        "2026-01-03": (-1, 1),
+        "2026-01-05": (0, 1),
+    }
