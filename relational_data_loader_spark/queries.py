@@ -3780,6 +3780,108 @@ FROM daily
 """
 
 
+def q_unigram_surprisal(spark, sf):
+    """Language-model quality scoring without a model: per-document mean
+    unigram surprisal −avg ln p(token), with p estimated from the corpus
+    itself — the cheap proxy quality filters use before anything neural
+    (gibberish and boilerplate both light up: rare-token soup scores
+    high, repeated-token soup scores low). Same two-aggregate shape as
+    TF-IDF: token frequencies reduce before the vocabulary join; the
+    corpus total is a 1-row broadcast."""
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    tok = docs.select(
+        "doc_id", _one_to_one(tokens(F.col("text")), "_toks")
+    ).select("doc_id", F.explode("_toks").alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("n_total"))
+    scored = (
+        tf.join(cf, "tok")
+        .join(F.broadcast(total), F.lit(True), "inner")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(F.col("cf") / F.col("n_total")))
+                / F.sum("tf"),
+                4,
+            ).alias("surprisal"),
+        )
+    )
+    return scored
+
+
+SQL_SURPRISAL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 1000),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT tok, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS n_total FROM cf)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf * ln(cf / n_total)) / sum(tf), 4) AS surprisal
+FROM tf JOIN cf USING (tok), tot
+GROUP BY 1
+"""
+
+
+def q_last_touch_attribution(spark, sf):
+    """Last-touch attribution: every purchase attributed to the user's
+    most recent preceding click/view within 3 days (else unattributed).
+    One per-user window with IGNORE NULLS last_value over the ordered
+    stream — no self-join, no as-of pass per touch type; the tolerance
+    is a plain filter on the carried timestamp."""
+    ev = _t(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct("ts", "event_id", "event_type"),
+    )
+    last_touch = F.last(touch, ignorenulls=True).over(w)
+    purchases = (
+        ev.withColumn("_lt", last_touch)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(
+                F.col("_lt.ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"),
+                F.col("_lt.event_id"),
+            ).alias("touch_id"),
+            F.when(
+                F.col("_lt.ts") >= F.col("ts") - F.expr("INTERVAL 3 DAYS"),
+                F.col("_lt.event_type"),
+            ).alias("touch_type"),
+        )
+    )
+    return purchases
+
+
+SQL_ATTRIBUTION = """
+WITH marked AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('click','view')
+                         THEN struct_pack(ts := ts, event_id := event_id,
+                                          event_type := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+  FROM events)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN lt.ts >= ts - INTERVAL 3 DAY THEN lt.event_id END AS touch_id,
+       CASE WHEN lt.ts >= ts - INTERVAL 3 DAY THEN lt.event_type END AS touch_type
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3892,4 +3994,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "cdc_gap_check": (q_cdc_gap_check, SQL_GAP_CHECK),
     "live_key_timeline": (q_live_key_timeline, SQL_LIVE_TIMELINE),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
+    "last_touch_attribution": (q_last_touch_attribution, SQL_ATTRIBUTION),
 }
