@@ -3882,6 +3882,81 @@ FROM marked WHERE event_type = 'purchase'
 """
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join (dimension filter broadcast onto the
+    fact chain) → per-order revenue → global top 10. The segment filter
+    prunes customer BEFORE the join (broadcast), orders filters push to
+    the scan, and the top-k is a sort-limit (TakeOrderedAndProject — no
+    full sort materializes)."""
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_big_spenders(spark, sf):
+    """Correlated-subquery shape, decorrelated: customers whose total
+    spend exceeds 2× the average customer's total. The subquery becomes
+    one aggregate reused twice — per-customer totals once, their 1-row
+    average broadcast back — instead of re-evaluating a scalar subquery
+    per row (which is what Catalyst does with the naive form anyway;
+    stating the decorrelated plan makes the cost explicit)."""
+    orders = _t(spark, sf, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice"), "total_spend")
+    )
+    avg_spend = per_cust.agg(
+        F.round(F.avg("total_spend"), 4).alias("avg_spend")
+    )
+    return (
+        per_cust.join(F.broadcast(avg_spend), F.lit(True), "inner")
+        .filter(F.col("total_spend") > 2 * F.col("avg_spend"))
+        .select("o_custkey", "total_spend")
+    )
+
+
+SQL_BIG_SPENDERS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_spend
+  FROM orders GROUP BY 1),
+a AS (SELECT round(avg(total_spend), 4) AS avg_spend FROM per_cust)
+SELECT o_custkey, total_spend
+FROM per_cust, a WHERE total_spend > 2 * avg_spend
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -3996,4 +4071,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "live_key_timeline": (q_live_key_timeline, SQL_LIVE_TIMELINE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
     "last_touch_attribution": (q_last_touch_attribution, SQL_ATTRIBUTION),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),
 }
