@@ -164,3 +164,43 @@ def staleness_report(
         lag.cast("int").alias("lag_days"),
         (lag >= stale_after_days).alias("is_stale"),
     )
+
+
+def event_transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: one row per (prev_type, next_type) with the transition
+    count and the row-normalized probability (4dp) — the behavioral
+    fingerprint behind next-action prediction and bot detection.
+
+    Plan, sized for 10^11 events: the only per-entity structure is a
+    ``lag`` window on (ts, tiebreak) — one shuffle on the entity key,
+    state O(1) per row (no per-user arrays, unlike funnels); transitions
+    then collapse by a plain partial-agged groupBy on the tiny
+    (types x types) domain, and the normalizing row totals come from a
+    window over that same tiny frame (|types|^2 rows — control-plane
+    sized, no second pass over the input). The tie-break pins a total
+    order so ties at equal ts are engine-independent.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    trans = (
+        events.select(
+            F.lag(type_col).over(w).alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = F.sum("n_transitions").over(Window.partitionBy("prev_type"))
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / row_total, 4).alias("prob"),
+    )

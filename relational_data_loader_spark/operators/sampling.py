@@ -129,3 +129,40 @@ def weighted_sample_topk(
         .filter(F.col("rk") <= k)
         .select(group_col, id_col, weight_col, "sample_key", "rk")
     )
+
+
+def curriculum_sample(
+    df: DataFrame,
+    score_col: Column,
+    key_col: str,
+    n_buckets: int = 10,
+    out_score: str = "score",
+    out_bucket: str = "bucket",
+) -> DataFrame:
+    """Quality-curriculum downsampler: bucket rows by an equi-width cut of
+    a [0,1] quality score and keep each row with probability proportional
+    to its bucket's rank — high-quality buckets survive (bucket 9 keeps
+    100%), low-quality ones are thinned (bucket 0 keeps 10%). The
+    data-mix move behind quality-weighted pretraining corpora: never a
+    hard cutoff (low-quality text still appears, just rarer), and the
+    mix is tunable per bucket.
+
+    Equi-width bucketing on the score's own [0,1] range — NOT quantile
+    bucketing — is deliberate: it needs no distribution probe (quantile
+    boundaries are a full-data aggregate and an FP-exactness hazard
+    between engines), is stable as the corpus grows (a bucket means the
+    same quality tomorrow), and keeps the whole plan a pure narrow
+    filter+projection on the scan, same as ``stratified_sample``. The
+    keep/drop draw is the content-hash uniform (``hash_uniform``), so
+    the sample is deterministic under retries and repartitioning.
+    """
+    score = F.round(score_col, 4)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.floor(score * n_buckets)
+    ).cast("int")
+    keep_rate = (bucket + 1).cast("double") / F.lit(float(n_buckets))
+    return (
+        df.withColumn(out_score, score)
+        .withColumn(out_bucket, bucket)
+        .filter(hash_uniform(F.col(key_col)) < keep_rate)
+    )

@@ -3957,6 +3957,305 @@ FROM per_cust, a WHERE total_spend > 2 * avg_spend
 """
 
 
+def q_scd2_temporal_join(spark, sf):
+    """Fact-to-SCD2-dimension temporal enrichment
+    (operators/temporal.py scd2_temporal_join): each 'click' fact picks
+    up the user's dimension version (latest signup/purchase state) valid
+    AT the click's log position, with delete-closed intervals — a click
+    after the user's 'error' (delete) and before any rebirth gets NULL
+    attributes, which a naive as-of join would wrongly backfill with the
+    stale pre-delete version. Single union+window shuffle, no range join,
+    no interval materialization."""
+    from relational_data_loader_spark.operators.temporal import scd2_temporal_join
+
+    ev = _t(spark, sf, "events")
+    dim = ev.filter(F.col("event_type").isin("signup", "purchase", DELETE_OP)).select(
+        "user_id", "event_id", "event_type", F.col("value").alias("dim_value")
+    )
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("fact_lsn")
+    )
+    return scd2_temporal_join(
+        facts,
+        dim,
+        keys=["user_id"],
+        fact_lsn_col="fact_lsn",
+        dim_lsn_col="event_id",
+        dim_attr_cols=["dim_value"],
+        dim_op_col="event_type",
+        delete_op=DELETE_OP,
+    )
+
+
+SQL_SCD2_TEMPORAL_JOIN = f"""
+WITH dim AS (
+  SELECT user_id, event_id AS dlsn, event_type AS op, value AS dval
+  FROM events WHERE event_type IN ('signup', 'purchase', '{DELETE_OP}')),
+facts AS (
+  SELECT user_id, event_id AS fact_lsn FROM events WHERE event_type = 'click')
+SELECT f.user_id, f.fact_lsn,
+       CASE WHEN d.op IS NOT NULL AND d.op <> '{DELETE_OP}'
+            THEN d.dlsn END AS dim_lsn,
+       CASE WHEN d.op IS NOT NULL AND d.op <> '{DELETE_OP}'
+            THEN d.dval END AS dim_value,
+       coalesce(d.op IS NOT NULL AND d.op <> '{DELETE_OP}', FALSE) AS dim_live
+FROM facts f
+ASOF LEFT JOIN dim d
+  ON f.user_id = d.user_id AND f.fact_lsn >= d.dlsn
+"""
+
+
+def q_fk_orphan_audit(spark, sf):
+    """Referential-integrity audit (operators/integrity.py
+    fk_orphan_audit) over the replicated star schema: per FK edge, one
+    left join + one aggregate classifies every child row (total / NULL-FK
+    / orphan / distinct orphan keys / orphan ratio). The cross-table DQ
+    check a multi-table CDC destination schedules, since child rows can
+    land before parents without a consistent cut."""
+    from relational_data_loader_spark.operators.integrity import (
+        FkRelation,
+        fk_orphan_audit,
+    )
+
+    rels = [
+        FkRelation(
+            "lineitem.l_orderkey->orders",
+            _t(spark, sf, "lineitem"), "l_orderkey",
+            _t(spark, sf, "orders"), "o_orderkey",
+        ),
+        FkRelation(
+            "orders.o_custkey->customer",
+            _t(spark, sf, "orders"), "o_custkey",
+            _t(spark, sf, "customer"), "c_custkey",
+        ),
+        FkRelation(
+            "customer.c_nationkey->nation",
+            _t(spark, sf, "customer"), "c_nationkey",
+            _t(spark, sf, "nation"), "n_nationkey",
+        ),
+        FkRelation(
+            "lineitem.l_partkey->part",
+            _t(spark, sf, "lineitem"), "l_partkey",
+            _t(spark, sf, "part"), "p_partkey",
+        ),
+        FkRelation(
+            "lineitem.l_suppkey->supplier",
+            _t(spark, sf, "lineitem"), "l_suppkey",
+            _t(spark, sf, "supplier"), "s_suppkey",
+        ),
+    ]
+    return fk_orphan_audit(spark, rels)
+
+
+def _fk_audit_sql_one(name, child, ck, parent, pk):
+    return f"""
+SELECT '{name}' AS relation,
+       count(*) AS child_rows,
+       count(*) FILTER (WHERE c.{ck} IS NULL) AS null_fk_rows,
+       count(*) FILTER (WHERE c.{ck} IS NOT NULL AND p._hit IS NULL)
+         AS orphan_rows,
+       count(DISTINCT CASE WHEN c.{ck} IS NOT NULL AND p._hit IS NULL
+                           THEN c.{ck} END) AS orphan_keys,
+       round(count(*) FILTER (WHERE c.{ck} IS NOT NULL AND p._hit IS NULL)
+             / greatest(count(*) FILTER (WHERE c.{ck} IS NOT NULL), 1), 4)
+         AS orphan_ratio
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS k, 1 AS _hit FROM {parent}) p
+  ON c.{ck} = p.k
+"""
+
+
+SQL_FK_ORPHAN_AUDIT = " UNION ALL ".join(
+    _fk_audit_sql_one(*args)
+    for args in [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+)
+
+
+def q_event_transition_matrix(spark, sf):
+    """First-order Markov transitions over per-user event sequences
+    (operators/events.py event_transition_matrix): one lag window on the
+    user key + one groupBy over the tiny (types x types) domain; row
+    probabilities normalize over that control-plane-sized frame."""
+    from relational_data_loader_spark.operators.events import (
+        event_transition_matrix,
+    )
+
+    return event_transition_matrix(_t(spark, sf, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events),
+t AS (
+  SELECT prev_type, next_type, count(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / sum(n_transitions)
+               OVER (PARTITION BY prev_type), 4) AS prob
+FROM t
+"""
+
+
+def q_timeseries_gapfill(spark, sf):
+    """Calendar-spine densification (operators/temporal.py
+    calendar_gapfill): one row per day between the data's min and max,
+    event counts zero-filled and the daily average value forward-filled
+    across silent days. Input collapses to one row per day first; the
+    spine comes from a 1-row min/max aggregate via sequence (control
+    plane); the ffill window runs over the calendar-sized single
+    partition (safe by construction — row count is days, not events)."""
+    from relational_data_loader_spark.operators.temporal import calendar_gapfill
+
+    ev = _t(spark, sf, "events")
+    filled = calendar_gapfill(
+        ev,
+        ts_col="ts",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_raw"),
+            F.round(F.avg("value"), 4).alias("day_avg"),
+        ],
+        carry_cols=["day_avg"],
+        grain="day",
+    )
+    return filled.select(
+        F.col("bucket").alias("day"),
+        F.coalesce("n_raw", F.lit(0)).cast("bigint").alias("n_events"),
+        "day_avg",
+        F.col("day_avg_ffill").alias("carried_avg"),
+    )
+
+
+SQL_TIMESERIES_GAPFILL = """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+d AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n,
+         round(avg(value), 4) AS day_avg
+  FROM events GROUP BY 1)
+SELECT s.day, coalesce(d.n, 0) AS n_events, d.day_avg,
+       last_value(d.day_avg IGNORE NULLS)
+         OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS carried_avg
+FROM spine s LEFT JOIN d ON s.day = d.day
+"""
+
+
+def q_late_shipment_priorities(spark, sf):
+    """TPC-H Q4 shape: orders in a quarter having AT LEAST ONE lineitem
+    shipped >60 days after the order date, counted per priority. The
+    EXISTS becomes a LEFT SEMI join with the lateness predicate inside
+    the join condition — each order emits at most once regardless of how
+    many late lines it has (no post-join distinct), and the date filter
+    prunes the orders scan."""
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    late = (
+        F.col("l_orderkey") == F.col("o_orderkey")
+    ) & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_orders"))
+    )
+
+
+SQL_LATE_SHIPMENTS = """
+SELECT o_orderpriority, count(*) AS late_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+
+def q_doc_chunking(spark, sf):
+    """RAG/window chunking (operators/chunking.py chunk_documents):
+    64-token windows, 16-token overlap, sliding-window starts while
+    start < n_tokens. Narrow map, no shuffle; the md5 stands in for the
+    chunk payload in the compare."""
+    from relational_data_loader_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=64, overlap_tokens=16
+    ).drop("chunk_text")
+
+
+SQL_DOC_CHUNKING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS tk
+  FROM documents),
+t2 AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+st AS (
+  SELECT doc_id, tk, n,
+         unnest(generate_series(0, CAST(floor((n - 1) / 48) AS BIGINT) * 48,
+                                48)) AS start
+  FROM t2)
+SELECT doc_id,
+       CAST(start / 48 AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start_tok,
+       CAST(least(64, n - start) AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(tk, start + 1, start + 64), ' '))
+         AS chunk_md5
+FROM st
+"""
+
+
+def q_quality_curriculum_sample(spark, sf):
+    """Quality-curriculum downsampling (operators/sampling.py
+    curriculum_sample): score = distinct-token ratio (a lexical-diversity
+    quality proxy, 4dp), equi-width decile bucket on [0,1], keep
+    probability (bucket+1)/10 drawn from the doc's own content hash —
+    high-quality docs survive, boilerplate-heavy ones are thinned.
+    Filter-only plan, deterministic under retries/repartitioning."""
+    from relational_data_loader_spark.operators.sampling import curriculum_sample
+
+    docs = _t(spark, sf, "documents")
+    toks = F.split(F.regexp_replace(F.col("text"), r"\s+", " "), " ")
+    score = F.size(F.array_distinct(toks)) / F.size(toks)
+    return curriculum_sample(
+        docs.select("doc_id", "text"), score, key_col="doc_id"
+    ).select("doc_id", "score", "bucket")
+
+
+SQL_CURRICULUM_SAMPLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         round(len(list_distinct(string_split(
+                 regexp_replace(text, '\s+', ' ', 'g'), ' ')))
+               / len(string_split(
+                 regexp_replace(text, '\s+', ' ', 'g'), ' ')), 4) AS score
+  FROM documents),
+b AS (
+  SELECT doc_id, score,
+         CAST(least(9, floor(score * 10)) AS INT) AS bucket
+  FROM s)
+SELECT doc_id, score, bucket
+FROM b
+WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0
+      < (bucket + 1) / 10.0
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4073,4 +4372,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "last_touch_attribution": (q_last_touch_attribution, SQL_ATTRIBUTION),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),
+    "scd2_temporal_join": (q_scd2_temporal_join, SQL_SCD2_TEMPORAL_JOIN),
+    "fk_orphan_audit": (q_fk_orphan_audit, SQL_FK_ORPHAN_AUDIT),
+    "event_transition_matrix": (q_event_transition_matrix, SQL_EVENT_TRANSITIONS),
+    "timeseries_gapfill": (q_timeseries_gapfill, SQL_TIMESERIES_GAPFILL),
+    "late_shipment_priorities": (q_late_shipment_priorities, SQL_LATE_SHIPMENTS),
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "quality_curriculum_sample": (q_quality_curriculum_sample, SQL_CURRICULUM_SAMPLE),
 }

@@ -1,0 +1,209 @@
+"""Round-5 session-3 additions: SCD2 temporal join, calendar gap fill,
+FK orphan audit, event transitions, doc chunking, curriculum sampling."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from relational_data_loader_spark.operators.chunking import chunk_documents
+from relational_data_loader_spark.operators.events import event_transition_matrix
+from relational_data_loader_spark.operators.integrity import (
+    FkRelation,
+    fk_orphan_audit,
+)
+from relational_data_loader_spark.operators.sampling import curriculum_sample
+from relational_data_loader_spark.operators.temporal import (
+    calendar_gapfill,
+    scd2_temporal_join,
+)
+
+
+def _ts(d):
+    return dt.datetime(2026, 3, d)
+
+
+# --------------------------------------------------------------------------
+# scd2_temporal_join
+
+
+def _enrich(spark, facts_rows):
+    dim = spark.createDataFrame(
+        [(1, 10, "U", "v1"), (1, 30, "D", "dead"), (1, 50, "U", "v2")],
+        ["k", "lsn", "op", "attr"],
+    )
+    facts = spark.createDataFrame(facts_rows, ["k", "flsn"])
+    return scd2_temporal_join(
+        facts, dim, keys=["k"], fact_lsn_col="flsn",
+        dim_lsn_col="lsn", dim_attr_cols=["attr"],
+    ).collect()
+
+
+def test_scd2_join_version_boundaries(spark):
+    rows = {r["flsn"]: r for r in _enrich(spark, [(1, 5), (1, 10), (1, 29)])}
+    # before any version: unborn -> NULLs, not live
+    assert rows[5]["attr"] is None and not rows[5]["dim_live"]
+    # fact AT the version's lsn is covered by it (dim sorts first on ties)
+    assert rows[10]["attr"] == "v1" and rows[10]["dim_lsn"] == 10
+    assert rows[29]["attr"] == "v1" and rows[29]["dim_live"]
+
+
+def test_scd2_join_delete_closes_interval_until_rebirth(spark):
+    rows = {r["flsn"]: r for r in _enrich(spark, [(1, 40), (1, 60)])}
+    # fact after the delete and before rebirth: dead interval, no backfill
+    assert rows[40]["attr"] is None and rows[40]["dim_lsn"] is None
+    assert not rows[40]["dim_live"]
+    # rebirth at lsn 50 re-opens the key
+    assert rows[60]["attr"] == "v2" and rows[60]["dim_live"]
+
+
+def test_scd2_join_single_shuffle(spark):
+    dim = spark.createDataFrame([(1, 10, "U", "x")], ["k", "lsn", "op", "attr"])
+    facts = spark.createDataFrame([(1, 20)], ["k", "flsn"])
+    out = scd2_temporal_join(
+        facts, dim, keys=["k"], fact_lsn_col="flsn",
+        dim_lsn_col="lsn", dim_attr_cols=["attr"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union + one window on the key: exactly one exchange, no join operator
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# calendar_gapfill
+
+
+def test_gapfill_zero_fills_and_carries(spark):
+    df = spark.createDataFrame(
+        [(_ts(1), 10.0), (_ts(1), 20.0), (_ts(4), 40.0)], ["ts", "v"]
+    )
+    out = (
+        calendar_gapfill(
+            df, "ts",
+            [F.count(F.lit(1)).alias("n"), F.avg("v").alias("avg_v")],
+            carry_cols=["avg_v"],
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r["bucket"].day for r in out] == [1, 2, 3, 4]
+    assert [r["n"] for r in out] == [2, None, None, 1]
+    # gap days carry day-1's average forward; day 4 takes its own
+    assert [r["avg_v_ffill"] for r in out] == [15.0, 15.0, 15.0, 40.0]
+
+
+# --------------------------------------------------------------------------
+# fk_orphan_audit
+
+
+def test_fk_audit_orphans_and_null_fks(spark):
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (None,)],
+        "fk int",
+    )
+    rep = fk_orphan_audit(
+        spark, [FkRelation("c->p", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert rep["child_rows"] == 6
+    # NULL FK references nothing: counted apart, never an orphan
+    assert rep["null_fk_rows"] == 1
+    assert rep["orphan_rows"] == 2 and rep["orphan_keys"] == 1
+    assert rep["orphan_ratio"] == 0.4  # 2 orphans / 5 non-NULL refs
+
+
+def test_fk_audit_clean_relation_zero(spark):
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    child = spark.createDataFrame([(1,), (2,)], ["fk"])
+    rep = fk_orphan_audit(
+        spark, [FkRelation("ok", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert rep["orphan_rows"] == 0 and rep["orphan_ratio"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# event_transition_matrix
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1), "a", 1),
+            (1, _ts(2), "b", 2),
+            (1, _ts(3), "a", 3),
+            (1, _ts(4), "c", 4),
+            (2, _ts(1), "a", 5),
+            (2, _ts(2), "b", 6),
+        ],
+        ["user_id", "ts", "event_type", "event_id"],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["prob"])
+        for r in event_transition_matrix(ev).collect()
+    }
+    # user boundaries never produce a transition
+    assert got == {
+        ("a", "b"): (2, 0.6667),
+        ("a", "c"): (1, 0.3333),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+# --------------------------------------------------------------------------
+# chunk_documents
+
+
+def test_chunking_exact_windows(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = (
+        chunk_documents(docs, chunk_tokens=4, overlap_tokens=2)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # stride 2 over 10 tokens: starts 0,2,4,6,8; last chunk runs short
+    assert [r["start_tok"] for r in out] == [0, 2, 4, 6, 8]
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 4, 2]
+    assert [r["chunk_text"] for r in out][0] == "t0 t1 t2 t3"
+    assert out[-1]["chunk_text"] == "t8 t9"
+    # overlap: chunk i ends with the 2 tokens chunk i+1 starts with
+    assert out[0]["chunk_text"].split()[-2:] == out[1]["chunk_text"].split()[:2]
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=64, overlap_tokens=16).collect()
+    assert len(out) == 1 and out[0]["n_tokens"] == 2
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap_tokens=8)
+
+
+def test_chunking_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# curriculum_sample
+
+
+def test_curriculum_sample_deterministic_and_bucketed(spark):
+    docs = spark.createDataFrame(
+        [(i, float(i % 11) / 10.0) for i in range(200)], ["doc_id", "q"]
+    )
+    kept1 = curriculum_sample(docs, F.col("q"), "doc_id")
+    kept2 = curriculum_sample(docs.repartition(7), F.col("q"), "doc_id")
+    a = sorted(r["doc_id"] for r in kept1.collect())
+    b = sorted(r["doc_id"] for r in kept2.collect())
+    assert a == b and 0 < len(a) < 200
+    # score 1.0 lands in the top bucket (equi-width cap), always kept
+    top = {r["doc_id"] for r in kept1.filter(F.col("bucket") == 9).collect()}
+    assert {r["doc_id"] for r in docs.filter(F.col("q") == 1.0).collect()} <= top
