@@ -568,3 +568,72 @@ def dedup_clusters(
         )
         .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
     )
+
+
+def minhash_estimate_audit(
+    df: DataFrame, text_col: str, id_col: str, max_bucket: int = 1000
+) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (fraction of the 8 signature components agreeing)
+    next to the EXACT token-set Jaccard, with the absolute error — the
+    measurement that justifies (or indicts) a chosen signature width
+    before trusting near-dup decisions from it at corpus scale.
+
+    Same composition discipline as ``near_dup_pairs``: estimates and
+    exact values are computed for CANDIDATES ONLY (never corpus²), the
+    posting list is built once and feeds signatures, both intersection
+    sides, and sizes. Unlike the dedup path there is NO threshold — the
+    audit wants the misses (high estimate, low exact) most of all.
+    """
+    toks = _distinct_tokens(df, text_col, id_col).persist()
+    sigs = _signatures_from_tokens(toks)
+    cand = (
+        lsh_candidate_pairs(sigs, max_bucket=max_bucket)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"a.h_{s}") == F.col(f"b.h_{s}"), 1).otherwise(0)
+        for s in MINHASH_SEEDS
+    )
+    est = cand.join(
+        sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id")
+    ).join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id")).select(
+        "doc_a",
+        "doc_b",
+        (agree / F.lit(float(len(MINHASH_SEEDS)))).alias("est_jaccard"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))).alias(
+                "_exact"
+            ),
+        )
+    )
+    out = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        F.round("est_jaccard", 4).alias("est_jaccard"),
+        # candidates always share the band-minimum token, but keep the
+        # defensive 0.0 so a future band change can't emit NULL exacts
+        F.round(F.coalesce("_exact", F.lit(0.0)), 4).alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - F.coalesce("_exact", F.lit(0.0))), 4)
+        .alias("abs_err"),
+    )
+    out.unpersist_postings = lambda: toks.unpersist(blocking=False)
+    return out

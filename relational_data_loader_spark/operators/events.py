@@ -204,3 +204,42 @@ def event_transition_matrix(
         "n_transitions",
         F.round(F.col("n_transitions") / row_total, 4).alias("prob"),
     )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Robust per-group moments: clip each value to its group's
+    [lo_q, hi_q] exact quantiles (winsorization — outliers are pulled to
+    the fence, not dropped, so n is preserved), then mean/stddev of the
+    clipped column. The monitoring statistic that survives the bot/sensor
+    spikes that poison a plain mean.
+
+    Two passes by necessity (the fences are a distributive-breaking
+    aggregate of the same column being clipped): pass 1 reduces to one
+    fence row per group (exact ``percentile`` — same interpolation as
+    DuckDB ``quantile_cont``; swap for ``percentile_approx`` at
+    high-cardinality groups, as in ``group_quantiles``), broadcast back
+    (group domain is control-plane sized), pass 2 clips and aggregates —
+    partial-agged, one shuffle each.
+    """
+    fences = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo_q})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi_q})").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        events.join(F.broadcast(fences), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.round(F.stddev(clipped), 4).alias("wins_std"),
+            F.round(F.first("_lo"), 4).alias("lo_fence"),
+            F.round(F.first("_hi"), 4).alias("hi_fence"),
+        )
+    )

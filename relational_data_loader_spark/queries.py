@@ -4256,6 +4256,165 @@ WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
 """
 
 
+def q_minhash_estimate_audit(spark, sf):
+    """Sketch-accuracy audit (operators/dedup.py minhash_estimate_audit):
+    MinHash Jaccard estimate (8-component agreement) vs exact token-set
+    Jaccard per LSH candidate pair, with absolute error — candidates
+    only, posting list computed once. Same doc_id < 500 visible cap as
+    near_dup_pairs (this synthetic corpus is near-dup-saturated;
+    candidates grow ~quadratically with the cap)."""
+    from relational_data_loader_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    return minhash_estimate_audit(docs, "text", "doc_id")
+
+
+SQL_MINHASH_AUDIT = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 500),
+sigs AS (
+  SELECT doc_id,
+    min(md5('a' || tok)) AS h_a, min(md5('b' || tok)) AS h_b,
+    min(md5('c' || tok)) AS h_c, min(md5('d' || tok)) AS h_d,
+    min(md5('e' || tok)) AS h_e, min(md5('f' || tok)) AS h_f,
+    min(md5('g' || tok)) AS h_g, min(md5('h' || tok)) AS h_h
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h_a || h_b) AS band1, md5(h_c || h_d) AS band2,
+         md5(h_e || h_f) AS band3, md5(h_g || h_h) AS band4
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band4 = b.band4 AND a.doc_id < b.doc_id
+  )),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         ((sa.h_a = sb.h_a)::INT + (sa.h_b = sb.h_b)::INT
+          + (sa.h_c = sb.h_c)::INT + (sa.h_d = sb.h_d)::INT
+          + (sa.h_e = sb.h_e)::INT + (sa.h_f = sb.h_f)::INT
+          + (sa.h_g = sb.h_g)::INT + (sa.h_h = sb.h_h)::INT) / 8.0 AS e
+  FROM cand c
+  JOIN sigs sa ON c.doc_a = sa.doc_id
+  JOIN sigs sb ON c.doc_b = sb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2),
+exact AS (
+  SELECT i.doc_a, i.doc_b, i.i / (sa.sz + sb.sz - i.i) AS x
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id)
+SELECT e.doc_a, e.doc_b,
+       round(e.e, 4) AS est_jaccard,
+       round(coalesce(x.x, 0.0), 4) AS exact_jaccard,
+       round(abs(e.e - coalesce(x.x, 0.0)), 4) AS abs_err
+FROM est e
+LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+"""
+
+
+def q_winsorized_stats(spark, sf):
+    """Robust per-group moments (operators/events.py winsorized_stats):
+    values clipped to the group's exact [p05, p95] fences, then
+    mean/stddev — two partial-agged shuffles, fences broadcast back."""
+    from relational_data_loader_spark.operators.events import winsorized_stats
+
+    return winsorized_stats(_t(spark, sf, "events"))
+
+
+SQL_WINSORIZED = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n,
+       round(avg(least(greatest(e.value, f.lo), f.hi)), 4) AS wins_mean,
+       round(stddev(least(greatest(e.value, f.lo), f.hi)), 4) AS wins_std,
+       round(any_value(f.lo), 4) AS lo_fence,
+       round(any_value(f.hi), 4) AS hi_fence
+FROM events e JOIN fences f USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_period_over_period(spark, sf):
+    """Month-over-month revenue growth: the reporting dual of
+    calendar_gapfill — monthly totals (one partial-agged groupBy on the
+    calendar-sized month domain), then lag + growth ratio over that tiny
+    frame's single partition (safe by construction: rows = months)."""
+    orders = _t(spark, sf, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(_dec_sum(F.col("o_totalprice"), "revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+    )
+
+
+SQL_PERIOD_OVER_PERIOD = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1)
+SELECT month, revenue,
+       lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth
+FROM m
+"""
+
+
+def q_customer_order_distribution(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers (the left outer join is the point —
+    an inner join silently drops the empty cohort). Double aggregation:
+    per-customer counts (shuffle on the customer key), then the
+    control-plane-sized histogram over counts."""
+    cust = _t(spark, sf, "customer").select("c_custkey")
+    orders = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_CUSTDIST = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4379,4 +4538,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "late_shipment_priorities": (q_late_shipment_priorities, SQL_LATE_SHIPMENTS),
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "quality_curriculum_sample": (q_quality_curriculum_sample, SQL_CURRICULUM_SAMPLE),
+    "minhash_estimate_audit": (q_minhash_estimate_audit, SQL_MINHASH_AUDIT),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED),
+    "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
+    "customer_order_distribution": (q_customer_order_distribution, SQL_CUSTDIST),
 }

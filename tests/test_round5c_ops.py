@@ -207,3 +207,54 @@ def test_curriculum_sample_deterministic_and_bucketed(spark):
     # score 1.0 lands in the top bucket (equi-width cap), always kept
     top = {r["doc_id"] for r in kept1.filter(F.col("bucket") == 9).collect()}
     assert {r["doc_id"] for r in docs.filter(F.col("q") == 1.0).collect()} <= top
+
+
+# --------------------------------------------------------------------------
+# winsorized_stats
+
+
+def test_winsorized_clips_outlier_to_fence(spark):
+    from relational_data_loader_spark.operators.events import winsorized_stats
+
+    # 21 values 0..19 plus one absurd outlier in group 'g'
+    rows = [("g", float(v)) for v in range(20)] + [("g", 1e9)]
+    ev = spark.createDataFrame(rows, ["event_type", "value"])
+    r = winsorized_stats(ev).collect()[0]
+    assert r["n"] == 21
+    # mean of clipped values is fence-bounded: nowhere near the outlier
+    assert r["wins_mean"] < 25.0
+    assert r["hi_fence"] < 1e9 and r["lo_fence"] >= 0.0
+
+
+def test_winsorized_constant_group_zero_std(spark):
+    from relational_data_loader_spark.operators.events import winsorized_stats
+
+    ev = spark.createDataFrame(
+        [("c", 5.0), ("c", 5.0), ("c", 5.0)], ["event_type", "value"]
+    )
+    r = winsorized_stats(ev).collect()[0]
+    assert r["wins_mean"] == 5.0 and r["wins_std"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# minhash_estimate_audit
+
+
+def test_minhash_audit_identical_docs_perfect_estimate(spark):
+    from relational_data_loader_spark.operators.dedup import (
+        minhash_estimate_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in minhash_estimate_audit(docs, "text", "doc_id").collect()}
+    r12 = rows[(1, 2)]
+    # identical token sets: every component agrees, exact jaccard 1.0
+    assert r12["est_jaccard"] == 1.0 and r12["exact_jaccard"] == 1.0
+    assert r12["abs_err"] == 0.0
+    # disjoint doc never becomes a candidate of the identical pair's bands
+    assert all(3 not in pair for pair in rows)
