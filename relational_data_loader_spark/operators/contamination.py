@@ -127,3 +127,49 @@ def ngram_contamination(
             "contaminated_frac"
         ),
     )
+
+
+def doc_novelty(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    ``n``-grams that the doc itself INTRODUCED to the corpus (no
+    lower-id document contains them). The corpus-contribution score
+    behind ingestion-order dedup budgeting — a crawl snapshot whose
+    novelty collapses is re-crawling what the corpus already has, and
+    per-source novelty averages tell which feeds still pay for
+    themselves.
+
+    "Introduced" is pinned to the deterministic ``min(doc_id)`` owner
+    per n-gram, so the score is a pure function of the corpus content —
+    reshuffling partitions or re-running cannot move credit between
+    duplicate docs.
+
+    Plan: the inverted-index shape — distinct (doc, ngram) postings
+    (codegen n-gram transform), one groupBy(ngram) for the first-seen
+    owner (partial-agged min), one join of postings to that 1-row-per-
+    ngram frame (output = posting count, never quadratic), one final
+    groupBy(doc). Boilerplate n-grams with huge posting lists skew the
+    JOIN key, not a bucket self-join — AQE skew splitting handles them
+    without a cap.
+    """
+    ng = word_ngrams(docs, text_col, id_col, int(n))
+    first = ng.groupBy("ngram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ng.join(first, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+                "novel_ngrams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "novel_ngrams",
+            F.round(F.col("novel_ngrams") / F.col("n_ngrams"), 4).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -637,3 +637,37 @@ def minhash_estimate_audit(
     )
     out.unpersist_postings = lambda: toks.unpersist(blocking=False)
     return out
+
+
+def cross_source_overlap(
+    docs: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Exact-duplicate overlap between sources: for every unordered
+    source pair (including a source with itself), how many normalized
+    text fingerprints appear in BOTH — the feed-procurement question
+    ("is crawl B just mirroring crawl A?") answered from the same
+    fingerprints exact_dedup already computes.
+
+    Plan: fingerprints collapse to distinct (fingerprint, source) first
+    — the only corpus-sized shuffle — then a self-join on the
+    fingerprint. That join's output is Σ_fp pairs(sources(fp))², bounded
+    by the SOURCE count per fingerprint (tiny domain), never by copies
+    per fingerprint: a boilerplate page duplicated 10^6 times within one
+    source contributes ONE (fp, source) row, not 10^12 pairs.
+    """
+    fs = (
+        docs.select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(source_col).alias("src"),
+        )
+        .distinct()
+    )
+    return (
+        fs.alias("a")
+        .join(fs.alias("b"), "fp")
+        .filter(F.col("a.src") <= F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+    )

@@ -510,3 +510,35 @@ def label_centroid_cohesion(
             F.round(F.avg("cos"), round_dp).cast("double").alias("cohesion"),
         )
     )
+
+
+def embedding_norm_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-row data-quality report over an embedding column: row count,
+    NULL vectors, zero vectors, dimensionality drift (distinct lengths),
+    and the L2-norm distribution (mean/min/max, 4dp) — the gate run
+    before trusting cosine math (a zero vector poisons normalization;
+    mixed dimensions mean an upstream model swap mid-corpus).
+
+    Single partial-agged aggregate over one codegen pass; the norm is a
+    JVM ``aggregate`` HOF fold over the array (deterministic
+    left-to-right element order, so engines agree bit-for-bit before
+    rounding), no Python, no shuffle beyond the final 1-row reduce.
+    """
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    return emb.select(
+        v, F.when(v.isNotNull(), norm).alias("_norm"), F.size(v).alias("_dim")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(v.isNull(), 1)).alias("null_vectors"),
+        F.count(F.when(F.col("_norm") == 0.0, 1)).alias("zero_vectors"),
+        F.count_distinct(F.when(v.isNotNull(), F.col("_dim"))).alias(
+            "distinct_dims"
+        ),
+        F.round(F.avg("_norm"), 4).alias("mean_norm"),
+        F.round(F.min("_norm"), 4).alias("min_norm"),
+        F.round(F.max("_norm"), 4).alias("max_norm"),
+    )

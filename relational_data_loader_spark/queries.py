@@ -4415,6 +4415,90 @@ GROUP BY 1
 """
 
 
+def q_doc_novelty(spark, sf):
+    """Per-document corpus-contribution score (operators/contamination.py
+    doc_novelty): fraction of the doc's distinct 3-grams no lower-id doc
+    contains. Inverted-index shape: one groupBy(ngram) min, one
+    posting-sized join, one groupBy(doc)."""
+    from relational_data_loader_spark.operators.contamination import doc_novelty
+
+    return doc_novelty(_t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
+SQL_DOC_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+        FROM toks)),
+first AS (SELECT ngram, min(doc_id) AS first_doc FROM ng GROUP BY 1)
+SELECT ng.doc_id, count(*) AS n_ngrams,
+       count(*) FILTER (WHERE f.first_doc = ng.doc_id) AS novel_ngrams,
+       round(count(*) FILTER (WHERE f.first_doc = ng.doc_id)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM ng JOIN first f USING (ngram)
+GROUP BY 1
+"""
+
+
+def q_cross_source_overlap(spark, sf):
+    """Exact-dup overlap between sources (operators/dedup.py
+    cross_source_overlap): distinct (fingerprint, source) first, then a
+    fingerprint self-join whose fan-out is bounded by the SOURCE domain
+    per fingerprint, never by copy counts."""
+    from relational_data_loader_spark.operators.dedup import cross_source_overlap
+
+    return cross_source_overlap(
+        _t(spark, sf, "documents"), "text", "doc_id", "source"
+    )
+
+
+SQL_CROSS_SOURCE_OVERLAP = r"""
+WITH fs AS (
+  SELECT DISTINCT
+         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+         source AS src
+  FROM documents)
+SELECT a.src AS source_a, b.src AS source_b,
+       count(*) AS shared_fingerprints
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.src <= b.src
+GROUP BY 1, 2
+"""
+
+
+def q_embedding_norm_audit(spark, sf):
+    """Embedding-column DQ gate (operators/similarity.py
+    embedding_norm_audit): nulls, zero vectors, dimension drift, L2-norm
+    distribution — one codegen pass, 1-row reduce."""
+    from relational_data_loader_spark.operators.similarity import (
+        embedding_norm_audit,
+    )
+
+    return embedding_norm_audit(_t(spark, sf, "embeddings"))
+
+
+SQL_EMBEDDING_NORM_AUDIT = """
+WITH n AS (
+  SELECT embedding,
+         CASE WHEN embedding IS NOT NULL THEN
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         END AS norm,
+         len(embedding) AS dim
+  FROM embeddings)
+SELECT count(*) AS n_rows,
+       count(*) FILTER (WHERE embedding IS NULL) AS null_vectors,
+       count(*) FILTER (WHERE norm = 0.0) AS zero_vectors,
+       count(DISTINCT dim) AS distinct_dims,
+       round(avg(norm), 4) AS mean_norm,
+       round(min(norm), 4) AS min_norm,
+       round(max(norm), 4) AS max_norm
+FROM n
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4542,4 +4626,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED),
     "period_over_period": (q_period_over_period, SQL_PERIOD_OVER_PERIOD),
     "customer_order_distribution": (q_customer_order_distribution, SQL_CUSTDIST),
+    "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
+    "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE_OVERLAP),
+    "embedding_norm_audit": (q_embedding_norm_audit, SQL_EMBEDDING_NORM_AUDIT),
 }

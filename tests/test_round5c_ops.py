@@ -258,3 +258,61 @@ def test_minhash_audit_identical_docs_perfect_estimate(spark):
     assert r12["abs_err"] == 0.0
     # disjoint doc never becomes a candidate of the identical pair's bands
     assert all(3 not in pair for pair in rows)
+
+
+# --------------------------------------------------------------------------
+# doc_novelty
+
+
+def test_doc_novelty_credit_goes_to_lowest_id(spark):
+    from relational_data_loader_spark.operators.contamination import doc_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in doc_novelty(docs, "text", "doc_id").collect()}
+    # doc 1 introduced both its 3-grams; doc 2 (exact copy) introduced none
+    assert got[1]["novelty"] == 1.0
+    assert got[2]["novelty"] == 0.0 and got[2]["n_ngrams"] == 2
+    assert got[3]["novelty"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# cross_source_overlap
+
+
+def test_cross_source_overlap_copy_counts_collapse(spark):
+    from relational_data_loader_spark.operators.dedup import cross_source_overlap
+
+    docs = spark.createDataFrame(
+        # "same" duplicated 3x in A and 2x in B: still ONE shared fp
+        [(1, "same", "A"), (2, "same", "A"), (3, "same", "A"),
+         (4, "same", "B"), (5, "same", "B"),
+         (6, "only a", "A")],
+        ["doc_id", "text", "source"],
+    )
+    got = {(r["source_a"], r["source_b"]): r["shared_fingerprints"]
+           for r in cross_source_overlap(docs, "text", "doc_id", "source").collect()}
+    assert got[("A", "B")] == 1
+    assert got[("A", "A")] == 2  # both of A's distinct fingerprints
+    assert got[("B", "B")] == 1
+
+
+# --------------------------------------------------------------------------
+# embedding_norm_audit
+
+
+def test_embedding_norm_audit_flags(spark):
+    from relational_data_loader_spark.operators.similarity import (
+        embedding_norm_audit,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, None), (4, [1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_norm_audit(emb).collect()[0]
+    assert r["n_rows"] == 4 and r["null_vectors"] == 1
+    assert r["zero_vectors"] == 1 and r["distinct_dims"] == 2
+    assert r["max_norm"] == 5.0 and r["min_norm"] == 0.0
