@@ -4499,6 +4499,142 @@ FROM n
 """
 
 
+def q_large_orders(spark, sf):
+    """TPC-H Q18 shape (HAVING + join-back): orders whose total quantity
+    crosses a threshold, enriched from both dimensions, top-100. The
+    aggregate runs FIRST on the narrow (orderkey, quantity) projection;
+    only the surviving ~1% of orders join back to their payload rows —
+    never the reverse order. Quantity sums are exact (integral values,
+    double-exact far below 2^53). Sort is a TakeOrderedAndProject."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b
+JOIN orders ON b.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape (correlated aggregate, decorrelated): average
+    yearly revenue lost if small-quantity orders (below 20% of the
+    part's own average quantity) moved to bulk. The per-row correlated
+    subquery becomes ONE per-part aggregate joined back — each part's
+    average is computed once, not once per lineitem. The avg comparison
+    is FP-safe across engines: integral quantities make sum and count
+    exact, so sum/count and the 0.2 scaling are bit-identical IEEE ops."""
+    li = _t(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH pp AS (SELECT l_partkey, avg(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY 1)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN pp USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+def q_bigram_surprisal(spark, sf):
+    """Conditional LM quality scoring: per-document mean bigram surprisal
+    −avg ln p(cur|prev), with p(cur|prev) = corpus bigram count /
+    corpus context count — the first-order upgrade of unigram_surprisal
+    (a doc of common words in IMPOSSIBLE orders now scores high, where
+    the unigram model is blind to order). Bigrams are extracted
+    shuffle-free (array transform over token positions — no per-doc
+    window); then two partial-agged counts and posting-sized joins.
+    Hot context words skew the ctx join key; that is plain join skew —
+    AQE's skew split handles it, no bucket cap needed. Same doc_id <
+    1000 visible cap as unigram_surprisal, both engines."""
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    bg = (
+        docs.select("doc_id", _one_to_one(tokens(F.col("text")), "_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS prev, _toks[i] AS cur))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.prev", "bg.cur")
+    )
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    return (
+        bg.join(bgc, ["prev", "cur"])
+        .join(ctx, "prev")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(-F.log(F.col("c_bg") / F.col("c_ctx"))), 4
+            ).alias("bigram_surprisal"),
+        )
+    )
+
+
+SQL_BIGRAM_SURPRISAL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE doc_id < 1000),
+bg AS (
+  SELECT doc_id, ts[i-1] AS prev, ts[i] AS cur
+  FROM (SELECT doc_id, ts, unnest(generate_series(2, len(ts))) AS i
+        FROM toks)),
+bgc AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS c_ctx FROM bg GROUP BY 1)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(c_bg / c_ctx)), 4) AS bigram_surprisal
+FROM bg JOIN bgc USING (prev, cur) JOIN ctx USING (prev)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4629,4 +4765,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_novelty": (q_doc_novelty, SQL_DOC_NOVELTY),
     "cross_source_overlap": (q_cross_source_overlap, SQL_CROSS_SOURCE_OVERLAP),
     "embedding_norm_audit": (q_embedding_norm_audit, SQL_EMBEDDING_NORM_AUDIT),
+    "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+    "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QTY_REVENUE),
+    "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
 }
