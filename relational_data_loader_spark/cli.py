@@ -124,11 +124,37 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(out))
         return 0
 
-    queries = []
-    rejected = False
+    # dependency-ordered load: parse everything first, then run topological
+    # waves (plans/dag.py) — parents commit before children, and a config
+    # bug (unknown dep, cycle) stops the run before ANY load starts
+    from relational_data_loader_spark.plans.dag import (
+        SpecDependencyError,
+        blocked_dependents,
+        dependency_waves,
+    )
+
+    all_specs = []
     for f in spec_files:
         with open(f) as fh:
-            spec = IngestSpec.from_json(fh.read())
+            all_specs.append(IngestSpec.from_json(fh.read()))
+    try:
+        waves = dependency_waves(all_specs)
+    except SpecDependencyError as e:
+        print(f"[rdl-spark] spec dependency error: {e}", file=sys.stderr)
+        return 2
+
+    queries = []
+    rejected = False
+    failed: set[str] = set()
+    for spec in (s for wave in waves for s in wave):
+        # a rejected parent blocks its transitive dependents: loading them
+        # anyway would commit exactly the FK-orphan window the wave
+        # ordering exists to prevent
+        blocked = blocked_dependents(all_specs, failed).get(spec.name)
+        if blocked and not args.stream:
+            print(json.dumps({"spec": spec.name, "skipped": True,
+                              "blocked_by": blocked}))
+            continue
         force = "*" in forced or spec.name in forced
         if args.stream:
             from relational_data_loader_spark.streaming.runner import StreamingIngest
@@ -163,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
                 rejected = True
+                failed.add(spec.name)
                 continue
             print(
                 json.dumps(

@@ -139,6 +139,14 @@ class IngestSpec:
     expectations: dict[str, str] = field(default_factory=dict)
     expectations_mode: str = "enforce"  # "enforce" | "audit"
 
+    # Load-order dependencies (plans/dag.py): names of specs whose tables
+    # must commit BEFORE this one loads in a multi-spec batch run — the
+    # FK parents. The CLI derives topological waves from these and skips
+    # dependents of a rejected/failed parent instead of committing an
+    # orphan window. Orchestration metadata, deliberately NOT part of
+    # checksum(): re-declaring an ordering must never force a refresh.
+    depends_on: tuple[str, ...] = ()
+
     # ---- derived --------------------------------------------------------
 
     @property
@@ -269,6 +277,7 @@ class IngestSpec:
             "transforms": self.transforms,
             "expectations": self.expectations,
             "expectations_mode": self.expectations_mode,
+            "depends_on": list(self.depends_on),
             "columns": [
                 {
                     "source": c.source,
@@ -301,6 +310,7 @@ class IngestSpec:
             transforms=doc.get("transforms", {}),
             expectations=doc.get("expectations", {}),
             expectations_mode=doc.get("expectations_mode", "enforce"),
+            depends_on=tuple(doc.get("depends_on", ())),
         )
 
 
