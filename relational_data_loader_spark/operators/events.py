@@ -243,3 +243,111 @@ def winsorized_stats(
             F.round(F.first("_hi"), 4).alias("hi_fence"),
         )
     )
+
+
+def daily_rate_anomaly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+    round_dp: int = 3,
+) -> DataFrame:
+    """Volume-anomaly monitor: per (group, day) event counts z-scored
+    against that group's own daily history — the RATE twin of
+    ``flag_anomalies`` (which scores individual VALUES). A source whose
+    change feed doubles overnight or silently halves is the first thing
+    a CDC operator wants paged about, and per-event value checks cannot
+    see it.
+
+    The raw stream collapses to one row per (group, day) FIRST (partial-
+    agged groupBy) — everything after runs on the calendar-sized frame:
+    per-group mean/stddev via a window over that tiny table (groups x
+    days rows), z rounded BEFORE the threshold compare (same
+    engine-noise guard as flag_anomalies). Counts are integers, so the
+    moment inputs are exact in both engines.
+    """
+    daily = events.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("grp")
+    z = F.round(
+        (F.col("n_events") - F.avg("n_events").over(w))
+        / F.stddev_pop("n_events").over(w),
+        round_dp,
+    ).cast("double")
+    return (
+        daily.withColumn("_sigma", F.stddev_pop("n_events").over(w))
+        .filter(F.col("_sigma") > 0)
+        .withColumn("z", z)
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            "n_events",
+            "z",
+            (F.abs(F.col("z")) > z_threshold).alias("is_anomaly"),
+        )
+    )
+
+
+def funnel_latency(
+    events: DataFrame,
+    from_type: str,
+    to_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Stage-to-stage conversion latency: for every entity whose first
+    ``from_type`` event is later followed by a ``to_type`` event, the
+    seconds between them — reduced to conversion counts and exact
+    latency quantiles (one report row). The time-to-convert statistic
+    behind funnel SLAs, where the funnel operator itself only reports
+    WHETHER stages were reached.
+
+    Plan: both stage streams are filtered BEFORE any shuffle (each
+    groupBy sees only its stage's events), the first-``from`` frame
+    joins the ``to`` events per entity (posting-sized: entities x their
+    to-events), and min-after-start collapses it back to one row per
+    converter. Latencies are whole integer seconds in both engines
+    (timestamp diff at second grain), so the exact-percentile
+    interpolation cannot diverge on FP noise.
+    """
+    first_from = (
+        events.filter(F.col(type_col) == from_type)
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    to_ev = events.filter(F.col(type_col) == to_type).select(
+        user_col, F.col(ts_col).alias("_t1")
+    )
+    conv = (
+        first_from.join(to_ev, user_col)
+        .filter(F.col("_t1") >= F.col("_t0"))
+        .groupBy(user_col)
+        .agg(
+            (
+                F.unix_timestamp(F.min("_t1")) - F.unix_timestamp(F.first("_t0"))
+            ).alias("latency_s")
+        )
+    )
+    n_started = first_from.agg(F.count(F.lit(1)).alias("n_started"))
+    aggs = [
+        F.round(F.expr(f"percentile(latency_s, {q})"), 4).alias(
+            f"p{int(round(q * 100))}_latency_s"
+        )
+        for q in quantiles
+    ]
+    return (
+        conv.agg(F.count(F.lit(1)).alias("n_converted"), *aggs)
+        .crossJoin(F.broadcast(n_started))
+        .select(
+            "n_started",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_started"), 4).alias(
+                "conversion_rate"
+            ),
+            *[f"p{int(round(q * 100))}_latency_s" for q in quantiles],
+        )
+    )

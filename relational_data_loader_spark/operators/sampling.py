@@ -166,3 +166,34 @@ def curriculum_sample(
         .withColumn(out_bucket, bucket)
         .filter(hash_uniform(F.col(key_col)) < keep_rate)
     )
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic k-per-group sample: within each group keep the k
+    rows whose content-hash uniforms are smallest (ties broken on the
+    key) — a fixed-size per-stratum panel that is STABLE as the corpus
+    grows (a row already in the panel stays in it unless k genuinely
+    better-hashed rows arrive), unlike rate-based sampling whose output
+    size tracks the stratum.
+
+    One window shuffle on the group key; the rank is a top-k window
+    (WindowGroupLimit pushes the limit into the partial sort on
+    Spark >= 3.5, so no group's full membership materializes in one
+    task). The hash order makes the draw uniform over the group and
+    identical across runs, partitionings, and engines.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_uniform(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -4635,6 +4635,92 @@ GROUP BY 1
 """
 
 
+def q_daily_rate_anomaly(spark, sf):
+    """Change-feed volume monitor (operators/events.py
+    daily_rate_anomaly): per (event_type, day) counts z-scored against
+    the type's own daily history; z rounded before the threshold compare
+    on both engines."""
+    from relational_data_loader_spark.operators.events import daily_rate_anomaly
+
+    return daily_rate_anomaly(_t(spark, sf, "events"))
+
+
+SQL_DAILY_RATE_ANOMALY = """
+WITH d AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+z AS (
+  SELECT event_type, day, n_events,
+         avg(n_events) OVER (PARTITION BY event_type) AS mu,
+         stddev_pop(n_events) OVER (PARTITION BY event_type) AS sigma
+  FROM d)
+SELECT event_type, day, n_events,
+       CAST(round((n_events - mu) / sigma, 3) AS DOUBLE) AS z,
+       abs(round((n_events - mu) / sigma, 3)) > 2.0 AS is_anomaly
+FROM z WHERE sigma > 0
+"""
+
+
+def q_funnel_latency(spark, sf):
+    """Conversion-time SLA report (operators/events.py funnel_latency):
+    first signup → first subsequent purchase per user, reduced to
+    conversion counts + exact latency quantiles (integral seconds, so
+    percentile interpolation is engine-exact)."""
+    from relational_data_loader_spark.operators.events import funnel_latency
+
+    return funnel_latency(_t(spark, sf, "events"), "signup", "purchase")
+
+
+SQL_FUNNEL_LATENCY = """
+WITH f AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1),
+conv AS (
+  SELECT f.user_id, date_diff('second', f.t0, min(e.ts)) AS latency_s
+  FROM f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type = 'purchase'
+   AND e.ts >= f.t0
+  GROUP BY 1, f.t0),
+s AS (SELECT count(*) AS n_started FROM f),
+c AS (SELECT count(*) AS n_converted,
+             round(quantile_cont(latency_s, 0.5), 4) AS p50_latency_s,
+             round(quantile_cont(latency_s, 0.9), 4) AS p90_latency_s
+      FROM conv)
+SELECT s.n_started, c.n_converted,
+       round(c.n_converted / CAST(s.n_started AS DOUBLE), 4)
+         AS conversion_rate,
+       c.p50_latency_s, c.p90_latency_s
+FROM s, c
+"""
+
+
+def q_per_group_sample(spark, sf):
+    """Fixed-size per-stratum panel (operators/sampling.py
+    per_group_sample): 20 events per type, smallest content-hash
+    uniforms win — stable under corpus growth, one top-k window
+    (WindowGroupLimit bounds per-task state)."""
+    from relational_data_loader_spark.operators.sampling import per_group_sample
+
+    return per_group_sample(
+        _t(spark, sf, "events"), group_col="event_type",
+        key_col="event_id", k=20,
+    )
+
+
+SQL_PER_GROUP_SAMPLE = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (SELECT *,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(concat('0x', substring(
+                          md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        / 4294967296.0,
+                        event_id) AS rn
+      FROM events)
+WHERE rn <= 20
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4768,4 +4854,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
     "small_quantity_revenue": (q_small_quantity_revenue, SQL_SMALL_QTY_REVENUE),
     "bigram_surprisal": (q_bigram_surprisal, SQL_BIGRAM_SURPRISAL),
+    "daily_rate_anomaly": (q_daily_rate_anomaly, SQL_DAILY_RATE_ANOMALY),
+    "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
 }

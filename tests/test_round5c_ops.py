@@ -316,3 +316,63 @@ def test_embedding_norm_audit_flags(spark):
     assert r["n_rows"] == 4 and r["null_vectors"] == 1
     assert r["zero_vectors"] == 1 and r["distinct_dims"] == 2
     assert r["max_norm"] == 5.0 and r["min_norm"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# daily_rate_anomaly / funnel_latency / per_group_sample
+
+
+def test_daily_rate_anomaly_flags_spike_day(spark):
+    from relational_data_loader_spark.operators.events import daily_rate_anomaly
+
+    rows = []
+    # type 'x': 9 calm days of 10 events, one day of 100
+    for d in range(1, 10):
+        rows += [(i, _ts(d), "x") for i in range(10)]
+    rows += [(i, _ts(10), "x") for i in range(100)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r["day"].day: r for r in daily_rate_anomaly(ev).collect()}
+    assert got[10]["is_anomaly"] and got[10]["z"] > 2.0
+    assert not got[1]["is_anomaly"]
+
+
+def test_daily_rate_anomaly_constant_group_dropped(spark):
+    from relational_data_loader_spark.operators.events import daily_rate_anomaly
+
+    ev = spark.createDataFrame(
+        [(1, _ts(1), "c"), (2, _ts(2), "c")], ["event_id", "ts", "event_type"]
+    )
+    # sigma 0: no z is defined, group emits nothing rather than NULL/inf
+    assert daily_rate_anomaly(ev).count() == 0
+
+
+def test_funnel_latency_counts_and_order(spark):
+    from relational_data_loader_spark.operators.events import funnel_latency
+
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1), "signup"), (1, _ts(3), "purchase"),   # 2 days
+            (2, _ts(2), "signup"),                            # never converts
+            (3, _ts(5), "purchase"), (3, _ts(6), "signup"),   # purchase BEFORE
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    r = funnel_latency(ev, "signup", "purchase").collect()[0]
+    assert r["n_started"] == 3
+    # user 3's purchase precedes their signup: not a conversion
+    assert r["n_converted"] == 1
+    assert r["conversion_rate"] == 0.3333
+    assert r["p50_latency_s"] == 2 * 86400.0
+
+
+def test_per_group_sample_exact_k_and_deterministic(spark):
+    from relational_data_loader_spark.operators.sampling import per_group_sample
+
+    df = spark.createDataFrame(
+        [(i, "g" if i % 2 else "h") for i in range(100)], ["k", "grp"]
+    )
+    s1 = per_group_sample(df, "grp", "k", 5)
+    s2 = per_group_sample(df.repartition(9), "grp", "k", 5)
+    a = sorted((r["grp"], r["k"]) for r in s1.collect())
+    assert a == sorted((r["grp"], r["k"]) for r in s2.collect())
+    assert len(a) == 10 and sum(1 for g, _ in a if g == "g") == 5
