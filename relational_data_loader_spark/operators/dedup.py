@@ -371,6 +371,72 @@ def token_jaccard_pairs(
     )
 
 
+def edit_distance_near_dup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    trunc_len: int = 2000,
+    max_bucket: int = 1000,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Character-level near-dup verification: normalized edit similarity
+    ``1 − lev(a,b)/max(len_a, len_b)`` over LSH candidate pairs — catches
+    the near-identical-but-retokenized duplicates (punctuation swaps,
+    in-word edits, digit churn) that token-set Jaccard is blind to, because
+    Jaccard treats any in-word edit as a whole-token delete+insert.
+
+    Scale discipline (the reason this is a *verifier*, never a generator):
+    Levenshtein is O(m·n) per PAIR, so it runs strictly over the banded-LSH
+    candidate set (Σ candidates, never corpus²) on ``trunc_len``-capped
+    prefixes. Two exactness guards keep the cap and the pruning honest:
+
+    - the JVM's threshold-banded ``levenshtein(a, b, cap)`` (O(n·cap), not
+      O(n²)) returns −1 for distances above ``cap = ⌈(1−threshold)·
+      trunc_len⌉``; since ``max(len) ≤ trunc_len``, any pruned pair has
+      ``sim ≤ 1 − lev/trunc_len < threshold`` — pruning loses nothing;
+    - similarity is normalized by the TRUNCATED lengths on both engines,
+      so the cap changes the metric's definition identically everywhere
+      rather than silently differing per engine.
+
+    The candidate frame is explicitly repartitioned to ``parallelism``
+    (default ``sparkContext.defaultParallelism``) before the Levenshtein
+    projection: candidate PAIRS are bytes-tiny, so AQE's size-based
+    coalescer happily collapses them to one partition — and then the
+    entire O(n·cap)-per-pair verification runs on ONE core (measured 218 s
+    vs ~7 s for the identical sf0.1 workload). Size-based partitioning is
+    the wrong signal for CPU-dense stages; the explicit count (which AQE
+    never coalesces) pins the compute fan-out.
+
+    Returns ``(doc_a, doc_b, edit_sim)`` at 4dp.
+    """
+    import math
+
+    cap = int(math.ceil((1.0 - threshold) * trunc_len))
+    texts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.col(text_col), 1, trunc_len).alias("_txt"),
+    )
+    n_parts = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        lsh_candidate_pairs(minhash_signatures(df, text_col, id_col), max_bucket)
+        .select("doc_a", "doc_b")
+        .distinct()
+        .repartition(n_parts)
+    )
+    lev = F.levenshtein(F.col("ta._txt"), F.col("tb._txt"), cap)
+    denom = F.greatest(
+        F.length("ta._txt"), F.length("tb._txt"), F.lit(1)
+    ).cast("double")
+    sim = F.round(F.lit(1.0) - lev.cast("double") / denom, 4)
+    return (
+        cand.join(texts.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(texts.alias("tb"), F.col("doc_b") == F.col("tb.doc_id"))
+        .filter((lev >= 0) & (sim >= threshold))
+        .select("doc_a", "doc_b", sim.cast("double").alias("edit_sim"))
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str,

@@ -542,3 +542,83 @@ def embedding_norm_audit(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         F.round(F.min("_norm"), 4).alias("min_norm"),
         F.round(F.max("_norm"), 4).alias("max_norm"),
     )
+
+
+def sq8_dequantized_expr(emb_col):
+    """Int8 scalar quantization, immediately dequantized — the vector the
+    SQ8 index actually searches against.
+
+    Per-vector symmetric SQ8: ``scale = max|x_i|``; ``code_i =
+    floor(x_i·127/scale + 0.5)`` (an int in [−127, 127] — 1 byte of index
+    storage per dimension, a 4× cut vs float32); the search-side value is
+    ``code_i·scale/127``. Expressed as one codegen ``transform`` so the
+    whole quantize→dequantize round trip costs a projection — the point of
+    modeling it here is the RECALL question (what does 4× compression cost
+    in top-k quality — see ``sq8_recall_audit``), which must be answered
+    on the same engine arithmetic the production index would use. Zero
+    vectors keep scale 1 to avoid 0/0 (their codes are all zero anyway).
+    Every op is double-precision with a fixed evaluation order, so any
+    engine reproduces the codes bit-for-bit.
+    """
+    v = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    return F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / safe + F.lit(0.5))
+        * safe
+        / F.lit(127.0),
+    )
+
+
+def sq8_cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Asymmetric SQ8 search: EXACT query vectors scored against
+    quantized-then-dequantized candidates (the standard ADC arrangement —
+    quantization error is paid once on the stored side, never on the
+    query side). Same ranking contract as ``cosine_topk``: rounded
+    similarity, candidate-id tie-break.
+    """
+    cand_q = candidates.withColumn(emb_col, sq8_dequantized_expr(emb_col))
+    return cosine_topk(
+        queries, cand_q, k=k, id_col=id_col, emb_col=emb_col, round_dp=round_dp
+    )
+
+
+def sq8_recall_audit(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall@k of SQ8 search vs the exact float index — the
+    number that decides whether the 4× memory cut is free (recall 1.0) or
+    a real quality trade. Both top-k sets come from the same broadcast
+    machinery; the audit join is |queries|·k rows a side, trivially
+    broadcastable at any corpus size (k and |queries| are search-time
+    constants, not corpus-scale).
+    """
+    exact = cosine_topk(queries, candidates, k=k, id_col=id_col, emb_col=emb_col)
+    approx = sq8_cosine_topk(
+        queries, candidates, k=k, id_col=id_col, emb_col=emb_col
+    )
+    hits = exact.join(approx, ["q_id", "c_id"], "left_semi")
+    per_q = hits.groupBy("q_id").agg(F.count(F.lit(1)).alias("_hits"))
+    base = exact.select("q_id").distinct()
+    return base.join(per_q, "q_id", "left").select(
+        "q_id",
+        F.round(
+            F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)), 4
+        )
+        .cast("double")
+        .alias("recall_at_k"),
+    )

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from relational_data_loader_spark.operators.dedup import (
     dedup_clusters,
+    edit_distance_near_dup,
     exact_dedup,
     incremental_near_dup_pairs,
     lsh_candidate_pairs,
@@ -47,6 +48,12 @@ from relational_data_loader_spark.operators.lww import net_changes
 from relational_data_loader_spark.operators.similarity import (
     cosine_topk,
     lsh_cosine_topk,
+    sq8_cosine_topk,
+    sq8_recall_audit,
+)
+from relational_data_loader_spark.operators.vocab import (
+    bpe_merge_candidates,
+    vocab_coverage,
 )
 from relational_data_loader_spark.functions import text as TXT
 from relational_data_loader_spark.functions.registry import get_transform
@@ -4721,6 +4728,206 @@ WHERE rn <= 20
 """
 
 
+# --------------------------------------------------------------------------
+# vocabulary induction + character-level dedup + quantized ANN (session 4)
+
+# the LSH candidate CTE chain shared by SQL_NEAR_DUP's family, factored for
+# the new char-level verifier (SQL_NEAR_DUP itself is frozen — driver-green);
+# {cap} is the doc_id slice bound
+_LSH_CAND_CTES_TMPL = r"""
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < {cap}),
+sigs AS (
+  SELECT doc_id,
+    min(md5('a' || tok)) AS h_a, min(md5('b' || tok)) AS h_b,
+    min(md5('c' || tok)) AS h_c, min(md5('d' || tok)) AS h_d,
+    min(md5('e' || tok)) AS h_e, min(md5('f' || tok)) AS h_f,
+    min(md5('g' || tok)) AS h_g, min(md5('h' || tok)) AS h_h
+  FROM toks GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, md5(h_a || h_b) AS band1, md5(h_c || h_d) AS band2,
+         md5(h_e || h_f) AS band3, md5(h_g || h_h) AS band4
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band3 = b.band3 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT a.doc_id, b.doc_id
+      FROM bands a JOIN bands b ON a.band4 = b.band4 AND a.doc_id < b.doc_id
+  ))
+"""
+
+
+def q_edit_distance_near_dup(spark, sf):
+    """Character-level near-dup verification over LSH candidates
+    (operators/dedup.py edit_distance_near_dup): normalized Levenshtein
+    similarity catches retokenized duplicates that token-set Jaccard
+    misses. doc_id < 300 (tighter than the near_dup family's 500: this
+    corpus is near-dup-saturated, so candidates grow ~quadratically with
+    the slice, and Levenshtein's per-pair cost is ~50× a Jaccard verify);
+    trunc_len=600 covers every doc in this corpus (max 553 chars) while
+    keeping the banded cap at 120 instead of 400. The JVM side uses the
+    threshold-banded levenshtein (exactness argument in the operator
+    docstring), the oracle the unbounded one — identical output.
+    """
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return edit_distance_near_dup(
+        docs, "text", "doc_id", threshold=0.8, trunc_len=600
+    )
+
+
+SQL_EDIT_DISTANCE_NEAR_DUP = f"""
+WITH {_LSH_CAND_CTES_TMPL.format(cap=300)},
+texts AS (SELECT doc_id, substring(text, 1, 600) AS txt
+          FROM documents WHERE doc_id < 300)
+SELECT doc_a, doc_b,
+       CAST(round(1.0 - levenshtein(ta.txt, tb.txt)
+                  / CAST(greatest(length(ta.txt), length(tb.txt), 1) AS DOUBLE),
+                  4) AS DOUBLE) AS edit_sim
+FROM cand
+JOIN texts ta ON doc_a = ta.doc_id
+JOIN texts tb ON doc_b = tb.doc_id
+WHERE 1.0 - levenshtein(ta.txt, tb.txt)
+      / CAST(greatest(length(ta.txt), length(tb.txt), 1) AS DOUBLE) >= 0.8
+"""
+
+
+def q_bpe_merge_candidates(spark, sf):
+    """BPE trainer's first-iteration argmax table (operators/vocab.py
+    bpe_merge_candidates): word-frequency-weighted adjacent char-pair
+    counts, aggregated at the distinct-word level (|vocab| rows, not
+    |corpus|)."""
+    return bpe_merge_candidates(_t(spark, sf, "documents"), "text", k=50)
+
+
+SQL_BPE_MERGE = r"""
+WITH words AS (
+  SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+pairs AS (
+  SELECT substring(w, CAST(i AS INT), 2) AS pair, f
+  FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+        FROM wf WHERE length(w) >= 2)),
+pc AS (SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+SELECT pair, pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rk
+FROM pc
+QUALIFY rk <= 50
+"""
+
+
+def q_vocab_coverage(spark, sf):
+    """Token-occurrence coverage of the top-N word vocab for several N
+    (operators/vocab.py vocab_coverage) — the curve that sizes a
+    word-level vocabulary."""
+    return vocab_coverage(
+        _t(spark, sf, "documents"), "text", cutoffs=[10, 50, 100, 500]
+    )
+
+
+SQL_VOCAB_COVERAGE = r"""
+WITH words AS (
+  SELECT unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS w
+  FROM documents),
+wf AS (SELECT w, count(*) AS f FROM words WHERE w <> '' GROUP BY w),
+ranked AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM wf)
+SELECT CAST(v.n AS INT) AS vocab_size,
+       CAST(sum(CASE WHEN rk <= v.n THEN f ELSE 0 END) AS BIGINT) AS covered_tokens,
+       CAST(sum(f) AS BIGINT) AS total_tokens,
+       CAST(round(sum(CASE WHEN rk <= v.n THEN f ELSE 0 END) * 1.0 / sum(f), 4)
+            AS DOUBLE) AS coverage
+FROM ranked CROSS JOIN (VALUES (10), (50), (100), (500)) v(n)
+GROUP BY v.n
+"""
+
+# SQ8 dequantization in DuckDB list algebra — arithmetic mirrors
+# operators/similarity.py sq8_dequantized_expr op-for-op (same evaluation
+# order, all double), so codes agree bit-for-bit before the 3dp round
+_SQ8_DEQ_CTES = """
+c0 AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS e FROM embeddings),
+cs AS (SELECT c_id, e,
+              CASE WHEN m = 0.0 THEN 1.0 ELSE m END AS s
+       FROM (SELECT c_id, e,
+                    list_aggregate(list_transform(e, x -> abs(x)), 'max') AS m
+             FROM c0)),
+cq AS (SELECT c_id,
+              list_transform(e, x -> floor(x * 127.0 / s + 0.5) * s / 127.0)
+                AS c_emb
+       FROM cs)
+"""
+
+
+def q_sq8_cosine_topk(spark, sf):
+    """Asymmetric SQ8 search (operators/similarity.py sq8_cosine_topk):
+    exact queries vs int8-quantized candidates — the 4×-compressed index's
+    actual ranking."""
+    emb = _t(spark, sf, "embeddings")
+    return sq8_cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+SQL_SQ8_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+{_SQ8_DEQ_CTES},
+sims AS (
+  SELECT q_id, c_id,
+         CAST(round(list_cosine_similarity(q_emb, c_emb), 3) AS DOUBLE) AS sim
+  FROM q CROSS JOIN cq WHERE q_id <> c_id)
+SELECT q_id, c_id, sim
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) rk
+      FROM sims)
+WHERE rk <= 5
+"""
+
+
+def q_sq8_recall_audit(spark, sf):
+    """Recall@5 of SQ8 search vs the exact float index per query
+    (operators/similarity.py sq8_recall_audit) — the compression-quality
+    audit row."""
+    emb = _t(spark, sf, "embeddings")
+    return sq8_recall_audit(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+SQL_SQ8_RECALL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+           FROM embeddings WHERE vec_id < 5),
+{_SQ8_DEQ_CTES},
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY CAST(round(list_cosine_similarity(q_emb, c0.e), 3)
+                           AS DOUBLE) DESC, c_id) rk
+    FROM q CROSS JOIN c0 WHERE q_id <> c_id)
+  WHERE rk <= 5),
+approx AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (
+             PARTITION BY q_id
+             ORDER BY CAST(round(list_cosine_similarity(q_emb, c_emb), 3)
+                           AS DOUBLE) DESC, c_id) rk
+    FROM q CROSS JOIN cq WHERE q_id <> c_id)
+  WHERE rk <= 5)
+SELECT e.q_id,
+       CAST(round(count(a.c_id) * 1.0 / 5, 4) AS DOUBLE) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+GROUP BY e.q_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -4857,4 +5064,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "daily_rate_anomaly": (q_daily_rate_anomaly, SQL_DAILY_RATE_ANOMALY),
     "funnel_latency": (q_funnel_latency, SQL_FUNNEL_LATENCY),
     "per_group_sample": (q_per_group_sample, SQL_PER_GROUP_SAMPLE),
+    "edit_distance_near_dup": (
+        q_edit_distance_near_dup,
+        SQL_EDIT_DISTANCE_NEAR_DUP,
+    ),
+    "bpe_merge_candidates": (q_bpe_merge_candidates, SQL_BPE_MERGE),
+    "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "sq8_cosine_topk": (q_sq8_cosine_topk, SQL_SQ8_COSINE_TOPK),
+    "sq8_recall_audit": (q_sq8_recall_audit, SQL_SQ8_RECALL),
 }

@@ -1,0 +1,171 @@
+"""Round-5 session-4 additions: char-level edit-distance near-dup
+verification, BPE merge-candidate mining, vocab coverage curves, SQ8
+quantized similarity search + its recall audit."""
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.dedup import (
+    edit_distance_near_dup,
+    token_jaccard_pairs,
+)
+from relational_data_loader_spark.operators.similarity import (
+    cosine_topk,
+    sq8_cosine_topk,
+    sq8_dequantized_expr,
+    sq8_recall_audit,
+)
+from relational_data_loader_spark.operators.vocab import (
+    bpe_merge_candidates,
+    vocab_coverage,
+)
+
+
+# --------------------------------------------------------------------------
+# edit_distance_near_dup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_edit_distance_identical_and_small_edit(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base),  # exact dup -> sim 1.0
+            (3, base.replace("quick", "quack")),  # 2 char edits per repeat
+            (4, "completely different words entirely here now"),
+        ],
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["edit_sim"]
+        for r in edit_distance_near_dup(
+            docs, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.9 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_edit_distance_catches_what_jaccard_misses(spark):
+    # a quarter of the tokens carry one in-word edit: token-set Jaccard
+    # punishes each as a whole-token delete+insert (0.6) while the
+    # char-level verifier sees the true edit fraction (~0.97) — the gap is
+    # the operator's reason to exist. Enough tokens stay shared that the
+    # token-based LSH still buckets the pair (the verifier only reads LSH
+    # candidates; a FULLY retokenized pair is out of its reach by design).
+    shared = " ".join(f"common{i}" for i in range(30))
+    a = shared + " " + " ".join(f"word{i}alpha" for i in range(10))
+    b = shared + " " + " ".join(f"word{i}alphb" for i in range(10))
+    docs = _docs(spark, [(1, a), (2, b)])
+    jac = token_jaccard_pairs(docs, "text", "doc_id", threshold=0.0).collect()
+    assert len(jac) == 1 and jac[0]["jaccard"] == 0.6
+    ed = edit_distance_near_dup(docs, "text", "doc_id", threshold=0.8).collect()
+    assert len(ed) == 1 and ed[0]["edit_sim"] >= 0.95
+
+
+def test_edit_distance_banded_pruning_is_exact(spark):
+    # the threshold-banded JVM levenshtein must not change the SURVIVING
+    # set vs an unbounded computation — only prune below-threshold pairs
+    rows = [(i, f"document body shared prefix words {i % 3} tail") for i in range(12)]
+    docs = _docs(spark, rows)
+    banded = edit_distance_near_dup(docs, "text", "doc_id", threshold=0.8)
+    unbounded = edit_distance_near_dup(
+        docs, "text", "doc_id", threshold=0.0
+    ).filter(F.col("edit_sim") >= 0.8)
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, unbounded.collect())
+    )
+
+
+# --------------------------------------------------------------------------
+# bpe_merge_candidates / vocab_coverage
+
+
+def test_bpe_merge_counts_weighted_by_word_frequency(spark):
+    # "aaa" x3 contributes pair "aa" twice per occurrence = 6; "ab" x2 once
+    # each = 2; single-char words contribute nothing
+    docs = _docs(spark, [(1, "aaa aaa ab a"), (2, "aaa ab a a")])
+    rows = bpe_merge_candidates(docs, "text", k=10).collect()
+    counts = {r["pair"]: r["pair_count"] for r in rows}
+    assert counts == {"aa": 6, "ab": 2}
+    assert [r["pair"] for r in rows] == ["aa", "ab"]  # rank order
+    assert [r["rk"] for r in rows] == [1, 2]
+
+
+def test_vocab_coverage_curve(spark):
+    # frequencies: the=4, cat=2, dog=1, emu=1 (total 8); top-1 covers 4/8,
+    # top-2 covers 6/8, top-4 covers everything
+    docs = _docs(spark, [(1, "the the cat dog"), (2, "the the cat emu")])
+    rows = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(docs, "text", cutoffs=[1, 2, 4]).collect()
+    }
+    assert rows[1]["covered_tokens"] == 4 and rows[1]["coverage"] == 0.5
+    assert rows[2]["covered_tokens"] == 6 and rows[2]["coverage"] == 0.75
+    assert rows[4]["covered_tokens"] == 8 and rows[4]["coverage"] == 1.0
+    assert all(r["total_tokens"] == 8 for r in rows.values())
+
+
+def test_vocab_coverage_rank_ties_deterministic(spark):
+    # dog/emu tie at f=1; rank tie-breaks on the word, so a cutoff landing
+    # mid-tie must pick 'dog' (lexicographically first) in every engine/run
+    docs = _docs(spark, [(1, "the the dog emu")])
+    rows = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(docs, "text", cutoffs=[2]).collect()
+    }
+    assert rows[2]["covered_tokens"] == 3  # the(2) + dog(1), never emu
+
+
+# --------------------------------------------------------------------------
+# SQ8 quantized similarity
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_sq8_codes_bounded_and_zero_safe(spark):
+    emb = _emb(
+        spark,
+        [(1, [3.0, -1.5, 0.75]), (2, [0.0, 0.0, 0.0])],
+    )
+    deq = emb.select(
+        "vec_id", sq8_dequantized_expr("embedding").alias("d")
+    ).collect()
+    by_id = {r["vec_id"]: r["d"] for r in deq}
+    # scale=3.0: codes 127, -63 (floor(-63.5 + 0.5) = floor(-63.0)),
+    # 32 (floor(31.75 + 0.5)) -> exact deq values
+    assert by_id[1] == [
+        127 * 3.0 / 127.0,
+        -63 * 3.0 / 127.0,
+        32 * 3.0 / 127.0,
+    ]
+    # zero vector survives (scale guard), stays zero
+    assert by_id[2] == [0.0, 0.0, 0.0]
+    # dequantized error bounded by scale/254 per element (half a code step)
+    assert abs(by_id[1][1] - (-1.5)) <= 3.0 / 254.0 + 1e-12
+
+
+def test_sq8_recall_perfect_on_separated_vectors(spark):
+    # well-separated directions: 4x compression must not reorder top-k
+    emb = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+            (4, [0.7, 0.7, 0.0]),
+        ],
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = cosine_topk(q, emb, k=3).collect()
+    approx = sq8_cosine_topk(q, emb, k=3).collect()
+    assert [r["c_id"] for r in exact] == [r["c_id"] for r in approx]
+    audit = sq8_recall_audit(q, emb, k=3).collect()
+    assert len(audit) == 1 and audit[0]["recall_at_k"] == 1.0
