@@ -68,6 +68,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="maintenance: sort-compact every bucket to one PK-sorted file "
         "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
     )
+    p.add_argument(
+        "--zorder",
+        default=None,
+        metavar="COL1,COL2",
+        help="with --optimize: order rows inside each bucket by a Morton "
+        "code over these columns instead of the PK sort (multi-column "
+        "row-group pruning; snapshot sink only)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -110,9 +118,22 @@ def main(argv: list[str] | None = None) -> int:
             if args.optimize:
                 # order matters: optimize BEFORE vacuum, so the superseded
                 # pre-optimize files fall out of the retention window
+                zcols = [
+                    c.strip() for c in (args.zorder or "").split(",") if c.strip()
+                ]
                 if hasattr(table, "optimize"):
-                    out["files_compacted"] = table.optimize()
+                    out["files_compacted"] = table.optimize(
+                        zorder_cols=zcols or None
+                    )
+                    if zcols:
+                        out["zorder"] = zcols
                 else:
+                    if zcols:
+                        print(
+                            f"[rdl-spark] {spec.name}: --zorder is snapshot-"
+                            "sink only, falling back to PK sort",
+                            file=sys.stderr,
+                        )
                     table.compact(sort_order=", ".join(spec.primary_keys))
                     out["compacted"] = True
             if args.vacuum:

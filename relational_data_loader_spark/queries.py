@@ -55,6 +55,10 @@ from relational_data_loader_spark.operators.vocab import (
     bpe_merge_candidates,
     vocab_coverage,
 )
+from relational_data_loader_spark.operators.layout import (
+    zorder_file_stats,
+    zorder_skipping_gain,
+)
 from relational_data_loader_spark.functions import text as TXT
 from relational_data_loader_spark.functions.registry import get_transform
 from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT
@@ -4928,6 +4932,94 @@ GROUP BY e.q_id
 """
 
 
+def q_zorder_file_stats(spark, sf):
+    """Z-order layout audit (operators/layout.py zorder_file_stats):
+    deterministic Morton-code file assignment over (l_orderkey,
+    l_suppkey) and the per-file min/max extents data-skipping reads —
+    the stats table behind an OPTIMIZE ... ZORDER BY decision."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return zorder_file_stats(
+        li, ["l_orderkey", "l_suppkey"], bits=8, n_files=64
+    )
+
+
+def _zorder_interleave_sql(nd: int, bits: int) -> str:
+    """The Morton interleave as DuckDB bit algebra — term-for-term the
+    same shifts zorder_code_expr unrolls (bit j of dim d → j·nd + d)."""
+    return " | ".join(
+        f"(((b{d} >> {j}) & 1) << {j * nd + d})"
+        for d in range(nd)
+        for j in range(bits)
+    )
+
+
+# bits=8, 2 dims → 16-bit z-code; 64 files → file_id = zcode >> 10
+_SQL_ZORDER_STATS_BODY = f"""
+r AS (SELECT min(l_orderkey) AS mn0, max(l_orderkey) AS mx0,
+             min(l_suppkey) AS mn1, max(l_suppkey) AS mx1
+      FROM lineitem),
+b AS (SELECT l_orderkey, l_suppkey,
+        greatest(0, least(255, ((l_orderkey - mn0) * 256) // (mx0 - mn0 + 1))) AS b0,
+        greatest(0, least(255, ((l_suppkey - mn1) * 256) // (mx1 - mn1 + 1))) AS b1
+      FROM lineitem, r),
+z AS (SELECT l_orderkey, l_suppkey,
+             ({_zorder_interleave_sql(2, 8)}) AS zcode
+      FROM b)
+"""
+
+SQL_ZORDER_FILE_STATS = f"""
+WITH {_SQL_ZORDER_STATS_BODY}
+SELECT CAST(zcode >> 10 AS INT) AS file_id,
+       count(*) AS n_rows,
+       min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey,
+       min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+FROM z GROUP BY 1
+"""
+
+
+def q_zorder_skipping_gain(spark, sf):
+    """The one-row-per-dimension justification for z-ordering
+    (operators/layout.py zorder_skipping_gain): mean normalized per-file
+    span of each column under the z-order assignment vs a linear sort on
+    the leading column — span_ratio < 1 on the non-leading column is the
+    multi-column data-skipping win."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    return zorder_skipping_gain(
+        li, ["l_orderkey", "l_suppkey"], bits=8, n_files=64
+    )
+
+
+SQL_ZORDER_GAIN = f"""
+WITH {_SQL_ZORDER_STATS_BODY},
+zstats AS (
+  SELECT CAST(zcode >> 10 AS INT) AS file_id,
+         min(l_orderkey) AS min0, max(l_orderkey) AS max0,
+         min(l_suppkey) AS min1, max(l_suppkey) AS max1
+  FROM z GROUP BY 1),
+lstats AS (
+  SELECT CAST(b0 >> 2 AS INT) AS file_id,
+         min(l_orderkey) AS min0, max(l_orderkey) AS max0,
+         min(l_suppkey) AS min1, max(l_suppkey) AS max1
+  FROM b GROUP BY 1),
+doms AS (SELECT (mx0 - mn0 + 1) * 1.0 AS dom0, (mx1 - mn1 + 1) * 1.0 AS dom1 FROM r),
+zm AS (SELECT avg((max0 - min0 + 1) / dom0) AS s0, avg((max1 - min1 + 1) / dom1) AS s1
+       FROM zstats, doms),
+lm AS (SELECT avg((max0 - min0 + 1) / dom0) AS s0, avg((max1 - min1 + 1) / dom1) AS s1
+       FROM lstats, doms)
+SELECT 'l_orderkey' AS col_name,
+       CAST(round(zm.s0, 4) AS DOUBLE) AS zorder_span,
+       CAST(round(lm.s0, 4) AS DOUBLE) AS linear_span,
+       CAST(round(zm.s0 / lm.s0, 4) AS DOUBLE) AS span_ratio
+FROM zm, lm
+UNION ALL
+SELECT 'l_suppkey',
+       CAST(round(zm.s1, 4) AS DOUBLE),
+       CAST(round(lm.s1, 4) AS DOUBLE),
+       CAST(round(zm.s1 / lm.s1, 4) AS DOUBLE)
+FROM zm, lm
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5072,4 +5164,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "sq8_cosine_topk": (q_sq8_cosine_topk, SQL_SQ8_COSINE_TOPK),
     "sq8_recall_audit": (q_sq8_recall_audit, SQL_SQ8_RECALL),
+    "zorder_file_stats": (q_zorder_file_stats, SQL_ZORDER_FILE_STATS),
+    "zorder_skipping_gain": (q_zorder_skipping_gain, SQL_ZORDER_GAIN),
 }

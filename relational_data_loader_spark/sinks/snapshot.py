@@ -776,11 +776,20 @@ class SnapshotTable:
                 removed += 1
         return removed
 
-    def optimize(self, sort_cols: list[str] | None = None) -> int:
+    def optimize(
+        self,
+        sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
+        zorder_bits: int = 8,
+    ) -> int:
         """Sort-compaction (the OPTIMIZE table service; Iceberg twin:
         ``rewrite_data_files`` with a sort strategy): rewrite every bucket
         as ONE file with rows sorted by ``sort_cols`` (default: the
-        primary key).
+        primary key). ``zorder_cols`` switches the in-bucket order to a
+        Morton code over those columns instead (Delta/Iceberg
+        ``ZORDER BY`` twin) — multi-column row-group pruning at the cost
+        of the leading key's perfect ordering; mutually exclusive with
+        ``sort_cols`` taking effect.
 
         Logical content is bit-identical — tombstones, internal lsn/audit
         columns, everything; only the physical layout changes. The win is
@@ -804,12 +813,30 @@ class SnapshotTable:
         layout = int(m.get("n_buckets", self.n_buckets))
         rels = [p for files in m["buckets"].values() for p in files]
         df = self._read_files(rels)
-        cols = list(sort_cols) if sort_cols else self.spec.primary_keys
+        if zorder_cols:
+            # multi-column locality instead of a lexicographic PK sort:
+            # rows inside each bucket file are ordered by Morton code over
+            # `zorder_cols`, so parquet row-group min/max stats prune
+            # predicates on ANY interleaved column, not just the leading
+            # sort key (operators/layout.py has the arithmetic + the
+            # determinism contract). Bucket routing is untouched — z-order
+            # changes row order WITHIN each bucket's one file only, so
+            # read_keys' bucket pruning keeps working unchanged.
+            from relational_data_loader_spark.operators.layout import (
+                zorder_assign,
+            )
+
+            df = zorder_assign(df, list(zorder_cols), bits=zorder_bits, n_files=2)
+            sort_keys = ["zcode"]
+        else:
+            sort_keys = list(sort_cols) if sort_cols else self.spec.primary_keys
         clustered = (
             df.withColumn(_BUCKET_COL, bucket_expr(self.bucket_key, layout))
             .repartition(layout, F.col(_BUCKET_COL))
-            .sortWithinPartitions(_BUCKET_COL, *cols)
+            .sortWithinPartitions(_BUCKET_COL, *sort_keys)
         )
+        if zorder_cols:
+            clustered = clustered.drop("zcode", "file_id")
         new_buckets = self._write_buckets(
             clustered, n_buckets=layout, pre_clustered=True
         )

@@ -214,3 +214,33 @@ def test_maintenance_optimize_flag(setup, capsys, tmp_path):
     assert t.current_manifest()["kind"] == "optimize"
     got = spark_sorted_pdf(t.read())
     assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_maintenance_optimize_zorder_flag(setup, capsys, tmp_path):
+    import json as _json
+
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=4)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["--warehouse", wh, "--specs", specdir, "--optimize",
+         "--zorder", "turn_idx,_rdl_lsn"]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert doc["files_compacted"] > 0
+    assert doc["zorder"] == ["turn_idx", "_rdl_lsn"]
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    t = mgr.table(spec)
+    assert t.current_manifest()["kind"] == "optimize"
+    # logical content identical to the replay oracle after the rewrite
+    assert_tables_equal(
+        spark_sorted_pdf(t.read()), duck_final_state(f"{logdir}/*.parquet")
+    )
