@@ -69,6 +69,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
     )
     p.add_argument(
+        "--rebucket",
+        type=int,
+        default=None,
+        metavar="N",
+        help="maintenance: rewrite the table into N hash buckets (layout "
+        "evolution for tables that outgrew target_buckets; snapshot sink "
+        "only — PK-sorted rewrite, state/epochs/watermark preserved), "
+        "then exit",
+    )
+    p.add_argument(
         "--zorder",
         default=None,
         metavar="COL1,COL2",
@@ -98,7 +108,12 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     forced = {s.strip() for s in args.force_full_refresh.split(",") if s.strip()}
 
-    if args.expire_tombstones_below is not None or args.vacuum or args.optimize:
+    if (
+        args.expire_tombstones_below is not None
+        or args.vacuum
+        or args.optimize
+        or args.rebucket is not None
+    ):
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
         # as table services, the snapshot sink ships its own)
@@ -115,6 +130,18 @@ def main(argv: list[str] | None = None) -> int:
                 # the snapshot sink counts expired rows; Iceberg's DELETE
                 # doesn't surface a count — report that honestly
                 out["tombstones_expired"] = n if n is not None else "unknown"
+            if args.rebucket is not None:
+                if hasattr(table, "rebucket"):
+                    prev = table.rebucket(args.rebucket)
+                    out["rebucketed_from"] = prev
+                    out["rebucketed_to"] = args.rebucket if prev else "no-op"
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --rebucket is snapshot-"
+                        "sink only (Iceberg evolves partition specs via "
+                        "REPLACE PARTITION FIELD), skipping",
+                        file=sys.stderr,
+                    )
             if args.optimize:
                 # order matters: optimize BEFORE vacuum, so the superseded
                 # pre-optimize files fall out of the retention window

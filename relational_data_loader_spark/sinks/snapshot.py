@@ -846,6 +846,52 @@ class SnapshotTable:
         self._commit(manifest)
         return len(rels)
 
+    def rebucket(self, n_buckets: int) -> int:
+        """Change the table's hash-bucket layout IN PLACE — the table
+        service a pinned-layout table needs once it outgrows its day-1
+        bucket count (a 10^10-row table laid out with 64 buckets has
+        ~150M-row bucket files: every MERGE rewrites whole multi-GB files
+        and point lookups scan them; doubling the layout halves both).
+
+        Semantics mirror ``optimize``: logical content is bit-identical
+        (tombstones, internal columns, audit), epochs/watermark carry over
+        untouched, time travel to pre-rebucket versions keeps reading the
+        old layout (each manifest pins its own ``n_buckets``, so readers
+        and mergers of any version route keys with the layout its files
+        were actually written under). One full rewrite: rehash + ONE
+        shuffle into the new layout, PK-sorted within buckets (the rewrite
+        is the natural moment to restore sort locality too). Incremental
+        merges after the commit pick up the new layout from the manifest
+        automatically. Returns the previous bucket count (0 = no table or
+        no-op).
+        """
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        old = int(m.get("n_buckets", self.n_buckets))
+        n_buckets = int(n_buckets)
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if n_buckets == old:
+            return 0
+        df = self._read_files(
+            [p for files in m["buckets"].values() for p in files]
+        )
+        clustered = (
+            df.withColumn(_BUCKET_COL, bucket_expr(self.bucket_key, n_buckets))
+            .repartition(n_buckets, F.col(_BUCKET_COL))
+            .sortWithinPartitions(_BUCKET_COL, *self.spec.primary_keys)
+        )
+        new_buckets = self._write_buckets(
+            clustered, n_buckets=n_buckets, pre_clustered=True
+        )
+        manifest = dict(m)
+        manifest["buckets"] = new_buckets
+        manifest["n_buckets"] = n_buckets
+        manifest["kind"] = "rebucket"
+        self._commit(manifest)
+        return old
+
     def expire_tombstones(self, below_lsn: int) -> int:
         """Drop tombstone rows with lsn ≤ ``below_lsn`` (Iceberg twin:
         compaction). Safe once the caller knows no out-of-order event older
