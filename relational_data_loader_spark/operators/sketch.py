@@ -71,3 +71,123 @@ def kmv_distinct(
             ).alias("rel_error"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (deterministic, mergeable frequency estimation)
+
+_CMS_SALTS = "pqrstuvwxyz"
+
+
+def _cms_cell(salt: str, col: Column, w: int) -> Column:
+    """Row-``salt``'s column index for a value: first 32 md5 bits mod w —
+    the same engine-agnostic uniform-hash family every sketch here uses."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % w).cast("int")
+
+
+def cms_cells(
+    df: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Build a count-min sketch over a value column: ``d × w`` cells of
+    ``(hash_row, cell, n)`` — frequency estimation in O(d·w) state where
+    exact per-value counting needs O(distinct values).
+
+    Why it earns its place next to KMV: the sketch is MERGEABLE (cell-wise
+    sum — roll up partition/daily sketches without rescanning) and
+    DETERMINISTIC (md5 rows, not engine-seeded hashes), so two engines —
+    or two clusters — build bit-identical sketches. Estimate error is the
+    classic CM bound: overestimate only, ≤ ⌈e·N/w⌉ with prob 1−e^−d.
+
+    Plan: one scan; the d row-indices per value are an inline array of
+    structs exploded in the same projection (a per-row union of d
+    projections would rescan the input d times); ONE groupBy on
+    (hash_row, cell) with map-side partial aggregation — at any corpus
+    size the shuffle carries ≤ d·w partial cells per map task.
+    """
+    salts = _CMS_SALTS[:d]
+    v = F.col(value_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_row"), _cms_cell(s, v, w).alias("cell")
+            )
+            for i, s in enumerate(salts)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.hash_row").alias("hash_row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame, items: DataFrame, value_col: str, d: int = 4, w: int = 256
+) -> DataFrame:
+    """Point-query the sketch for each item: min over the item's d cells
+    (the CM estimator). ``items`` is query-time small — its d cell ids per
+    item broadcast-join against the ≤ d·w sketch cells, so the lookup
+    never touches the original corpus.
+    """
+    salts = _CMS_SALTS[:d]
+    v = F.col(value_col)
+    probes = items.select(
+        v.alias("_item"),
+        *[
+            _cms_cell(s, v, w).alias(f"_c{i}")
+            for i, s in enumerate(salts)
+        ],
+    )
+    est = None
+    out = probes
+    for i in range(d):
+        cell_i = cells.filter(F.col("hash_row") == i).select(
+            F.col("cell").alias(f"_c{i}"), F.col("n").alias(f"_n{i}")
+        )
+        out = out.join(F.broadcast(cell_i), f"_c{i}", "left")
+        ni = F.coalesce(F.col(f"_n{i}"), F.lit(0))
+        est = ni if est is None else F.least(est, ni)
+    return out.select(
+        F.col("_item").alias(value_col), est.alias("cms_estimate")
+    )
+
+
+def cms_frequency_audit(
+    df: DataFrame,
+    value_col: str,
+    k: int = 30,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """The audit row that justifies swapping exact heavy-hitter counting
+    for the sketch: the top-``k`` values by exact count next to their CM
+    estimates and the overestimate (≥ 0 by construction — an estimate
+    BELOW exact means the sketch is broken, pinned in tests).
+
+    Rank ties break on the value itself so both engines pick the same
+    top-k when counts tie.
+    """
+    exact = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("exact_count"))
+    topk = (
+        exact.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_count"), F.asc(value_col))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    cells = cms_cells(df, value_col, d=d, w=w)
+    est = cms_estimate(cells, topk.select(value_col), value_col, d=d, w=w)
+    return topk.join(est, value_col).select(
+        value_col,
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+    )

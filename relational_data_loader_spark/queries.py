@@ -59,6 +59,7 @@ from relational_data_loader_spark.operators.layout import (
     zorder_file_stats,
     zorder_skipping_gain,
 )
+from relational_data_loader_spark.operators.sketch import cms_frequency_audit
 from relational_data_loader_spark.functions import text as TXT
 from relational_data_loader_spark.functions.registry import get_transform
 from relational_data_loader_spark.spec import AUDIT_EXEC_ID, AUDIT_LOADED_AT
@@ -5020,6 +5021,64 @@ FROM zm, lm
 """
 
 
+def q_cms_frequency_audit(spark, sf):
+    """Count-min sketch audit (operators/sketch.py cms_frequency_audit):
+    top-30 corpus tokens by exact count next to their d=4/w=256 CM
+    estimates — the bounded-state (d·w cells), mergeable heavy-hitter
+    counter and the overestimate it costs."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    return cms_frequency_audit(toks, "tok", k=30, d=4, w=256)
+
+
+def _cms_cell_sql(salt: str) -> str:
+    return (
+        f"CAST(CAST(concat('0x', substring(md5('{salt}' || tok), 1, 8)) "
+        f"AS BIGINT) % 256 AS INT)"
+    )
+
+
+SQL_CMS_AUDIT = f"""
+WITH tk AS (
+  SELECT tok FROM (
+    SELECT unnest(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents)
+  WHERE tok <> ''),
+exact AS (SELECT tok, count(*) AS exact_count FROM tk GROUP BY tok),
+topk AS (
+  SELECT tok, exact_count FROM (
+    SELECT *, row_number() OVER (ORDER BY exact_count DESC, tok) AS rk
+    FROM exact)
+  WHERE rk <= 30),
+cells AS (
+  SELECT hash_row, cell, count(*) AS n FROM (
+    SELECT 0 AS hash_row, {_cms_cell_sql('p')} AS cell FROM tk
+    UNION ALL SELECT 1, {_cms_cell_sql('q')} FROM tk
+    UNION ALL SELECT 2, {_cms_cell_sql('r')} FROM tk
+    UNION ALL SELECT 3, {_cms_cell_sql('s')} FROM tk)
+  GROUP BY 1, 2),
+est AS (
+  SELECT t.tok, least(
+    coalesce((SELECT n FROM cells c WHERE c.hash_row = 0
+              AND c.cell = {_cms_cell_sql('p').replace('tok', 't.tok')}), 0),
+    coalesce((SELECT n FROM cells c WHERE c.hash_row = 1
+              AND c.cell = {_cms_cell_sql('q').replace('tok', 't.tok')}), 0),
+    coalesce((SELECT n FROM cells c WHERE c.hash_row = 2
+              AND c.cell = {_cms_cell_sql('r').replace('tok', 't.tok')}), 0),
+    coalesce((SELECT n FROM cells c WHERE c.hash_row = 3
+              AND c.cell = {_cms_cell_sql('s').replace('tok', 't.tok')}), 0)
+  ) AS cms_estimate
+  FROM topk t)
+SELECT t.tok, t.exact_count, e.cms_estimate,
+       e.cms_estimate - t.exact_count AS overestimate
+FROM topk t JOIN est e ON t.tok = e.tok
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5166,4 +5225,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sq8_recall_audit": (q_sq8_recall_audit, SQL_SQ8_RECALL),
     "zorder_file_stats": (q_zorder_file_stats, SQL_ZORDER_FILE_STATS),
     "zorder_skipping_gain": (q_zorder_skipping_gain, SQL_ZORDER_GAIN),
+    "cms_frequency_audit": (q_cms_frequency_audit, SQL_CMS_AUDIT),
 }

@@ -169,3 +169,44 @@ def test_sq8_recall_perfect_on_separated_vectors(spark):
     assert [r["c_id"] for r in exact] == [r["c_id"] for r in approx]
     audit = sq8_recall_audit(q, emb, k=3).collect()
     assert len(audit) == 1 and audit[0]["recall_at_k"] == 1.0
+
+
+# --------------------------------------------------------------------------
+# count-min sketch
+
+
+def test_cms_estimate_never_undercounts_and_is_tight_when_sparse(spark):
+    from relational_data_loader_spark.operators.sketch import (
+        cms_cells,
+        cms_estimate,
+        cms_frequency_audit,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+    df = spark.createDataFrame(rows, ["tok"])
+    audit = {r["tok"]: r for r in cms_frequency_audit(df, "tok", k=3).collect()}
+    assert audit["a"]["exact_count"] == 50
+    # CM overestimates only — an estimate below exact means a broken sketch
+    assert all(r["overestimate"] >= 0 for r in audit.values())
+    # 3 distinct values in 4x256 cells: no collisions, estimates exact
+    assert all(r["overestimate"] == 0 for r in audit.values())
+
+
+def test_cms_cells_are_mergeable(spark):
+    from relational_data_loader_spark.operators.sketch import cms_cells
+
+    import pyspark.sql.functions as F
+
+    d1 = spark.createDataFrame([("a",)] * 10 + [("b",)] * 3, ["tok"])
+    d2 = spark.createDataFrame([("a",)] * 7 + [("c",)] * 2, ["tok"])
+    merged = (
+        cms_cells(d1, "tok")
+        .unionByName(cms_cells(d2, "tok"))
+        .groupBy("hash_row", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_cells(d1.unionByName(d2), "tok")
+    key = lambda r: (r["hash_row"], r["cell"], r["n"])
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, whole.collect())
+    )
