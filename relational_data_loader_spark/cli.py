@@ -69,6 +69,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
     )
     p.add_argument(
+        "--fsck",
+        action="store_true",
+        help="maintenance: verify every data file the current manifest "
+        "references against its commit-time size + parquet-footer row "
+        "count (footer reads only), then exit — rc 3 if any table has "
+        "missing or corrupt files (snapshot sink only)",
+    )
+    p.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -113,10 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.optimize
         or args.rebucket is not None
+        or args.fsck
     ):
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
         # as table services, the snapshot sink ships its own)
+        fsck_failed = False
         for f in spec_files:
             with open(f) as fh:
                 spec = IngestSpec.from_json(fh.read())
@@ -169,8 +179,23 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     table.expire_snapshots()
                     out["snapshots_expired"] = True
+            if args.fsck:
+                if hasattr(table, "fsck"):
+                    # fsck runs LAST so it verifies whatever the other
+                    # maintenance passes just committed
+                    report = table.fsck()
+                    out["fsck"] = report
+                    if not report.get("ok", False):
+                        fsck_failed = True
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --fsck is snapshot-sink "
+                        "only (Iceberg verifies via its own manifests), "
+                        "skipping",
+                        file=sys.stderr,
+                    )
             print(json.dumps(out))
-        return 0
+        return 3 if fsck_failed else 0
 
     # dependency-ordered load: parse everything first, then run topological
     # waves (plans/dag.py) — parents commit before children, and a config
