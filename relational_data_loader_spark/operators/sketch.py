@@ -191,3 +191,75 @@ def cms_frequency_audit(
         "cms_estimate",
         (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+def kmv_merge_rollup(
+    df: DataFrame,
+    group_col: str,
+    unit_col,
+    value_col: str,
+    k: int = 64,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Distinct-count rollup FROM stored per-unit sketches — the query
+    shape that makes KMV worth materializing: keep one k-hash sketch per
+    (group, day) as the day closes, answer "distinct over any period" by
+    merging sketches, never rescanning the period's raw rows.
+
+    The merge is LOSSLESS, not approximate-on-approximate: if a hash is
+    among a group's global k smallest, then fewer than k group hashes are
+    smaller than it, so it is also within the top-k of every unit that
+    contains it — hence the k smallest of the union of per-unit top-k sets
+    ARE the k smallest of the full union, and the merged estimate equals
+    the estimate a from-scratch sketch of the period would give, exactly
+    (pinned in tests). Same value on several days dedupes by its hash.
+
+    Plan: the per-unit rank and the merge rank are two WindowGroupLimit
+    windows (each map partition forwards ≤ k rows per key); the exact
+    count (audit column) is the only full-width aggregate.
+
+    Returns (group, n_units, n_exact, n_estimate, rel_error).
+    """
+    g = F.col(group_col)
+    unit = unit_col if not isinstance(unit_col, str) else F.col(unit_col)
+    u = uniform_hash(F.col(value_col))
+    hashed = df.select(
+        g.alias("g"), unit.alias("unit"), u.alias("u")
+    ).distinct()
+    w_unit = Window.partitionBy("g", "unit").orderBy("u")
+    unit_sk = (
+        hashed.withColumn("rk", F.row_number().over(w_unit))
+        .filter(F.col("rk") <= k)
+        .select("g", "unit", "u")
+    )
+    n_units = unit_sk.groupBy("g").agg(
+        F.count_distinct("unit").alias("n_units")
+    )
+    w_g = Window.partitionBy("g").orderBy("u")
+    merged = (
+        unit_sk.select("g", "u")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w_g))
+        .filter(F.col("rk") <= k)
+    )
+    est = F.when(
+        F.max("rk") < k, F.max("rk").cast("double")
+    ).otherwise(F.round((F.lit(float(k - 1))) / F.max("u"), round_dp))
+    agg = merged.groupBy("g").agg(est.alias("n_estimate"))
+    exact = hashed.select("g", "u").distinct().groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return (
+        exact.join(agg, "g")
+        .join(n_units, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_units",
+            "n_exact",
+            "n_estimate",
+            F.round(
+                (F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                round_dp,
+            ).alias("rel_error"),
+        )
+    )

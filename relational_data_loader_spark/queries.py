@@ -5079,6 +5079,53 @@ FROM topk t JOIN est e ON t.tok = e.tok
 """
 
 
+def q_kmv_merge_rollup(spark, sf):
+    """Sketch-rollup query (operators/sketch.py kmv_merge_rollup):
+    per-day KMV sketches of distinct users per event type, merged to the
+    period estimate WITHOUT rescanning raw rows — the merge is lossless
+    (top-k of unioned top-k sets == top-k of the union), so the rolled-up
+    estimate is exactly what a from-scratch period sketch would give."""
+    from relational_data_loader_spark.operators.sketch import kmv_merge_rollup
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return kmv_merge_rollup(ev, "event_type", "day", "uid", k=64)
+
+
+SQL_KMV_MERGE_ROLLUP = r"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS g, CAST(ts AS DATE) AS unit,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 14))
+              AS BIGINT) / 72057594037927936.0 AS u
+  FROM events),
+unit_sk AS (
+  SELECT g, unit, u FROM (
+    SELECT g, unit, u,
+           row_number() OVER (PARTITION BY g, unit ORDER BY u) AS rk
+    FROM hashed)
+  WHERE rk <= 64),
+units AS (SELECT g, count(DISTINCT unit) AS n_units FROM unit_sk GROUP BY g),
+merged AS (
+  SELECT g, u,
+         row_number() OVER (PARTITION BY g ORDER BY u) AS rk
+  FROM (SELECT DISTINCT g, u FROM unit_sk)
+  QUALIFY rk <= 64),
+est AS (
+  SELECT g,
+         CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+              ELSE round(63.0 / max(u), 4) END AS n_estimate
+  FROM merged GROUP BY g),
+exact AS (
+  SELECT g, count(*) AS n_exact
+  FROM (SELECT DISTINCT g, u FROM hashed) GROUP BY g)
+SELECT g AS event_type, n_units, n_exact, n_estimate,
+       round((n_estimate - n_exact) / n_exact, 4) AS rel_error
+FROM exact JOIN est USING (g) JOIN units USING (g)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5226,4 +5273,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_file_stats": (q_zorder_file_stats, SQL_ZORDER_FILE_STATS),
     "zorder_skipping_gain": (q_zorder_skipping_gain, SQL_ZORDER_GAIN),
     "cms_frequency_audit": (q_cms_frequency_audit, SQL_CMS_AUDIT),
+    "kmv_merge_rollup": (q_kmv_merge_rollup, SQL_KMV_MERGE_ROLLUP),
 }

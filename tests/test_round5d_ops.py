@@ -210,3 +210,30 @@ def test_cms_cells_are_mergeable(spark):
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, whole.collect())
     )
+
+
+def test_kmv_merge_rollup_is_lossless_vs_direct_sketch(spark):
+    # the defining property: merging per-day sketches gives EXACTLY the
+    # estimate a from-scratch sketch over the whole period would give
+    from relational_data_loader_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_rollup,
+    )
+
+    rows = [
+        ("a", d, f"user{(i * 7 + d * 13) % 200}")
+        for d in range(5)
+        for i in range(300)
+    ] + [("b", d, f"user{i % 30}") for d in range(3) for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "day", "uid"])
+    merged = {
+        r["grp"]: r for r in kmv_merge_rollup(df, "grp", "day", "uid", k=16).collect()
+    }
+    direct = {
+        r["grp"]: r for r in kmv_distinct(df, "grp", "uid", k=16).collect()
+    }
+    for g in ("a", "b"):
+        assert merged[g]["n_estimate"] == direct[g]["n_estimate"]
+        assert merged[g]["n_exact"] == direct[g]["n_exact"]
+    assert merged["a"]["n_units"] == 5 and merged["b"]["n_units"] == 3
+    assert merged["a"]["n_exact"] == 200 and merged["b"]["n_exact"] == 30
