@@ -145,3 +145,55 @@ def salted_agg(
         *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
     )
     return phase1.groupBy(*key_cols).agg(*finals)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    hot_keys: list | None = None,
+    salt_source: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: spread each HOT key's fact rows over
+    ``salt_buckets`` reducers and replicate only that key's dim rows to
+    meet them — the targeted-salting plan for the join AQE's skew handling
+    can't fix (AQE splits oversized *shuffle partitions*, but a sort-merge
+    join still sorts a hot key's rows in one task; and broadcast is off
+    the table when the dim side is too big to broadcast).
+
+    ``hot_keys`` is the control-plane list ``detect_hot_keys`` produces
+    (collecting it is O(hot keys) — by definition a handful). Cold keys
+    join exactly as before (salt 0 both sides), so the dim-side blow-up is
+    |hot keys| × salt_buckets rows, not |dim| × salt_buckets — full-dim
+    replication would multiply the shuffle by the salt factor for keys
+    that never needed it.
+
+    The fact-side salt hashes ``salt_source`` (deterministic across
+    retries, same contract as ``salted_agg``). ``how``: inner or left —
+    a hot dim row is replicated across ALL salts, so every fact row still
+    finds its match exactly once and left semantics survive; right/outer
+    would need the reverse analysis and are rejected.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    hot = list(hot_keys or [])
+    is_hot_f = facts[key].isin(hot) if hot else F.lit(False)
+    salt = F.pmod(
+        F.xxhash64(
+            F.col(salt_source) if salt_source else F.monotonically_increasing_id()
+        ),
+        F.lit(salt_buckets),
+    )
+    f = facts.withColumn("_salt", F.when(is_hot_f, salt).otherwise(F.lit(0)))
+    is_hot_d = dim[key].isin(hot) if hot else F.lit(False)
+    d = dim.withColumn(
+        "_salts",
+        F.when(
+            is_hot_d, F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+        ).otherwise(F.array(F.lit(0))),
+    ).withColumn("_salt", F.explode("_salts")).drop("_salts")
+    # cast: sequence() yields int, pmod(xxhash64) yields bigint
+    d = d.withColumn("_salt", F.col("_salt").cast("long"))
+    return f.join(d, [key, "_salt"], how).drop("_salt")

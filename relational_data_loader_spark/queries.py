@@ -5126,6 +5126,48 @@ FROM exact JOIN est USING (g) JOIN units USING (g)
 """
 
 
+def q_salted_join_rollup(spark, sf):
+    """Skew-safe fact-to-dim join (operators/skew.py salted_join): events
+    enriched with the customer dim via targeted hot-key salting — hot
+    fact keys spread over 8 salt reducers, ONLY their dim rows replicated
+    to meet them — then revenue by market segment. The oracle is the
+    PLAIN join+rollup, so the driver compare IS the proof that salting
+    changes the plan, never the result. Hot keys come from the engine's
+    own probe (full-scan deterministic path at this size)."""
+    from relational_data_loader_spark.operators.skew import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    hot = [
+        r["user_id"]
+        for r in detect_hot_keys(
+            ev, ["user_id"], threshold_frac=0.007, sample_fraction=1.0
+        ).collect()
+    ]
+    joined = salted_join(
+        ev, cust, "user_id", salt_buckets=8, hot_keys=hot,
+        salt_source="event_id",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        _dec_sum(F.col("value"), "total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5274,4 +5316,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "zorder_skipping_gain": (q_zorder_skipping_gain, SQL_ZORDER_GAIN),
     "cms_frequency_audit": (q_cms_frequency_audit, SQL_CMS_AUDIT),
     "kmv_merge_rollup": (q_kmv_merge_rollup, SQL_KMV_MERGE_ROLLUP),
+    "salted_join_rollup": (q_salted_join_rollup, SQL_SALTED_JOIN),
 }

