@@ -295,3 +295,73 @@ def test_incremental_near_dup_no_cartesian_semi_pushdown(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "LeftSemi" in plan, plan
+
+
+def test_zorder_assign_is_pure_projection(spark):
+    """The z-code must stay inside whole-stage codegen: given ranges, the
+    assignment adds NO exchange and NO Python — a projection over the
+    scan, exactly what a 100-TB rewrite prepends to its one shuffle."""
+    from relational_data_loader_spark.operators.layout import zorder_assign
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    df = zorder_assign(
+        li, ["l_orderkey", "l_suppkey"], bits=8, n_files=64,
+        ranges={"l_orderkey": (0, 2000), "l_suppkey": (0, 99)},
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_salted_join_no_cartesian_single_shuffle_pair(spark):
+    """Targeted salting must stay an equi-join on (key, salt): no
+    BroadcastNestedLoopJoin / CartesianProduct from the explode, and the
+    hot-key replication happens dim-side only (a generator over the dim
+    child, never the fact child)."""
+    from relational_data_loader_spark.operators.skew import salted_join
+
+    facts = spark.range(0, 10000).select(
+        F.col("id").alias("fid"), (F.col("id") % 50).alias("k")
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("lab")
+    )
+    # disable auto-broadcast so the gate checks the SHUFFLE plan — the
+    # regime salting exists for (dim too big to broadcast)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = salted_join(
+            facts, dim, "k", salt_buckets=8, hot_keys=[7], salt_source="fid"
+        )
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan, plan  # dim-side replication
+
+
+def test_sq8_topk_broadcasts_queries_no_cartesian(spark):
+    """SQ8 search keeps cosine_topk's broadcast shape: the query side is
+    broadcast, the dequantize transform is a projection on the candidate
+    scan (no extra exchange before the ranking window)."""
+    from relational_data_loader_spark.queries import q_sq8_cosine_topk
+
+    plan = _plan(q_sq8_cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cms_cells_single_aggregation_shuffle(spark):
+    """The sketch build is one scan + one hash-agg exchange (map-side
+    partials bounded by d*w cells), never a union of per-row scans."""
+    from relational_data_loader_spark.operators.sketch import cms_cells
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    df = cms_cells(docs, "text")
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
