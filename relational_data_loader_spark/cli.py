@@ -69,6 +69,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
     )
     p.add_argument(
+        "--rollback-to",
+        type=int,
+        default=None,
+        metavar="VERSION",
+        help="maintenance: restore each spec's table to an earlier "
+        "committed version by committing a duplicate manifest (the repair "
+        "half of --fsck; watermark/epochs revert with it, so the next "
+        "batch run re-ingests the tail exactly-once), then exit "
+        "(snapshot sink only)",
+    )
+    p.add_argument(
         "--fsck",
         action="store_true",
         help="maintenance: verify every data file the current manifest "
@@ -122,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.optimize
         or args.rebucket is not None
         or args.fsck
+        or args.rollback_to is not None
     ):
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
@@ -140,6 +152,20 @@ def main(argv: list[str] | None = None) -> int:
                 # the snapshot sink counts expired rows; Iceberg's DELETE
                 # doesn't surface a count — report that honestly
                 out["tombstones_expired"] = n if n is not None else "unknown"
+            if args.rollback_to is not None:
+                # rollback runs FIRST: later passes (optimize/fsck) then
+                # operate on the restored version
+                if hasattr(table, "rollback"):
+                    m = table.rollback(args.rollback_to)
+                    out["rolled_back_to"] = args.rollback_to
+                    out["new_version"] = m["version"]
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --rollback-to is "
+                        "snapshot-sink only (Iceberg: CALL "
+                        "rollback_to_snapshot), skipping",
+                        file=sys.stderr,
+                    )
             if args.rebucket is not None:
                 if hasattr(table, "rebucket"):
                     prev = table.rebucket(args.rebucket)

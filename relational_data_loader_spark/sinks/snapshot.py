@@ -918,6 +918,41 @@ class SnapshotTable:
         self._commit(manifest)
         return old
 
+    def rollback(self, version: int) -> dict[str, Any]:
+        """Restore the table to an earlier committed version by COMMITTING
+        a new manifest that duplicates it (Iceberg's
+        ``rollback_to_snapshot``; never by deleting manifests — history
+        stays append-only, so the rolled-back-FROM state remains
+        time-travelable and auditable). The repair half of ``fsck``: when
+        the current version's files are corrupt, roll back to the last
+        intact version and re-run the load — watermark and applied_epochs
+        revert WITH the manifest, so the next incremental re-ingests
+        everything past the restored watermark and the version-guarded
+        merge keeps the replay exactly-once.
+
+        Only valid within vacuum's retention window (the old version's
+        data files must still exist — run ``fsck(version=N)`` first to
+        check). Raises on a rollback to the current version (no-op would
+        burn a version number and confuse the audit trail).
+        """
+        cur = self.current_manifest()
+        if cur is None:
+            raise ValueError("rollback: table has no committed manifest")
+        if int(version) == int(cur["version"]):
+            raise ValueError(
+                f"rollback target {version} is already the current version"
+            )
+        target = self.manifest_at(int(version))
+        manifest = {
+            k: v
+            for k, v in target.items()
+            if k not in ("version", "committed_at")
+        }
+        manifest["kind"] = "rollback"
+        manifest["rollback_of"] = int(version)
+        manifest["rolled_back_from"] = int(cur["version"])
+        return self._commit(manifest)
+
     def fsck(self, version: int | None = None) -> dict[str, Any]:
         """Verify every data file the manifest references against its
         commit-time stats (size + parquet-footer row count) — the cheap

@@ -122,3 +122,98 @@ def test_cli_fsck_rc3_on_corruption(spark, warehouse, tmp_path, capsys):
         if l.startswith("{")
     ]
     assert out[-1]["fsck"]["missing"] == [victim]
+
+
+def test_rollback_then_rerun_repairs_corruption(spark, warehouse, tmp_path):
+    """The full disaster drill: corrupt the current version's files, fsck
+    flags it, roll back to the last intact version, re-run the load — the
+    tail re-ingests exactly-once and the final state equals the oracle."""
+    from tests.util import assert_tables_equal, duck_final_state, spark_sorted_pdf, write_log
+
+    tbl, logdir, spec, mgr = _rig(spark, warehouse, tmp_path, seed=67)
+    max_lsn = pc.max(tbl["lsn"]).as_py()
+    write_log(tbl, logdir, lsn_upto=max_lsn // 2)
+    mgr.run(spec)
+    t = mgr.table(spec)
+    v1 = t.current_manifest()["version"]
+    write_log(tbl, logdir, lsn_from=max_lsn // 2)
+    mgr.run(spec)
+    m2 = t.current_manifest()
+    assert m2["version"] > v1
+
+    # corrupt a file that v2 references but v1 does not
+    v1_files = {
+        p
+        for f in t.manifest_at(v1)["buckets"].values()
+        for p in f
+    }
+    victim = next(
+        p
+        for f in m2["buckets"].values()
+        for p in f
+        if p not in v1_files
+    )
+    with open(os.path.join(t.path, victim), "r+b") as fh:
+        fh.truncate(10)
+    assert not t.fsck()["ok"]
+    # the target version is still intact — check BEFORE rolling back
+    assert t.fsck(version=v1)["ok"]
+
+    m3 = t.rollback(v1)
+    assert m3["kind"] == "rollback" and m3["rollback_of"] == v1
+    assert m3["rolled_back_from"] == m2["version"]
+    assert t.fsck()["ok"]
+    # content == v1, watermark reverted
+    assert_tables_equal(
+        spark_sorted_pdf(t.read()), spark_sorted_pdf(t.read(version=v1))
+    )
+    assert t.watermark() == t.manifest_at(v1)["watermark"]
+
+    # re-run: the tail re-ingests and the final state matches the oracle
+    r = mgr.run(spec)
+    assert r.decision.kind == "incremental" and not r.skipped
+    assert_tables_equal(
+        spark_sorted_pdf(t.read()), duck_final_state(f"{logdir}/*.parquet")
+    )
+
+    # guard: rolling back to the current version is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="already the current version"):
+        t.rollback(t.current_manifest()["version"])
+
+
+def test_cli_rollback_flag(spark, warehouse, tmp_path, capsys):
+    import json as _json
+
+    from tests.util import assert_tables_equal, duck_final_state, spark_sorted_pdf, write_log
+
+    tbl, logdir, spec, mgr = _rig(spark, warehouse, tmp_path, seed=71)
+    specdir = tmp_path / "specs"
+    specdir.mkdir()
+    pathlib.Path(specdir / "transcripts.json").write_text(spec.to_json())
+    max_lsn = pc.max(tbl["lsn"]).as_py()
+    write_log(tbl, logdir, lsn_upto=max_lsn // 2)
+    assert main(["--warehouse", warehouse, "--specs", str(specdir)]) == 0
+    t = mgr.table(spec)
+    v1 = t.current_manifest()["version"]
+    write_log(tbl, logdir, lsn_from=max_lsn // 2)
+    assert main(["--warehouse", warehouse, "--specs", str(specdir)]) == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["--warehouse", warehouse, "--specs", str(specdir),
+         "--rollback-to", str(v1), "--fsck"]
+    )
+    assert rc == 0
+    out = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert out[-1]["rolled_back_to"] == v1 and out[-1]["fsck"]["ok"]
+    # batch run after CLI rollback converges back to the oracle state
+    assert main(["--warehouse", warehouse, "--specs", str(specdir)]) == 0
+    assert_tables_equal(
+        spark_sorted_pdf(t.read()), duck_final_state(f"{logdir}/*.parquet")
+    )
