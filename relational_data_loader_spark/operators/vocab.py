@@ -117,3 +117,59 @@ def vocab_coverage(
         .cast("double")
         .alias("coverage"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 40
+) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information — the multi-word-expression miner that feeds a PHRASE
+    vocabulary (high-PMI pairs like proper names and idioms deserve one
+    token; high-frequency-but-low-PMI pairs are just common words
+    colliding). PMI = ln(c_xy·N / (c_x·c_y)) over the bigram contingency
+    table: c_x = x's count in the FIRST slot, c_y = y's in the SECOND,
+    N = total bigrams. ``min_count`` kills the classic PMI pathology
+    (rare pairs score highest on noise).
+
+    Plan: shuffle-free bigram extraction (array transform over token
+    positions, same shape as bigram_surprisal), three partial-agged
+    counts over the bigram stream, posting-sized joins, and a broadcast
+    1-row total. Ranks on the ROUNDED pmi with (prev, cur) tie-break so
+    engines agree.
+    """
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+
+    bg = (
+        df.select(_one_to_one(tokens(F.col(text_col)), "_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1),"
+                    " i -> struct(_toks[i-1] AS prev, _toks[i] AS cur))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.prev", "bg.cur")
+    )
+    bgc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_bg"))
+    left = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("c_prev"))
+    right = bg.groupBy("cur").agg(F.count(F.lit(1)).alias("c_cur"))
+    total = bg.agg(F.count(F.lit(1)).alias("n_total"))
+    pmi = F.round(
+        F.log((F.col("c_bg") * F.col("n_total")) / (F.col("c_prev") * F.col("c_cur"))),
+        4,
+    ).cast("double")
+    scored = (
+        bgc.filter(F.col("c_bg") >= min_count)
+        .join(left, "prev")
+        .join(right, "cur")
+        .crossJoin(F.broadcast(total))
+        .select("prev", "cur", "c_bg", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("prev"), F.asc("cur"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("prev", "cur", "c_bg", "pmi", "rk")
+    )

@@ -5168,6 +5168,41 @@ GROUP BY c_mktsegment
 """
 
 
+def q_pmi_collocations(spark, sf):
+    """Collocation mining (operators/vocab.py pmi_collocations): top-40
+    adjacent-word pairs by PMI over the bigram contingency table —
+    phrase-vocabulary candidates. Same doc_id < 1000 cap as the bigram
+    family."""
+    from relational_data_loader_spark.operators.vocab import pmi_collocations
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return pmi_collocations(docs, "text", min_count=5, k=40)
+
+
+SQL_PMI_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents WHERE doc_id < 1000),
+bg AS (
+  SELECT ts[i-1] AS prev, ts[i] AS cur
+  FROM (SELECT ts, unnest(generate_series(2, len(ts))) AS i FROM toks)),
+bgc AS (SELECT prev, cur, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+lft AS (SELECT prev, count(*) AS c_prev FROM bg GROUP BY 1),
+rgt AS (SELECT cur, count(*) AS c_cur FROM bg GROUP BY 1),
+tot AS (SELECT count(*) AS n_total FROM bg),
+scored AS (
+  SELECT prev, cur, c_bg,
+         CAST(round(ln((c_bg * n_total) / (c_prev * c_cur * 1.0)), 4)
+              AS DOUBLE) AS pmi
+  FROM bgc JOIN lft USING (prev) JOIN rgt USING (cur) CROSS JOIN tot
+  WHERE c_bg >= 5)
+SELECT prev, cur, c_bg, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, prev, cur) AS INT) AS rk
+FROM scored
+QUALIFY rk <= 40
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5317,4 +5352,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_frequency_audit": (q_cms_frequency_audit, SQL_CMS_AUDIT),
     "kmv_merge_rollup": (q_kmv_merge_rollup, SQL_KMV_MERGE_ROLLUP),
     "salted_join_rollup": (q_salted_join_rollup, SQL_SALTED_JOIN),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
 }

@@ -237,3 +237,28 @@ def test_kmv_merge_rollup_is_lossless_vs_direct_sketch(spark):
         assert merged[g]["n_exact"] == direct[g]["n_exact"]
     assert merged["a"]["n_units"] == 5 and merged["b"]["n_units"] == 3
     assert merged["a"]["n_exact"] == 200 and merged["b"]["n_exact"] == 30
+
+
+def test_pmi_collocations_ranks_fixed_pairs_over_frequent_noise(spark):
+    from relational_data_loader_spark.operators.vocab import pmi_collocations
+
+    # "san francisco" always co-occurs (perfect association); "the cat"
+    # is frequent but 'the' precedes many words (weak association)
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco is nice and the cat sat on the mat"),
+            (2, "i love san francisco and the dog ate the food"),
+            (3, "san francisco fog and the bird saw the tree"),
+            (4, "san francisco hills and the fish in the bowl"),
+            (5, "san francisco bay and the cow ate the grass"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = pmi_collocations(docs, "text", min_count=5, k=10).collect()
+    got = {(r["prev"], r["cur"]): r for r in rows}
+    assert ("san", "francisco") in got
+    sf_pair = got[("san", "francisco")]
+    assert sf_pair["rk"] == 1 and sf_pair["c_bg"] == 5
+    # 'the X' pairs don't clear min_count individually except none do;
+    # every surviving pair's pmi <= the perfectly-associated pair's
+    assert all(r["pmi"] <= sf_pair["pmi"] for r in rows)
