@@ -69,6 +69,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "(snapshot sink) / sort rewrite_data_files (iceberg), then exit",
     )
     p.add_argument(
+        "--maintenance-report",
+        action="store_true",
+        help="maintenance: print each table's layout-health report "
+        "(bucket sizes/skew from manifest metadata, zero data reads) with "
+        "optimize/rebucket recommendations, then exit (snapshot sink only)",
+    )
+    p.add_argument(
         "--rollback-to",
         type=int,
         default=None,
@@ -134,6 +141,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.rebucket is not None
         or args.fsck
         or args.rollback_to is not None
+        or args.maintenance_report
     ):
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
@@ -152,6 +160,15 @@ def main(argv: list[str] | None = None) -> int:
                 # the snapshot sink counts expired rows; Iceberg's DELETE
                 # doesn't surface a count — report that honestly
                 out["tombstones_expired"] = n if n is not None else "unknown"
+            if args.maintenance_report:
+                if hasattr(table, "maintenance_report"):
+                    out["report"] = table.maintenance_report()
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --maintenance-report is "
+                        "snapshot-sink only, skipping",
+                        file=sys.stderr,
+                    )
             if args.rollback_to is not None:
                 # rollback runs FIRST: later passes (optimize/fsck) then
                 # operate on the restored version

@@ -918,6 +918,60 @@ class SnapshotTable:
         self._commit(manifest)
         return old
 
+    def maintenance_report(
+        self, target_bucket_bytes: int = 512 * 1024 * 1024
+    ) -> dict[str, Any]:
+        """Layout-health report from manifest metadata ALONE (the
+        commit-time file stats fsck also uses) — zero data reads, so a
+        scheduler can run it per table per epoch and decide which of the
+        maintenance verbs to fire:
+
+        - ``recommend_optimize``: some bucket holds >1 file (full-refresh
+          task splits, speculative duplicates) — a sort rewrite folds each
+          back to one stats-pruned file;
+        - ``recommend_rebucket_to``: mean bucket size exceeds
+          ``target_bucket_bytes`` — suggests the next power-of-two layout
+          that brings it back under (the ``rebucket`` argument to use);
+        - ``bucket_skew``: max/mean bucket bytes — >2 means the bucket KEY
+          is skewed; rebucketing won't fix that (same key → same bucket at
+          any count), hot-key handling will (operators/skew.py).
+        """
+        m = self.current_manifest()
+        if m is None:
+            return {"status": "no_table"}
+        stats = m.get("file_stats", {})
+        per_bucket_bytes: dict[str, int] = {}
+        per_bucket_files: dict[str, int] = {}
+        total_rows = 0
+        for b, files in m["buckets"].items():
+            per_bucket_files[b] = len(files)
+            per_bucket_bytes[b] = sum(
+                int(stats.get(p, {}).get("bytes", 0)) for p in files
+            )
+            total_rows += sum(int(stats.get(p, {}).get("rows", 0)) for p in files)
+        n_buckets = int(m.get("n_buckets", self.n_buckets))
+        sizes = list(per_bucket_bytes.values()) or [0]
+        mean_b = sum(sizes) / max(len(sizes), 1)
+        max_files = max(per_bucket_files.values() or [0])
+        rec_rebucket = None
+        if mean_b > target_bucket_bytes:
+            factor = 1
+            while mean_b / (1 << factor) > target_bucket_bytes:
+                factor += 1
+            rec_rebucket = n_buckets * (1 << factor)
+        return {
+            "version": m.get("version"),
+            "n_buckets": n_buckets,
+            "total_rows": total_rows,
+            "total_bytes": sum(sizes),
+            "mean_bucket_bytes": int(mean_b),
+            "max_bucket_bytes": max(sizes),
+            "bucket_skew": round(max(sizes) / mean_b, 2) if mean_b else 0.0,
+            "max_files_per_bucket": max_files,
+            "recommend_optimize": max_files > 1,
+            "recommend_rebucket_to": rec_rebucket,
+        }
+
     def rollback(self, version: int) -> dict[str, Any]:
         """Restore the table to an earlier committed version by COMMITTING
         a new manifest that duplicates it (Iceberg's

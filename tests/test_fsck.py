@@ -217,3 +217,62 @@ def test_cli_rollback_flag(spark, warehouse, tmp_path, capsys):
     assert_tables_equal(
         spark_sorted_pdf(t.read()), duck_final_state(f"{logdir}/*.parquet")
     )
+
+
+def test_maintenance_report_recommendations(spark, warehouse, tmp_path):
+    from tests.util import write_log
+
+    tbl, logdir, spec, mgr = _rig(spark, warehouse, tmp_path, seed=73)
+    write_log(tbl, logdir)
+    mgr.run(spec)
+    t = mgr.table(spec)
+
+    rep = t.maintenance_report()
+    assert rep["n_buckets"] == 4 and rep["total_rows"] > 0
+    # fresh full refresh: one file per bucket, nothing to optimize
+    assert rep["max_files_per_bucket"] == 1
+    assert rep["recommend_optimize"] is False
+    # tiny table vs the 512MB default target: no rebucket either
+    assert rep["recommend_rebucket_to"] is None
+    assert rep["bucket_skew"] >= 1.0
+
+    # squeeze the target so the mean bucket exceeds it: recommendation is
+    # the next power-of-two multiple that brings it back under
+    tiny = t.maintenance_report(target_bucket_bytes=rep["mean_bucket_bytes"] // 3)
+    assert tiny["recommend_rebucket_to"] == 16  # 4 buckets * 2^2
+    # acting on the advice splits the layout and shrinks buckets (at this
+    # KB scale per-file parquet overhead keeps totals from dividing
+    # perfectly by 4, so assert direction + layout, not exact clearing —
+    # at real bucket sizes the overhead is noise)
+    t.rebucket(tiny["recommend_rebucket_to"])
+    after = t.maintenance_report(target_bucket_bytes=rep["mean_bucket_bytes"] // 3)
+    assert after["n_buckets"] == 16
+    assert after["mean_bucket_bytes"] < rep["mean_bucket_bytes"]
+
+
+def test_cli_maintenance_report(spark, warehouse, tmp_path, capsys):
+    import json as _json
+
+    from tests.util import write_log
+
+    tbl, logdir, spec, mgr = _rig(spark, warehouse, tmp_path, seed=79)
+    specdir = tmp_path / "specs"
+    specdir.mkdir()
+    pathlib.Path(specdir / "transcripts.json").write_text(spec.to_json())
+    write_log(tbl, logdir)
+    assert main(["--warehouse", warehouse, "--specs", str(specdir)]) == 0
+    capsys.readouterr()
+    assert (
+        main(
+            ["--warehouse", warehouse, "--specs", str(specdir),
+             "--maintenance-report"]
+        )
+        == 0
+    )
+    out = [
+        _json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    rep = out[-1]["report"]
+    assert rep["n_buckets"] == 4 and "recommend_optimize" in rep
