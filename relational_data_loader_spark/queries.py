@@ -5203,6 +5203,74 @@ QUALIFY rk <= 40
 """
 
 
+def q_volume_trend(spark, sf):
+    """Volume-drift monitor: per event type, the least-squares slope and
+    R² of daily event counts over the day index — the one-row-per-key
+    answer to "is this feed growing, shrinking, or noisy?" that a
+    staleness check (point-in-time) can't give. Exact arithmetic from
+    the five classic sums (n, Σx, Σy, Σxx, Σxy) instead of engine
+    regr_* built-ins, so both engines compute identical doubles before
+    the 4dp round; day index is days since the type's own first day."""
+    ev = _t(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    x = F.datediff(
+        F.col("day"), F.min("day").over(Window.partitionBy("event_type"))
+    ).cast("double")
+    d = daily.withColumn("x", x).withColumn("y", F.col("n").cast("double"))
+    agg = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # nullif guards the degenerate series (one day -> varx 0; constant
+    # counts -> vary 0, where r2 is undefined): NULL, never a crash or an
+    # ANSI divide-by-zero (caught by the constant-'flat' unit test)
+    slope = cov / F.nullif(varx, F.lit(0.0))
+    r2 = (cov * cov) / F.nullif(varx * vary, F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(slope, 4).cast("double").alias("slope_per_day"),
+        F.round(r2, 4).cast("double").alias("r2"),
+    )
+
+
+SQL_VOLUME_TREND = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (
+  SELECT event_type,
+         CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day)
+              AS DOUBLE) AS x,
+         CAST(n AS DOUBLE) AS y
+  FROM daily),
+agg AS (
+  SELECT event_type, count(*) AS n_days,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+  FROM idx GROUP BY 1)
+SELECT event_type, n_days,
+       CAST(round((sxy - sx * sy / n_days)
+                  / nullif(sxx - sx * sx / n_days, 0), 4)
+            AS DOUBLE) AS slope_per_day,
+       CAST(round(((sxy - sx * sy / n_days) * (sxy - sx * sy / n_days))
+                  / nullif((sxx - sx * sx / n_days)
+                           * (syy - sy * sy / n_days), 0), 4)
+            AS DOUBLE) AS r2
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5353,4 +5421,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmv_merge_rollup": (q_kmv_merge_rollup, SQL_KMV_MERGE_ROLLUP),
     "salted_join_rollup": (q_salted_join_rollup, SQL_SALTED_JOIN),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "volume_trend": (q_volume_trend, SQL_VOLUME_TREND),
 }

@@ -262,3 +262,33 @@ def test_pmi_collocations_ranks_fixed_pairs_over_frequent_noise(spark):
     # 'the X' pairs don't clear min_count individually except none do;
     # every surviving pair's pmi <= the perfectly-associated pair's
     assert all(r["pmi"] <= sf_pair["pmi"] for r in rows)
+
+
+def test_volume_trend_recovers_known_slope(spark, tmp_path):
+    import datetime as dt
+
+    from relational_data_loader_spark.queries import q_volume_trend
+
+    # an events table with an exact linear ramp: type 'up' has 10 + 5*d
+    # events on day d -> slope 5, r2 1.0; 'flat' stays constant -> slope 0
+    rows = []
+    eid = 0
+    for d in range(6):
+        for _ in range(10 + 5 * d):
+            rows.append((eid, "up", 1, 0.0, dt.datetime(2026, 1, 1 + d)))
+            eid += 1
+        for _ in range(20):
+            rows.append((eid, "flat", 1, 0.0, dt.datetime(2026, 1, 1 + d)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "event_type", "user_id", "value", "ts"]
+    )
+    sf = str(tmp_path / "sf")
+    ev.write.parquet(f"{sf}/events.parquet")
+    got = {r["event_type"]: r for r in q_volume_trend(spark, sf).collect()}
+    assert got["up"]["slope_per_day"] == 5.0 and got["up"]["r2"] == 1.0
+    # constant series: slope 0, r2 undefined -> NULL (not a crash; this
+    # case found an ANSI divide-by-zero in the first cut)
+    assert got["flat"]["slope_per_day"] == 0.0
+    assert got["flat"]["r2"] is None
+    assert got["up"]["n_days"] == 6
