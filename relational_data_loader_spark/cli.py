@@ -177,12 +177,9 @@ def main(argv: list[str] | None = None) -> int:
                     out["rolled_back_to"] = args.rollback_to
                     out["new_version"] = m["version"]
                 else:
-                    print(
-                        f"[rdl-spark] {spec.name}: --rollback-to is "
-                        "snapshot-sink only (Iceberg: CALL "
-                        "rollback_to_snapshot), skipping",
-                        file=sys.stderr,
-                    )
+                    # Iceberg: the version is a snapshot id
+                    table.rollback_to(args.rollback_to)
+                    out["rolled_back_to"] = args.rollback_to
             if args.rebucket is not None:
                 if hasattr(table, "rebucket"):
                     prev = table.rebucket(args.rebucket)
@@ -209,12 +206,10 @@ def main(argv: list[str] | None = None) -> int:
                         out["zorder"] = zcols
                 else:
                     if zcols:
-                        print(
-                            f"[rdl-spark] {spec.name}: --zorder is snapshot-"
-                            "sink only, falling back to PK sort",
-                            file=sys.stderr,
-                        )
-                    table.compact(sort_order=", ".join(spec.primary_keys))
+                        table.zorder(zcols)
+                        out["zorder"] = zcols
+                    else:
+                        table.compact(sort_order=", ".join(spec.primary_keys))
                     out["compacted"] = True
             if args.vacuum:
                 if hasattr(table, "vacuum"):

@@ -799,6 +799,33 @@ class IcebergTable:
             f"CALL {catalog}.system.rewrite_data_files(table => '{table}'{extra})"
         )
 
+    def zorder(self, cols: list[str]) -> None:
+        """Z-order rewrite — the ``SnapshotTable.optimize(zorder_cols=…)``
+        twin, delegated to Iceberg's native procedure:
+        ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(c1, c2)')``. Multi-column row-group/file pruning; the
+        snapshot sink's operators/layout.py documents the why."""
+        catalog, _, table = self.identifier.partition(".")
+        zexpr = f"zorder({', '.join(cols)})"
+        self.spark.sql(
+            f"CALL {catalog}.system.rewrite_data_files(table => '{table}', "
+            f"strategy => 'sort', sort_order => {_sql_quote(zexpr)})"
+        )
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Restore the table to an earlier snapshot — the
+        ``SnapshotTable.rollback`` twin (``CALL rollback_to_snapshot``).
+        Same append-only contract: Iceberg keeps the rolled-back-from
+        snapshot until expiry, and the replay guard + watermark revert
+        with the restored snapshot's summary stamps, so the next run
+        re-ingests the tail exactly-once."""
+        catalog, _, table = self.identifier.partition(".")
+        self.spark.sql(
+            f"CALL {catalog}.system.rollback_to_snapshot(table => '{table}', "
+            f"snapshot_id => {int(snapshot_id)})"
+        )
+        self._meta_cache = None  # stamps changed: re-read the guard set
+
     def expire_snapshots(self, retain_last: int = 100) -> None:
         """Snapshot expiry — the SnapshotTable.vacuum twin.
 

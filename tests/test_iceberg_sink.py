@@ -503,3 +503,23 @@ def test_pinned_gateway_passes_guard_and_stamps():
     assert t.spark.snapshots == [(_encode_stamp("batch:9", 7), None)]
     # guard is once-per-instance: second write skips the isinstance check
     assert t._pinned_checked is True
+
+
+def test_zorder_and_rollback_sql():
+    t = _table()
+    t.zorder(["turn_idx", "_rdl_lsn"])
+    assert any(
+        "CALL lake.system.rewrite_data_files(table => 'db.transcripts', "
+        "strategy => 'sort', sort_order => 'zorder(turn_idx, _rdl_lsn)'" in c[1]
+        for c in t.spark.calls
+        if c[0] == "sql"
+    )
+    t.rollback_to(123456789)
+    assert any(
+        "CALL lake.system.rollback_to_snapshot(table => 'db.transcripts', "
+        "snapshot_id => 123456789)" in c[1]
+        for c in t.spark.calls
+        if c[0] == "sql"
+    )
+    # rollback invalidates the replay-guard cache (stamps changed)
+    assert t._meta_cache is None
