@@ -5271,6 +5271,66 @@ FROM agg
 """
 
 
+def q_pagerank_docs(spark, sf):
+    """Link-authority quality signal (operators/graph.py): PageRank over a
+    deterministic hash-derived citation graph on the documents table —
+    the corpus-curation weighting web-scale pipelines apply before
+    sampling (CommonCrawl-lineage authority ranking). Five fixed power
+    iterations, each one equi-join + one groupBy over the edge frame;
+    dangling mass redistributed uniformly; authority scaled so 1.0 means
+    "uniform / no signal"."""
+    from relational_data_loader_spark.operators.graph import doc_authority
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    return doc_authority(docs, n, out_degree=3, iterations=5, damping=0.85)
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85, k: int = 3) -> str:
+    """DuckDB twin: the same k rounds unrolled as CTEs (fixed iteration
+    count is what keeps the operator oracle-able)."""
+    d = repr(damping)
+    head = f"""
+WITH nodes AS (SELECT doc_id AS id FROM documents),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT dd.doc_id AS src,
+           CAST(concat('0x', substr(md5(concat(dd.doc_id, ':', j.j, ':link')),
+                1, 14)) AS BIGINT) % (SELECT count(*) FROM nodes) AS dst
+    FROM documents dd, (SELECT unnest(range({k})) AS j) j)
+  WHERE src <> dst),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes)"""
+    rounds = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        rounds.append(f"""
+dang{i} AS (
+  SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) AS dm
+  FROM r{p} LEFT JOIN deg ON r{p}.id = deg.src WHERE deg.src IS NULL),
+r{i} AS (
+  SELECT nodes.id,
+         CAST(1.0 - {d} AS DOUBLE) / (SELECT n FROM nn)
+         + CAST({d} AS DOUBLE) * (
+             coalesce(c.contrib, CAST(0 AS DOUBLE))
+             + (SELECT dm FROM dang{i}) / (SELECT n FROM nn)) AS pr
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS id, sum(r.pr / deg.deg) AS contrib
+    FROM edges e JOIN r{p} r ON e.src = r.id JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) c ON nodes.id = c.id)""")
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f"""
+SELECT id AS doc_id,
+       CAST(round(pr * (SELECT n FROM nn), 6) AS DOUBLE) AS authority
+FROM r{iterations}
+"""
+    )
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5422,4 +5482,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "salted_join_rollup": (q_salted_join_rollup, SQL_SALTED_JOIN),
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "volume_trend": (q_volume_trend, SQL_VOLUME_TREND),
+    "pagerank_docs": (q_pagerank_docs, _pagerank_sql()),
 }
