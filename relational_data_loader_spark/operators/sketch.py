@@ -263,3 +263,110 @@ def kmv_merge_rollup(
             ).alias("rel_error"),
         )
     )
+
+
+def hist_quantile_rollup(
+    df: DataFrame,
+    group_col: str,
+    unit_col,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    audit_q: float = 0.95,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile rollup FROM stored per-unit histogram sketches — the
+    mergeable-quantile complement to kmv_merge_rollup: keep one fixed-bin
+    count histogram per (group, day) as the day closes, answer "p50/p95/p99
+    over any period" by SUMMING histograms, never rescanning the period's
+    raw rows.
+
+    Unlike t-digest (``percentile_approx``'s sketch, whose merge is
+    engine-internal and order-sensitive), a fixed-bin histogram's merge is
+    elementwise integer addition — associative, deterministic, and
+    expressible in any engine, which is what makes the rollup oracle-able.
+    Accuracy is bounded by the bin width (hi-lo)/n_bins; values outside
+    [lo, hi) clamp into the edge bins, degrading only edge-bin estimates
+    (callers size [lo, hi) from the column's profile — table_profile).
+
+    The quantile readout is the classic crossing-bin interpolation: with
+    k_q = ceil(q·n), the unique bin where the cumulative count crosses k_q
+    contributes est = lo + w·(bin + (k_q − cum_before)/bin_count). k_q is
+    an integer rank, so bin choice is FP-noise-immune; q·n is computed in
+    identical double arithmetic on both engines.
+
+    Plan shape: sketch build = one groupBy (group, unit, bin) with map-side
+    combine (the only pass over raw rows); merge = one groupBy (group, bin)
+    over sketch rows (#groups × #units × ≤n_bins of them); readout = one
+    window over ≤n_bins rows per group. The exact-percentile audit column
+    is a separate full-width sort-based aggregate — audit only, drop it in
+    production where the sketch replaces exactly that rescan.
+
+    Returns (group, n_units, n_rows, p{q}_est per q, p{audit}_exact,
+    p{audit}_abs_err).
+    """
+    width = (hi - lo) / float(n_bins)
+    v = F.col(value_col)
+    bin_expr = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)).cast("bigint"),
+                   F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    unit = F.col(unit_col) if isinstance(unit_col, str) else unit_col
+    # stage 1 — the per-unit sketch a pipeline would materialize daily
+    sk = (
+        df.select(F.col(group_col).alias("g"), unit.alias("unit"),
+                  bin_expr.alias("bin"))
+        .groupBy("g", "unit", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n_units = sk.groupBy("g").agg(F.count_distinct("unit").alias("n_units"))
+    # stage 2 — merge: elementwise sum, the whole point of the sketch
+    merged = sk.groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    # stage 3 — readout over ≤ n_bins rows per group
+    w_cum = Window.partitionBy("g").orderBy("bin")
+    w_tot = Window.partitionBy("g")
+    cum = (
+        merged.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("tot", F.sum("cnt").over(w_tot))
+        .withColumn("cum_prev", F.col("cum") - F.col("cnt"))
+    )
+    ests = []
+    for q in qs:
+        kq = F.ceil(F.lit(float(q)) * F.col("tot"))
+        crossing = (F.col("cum_prev") < kq) & (F.col("cum") >= kq)
+        est = F.lit(lo) + F.lit(width) * (
+            F.col("bin")
+            + (kq - F.col("cum_prev")).cast("double") / F.col("cnt")
+        )
+        ests.append(
+            F.round(F.max(F.when(crossing, est)), round_dp)
+            .cast("double")
+            .alias(f"p{int(round(q * 100))}_est")
+        )
+    out = cum.groupBy("g").agg(F.max("tot").alias("n_rows"), *ests)
+    audit_name = f"p{int(round(audit_q * 100))}"
+    exact = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.round(F.expr(f"percentile({value_col}, {audit_q})"), round_dp)
+        .cast("double")
+        .alias(f"{audit_name}_exact")
+    )
+    est_col = f"{audit_name}_est"
+    return (
+        out.join(n_units, "g")
+        .join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_units",
+            "n_rows",
+            *[f"p{int(round(q * 100))}_est" for q in qs],
+            f"{audit_name}_exact",
+            F.round(
+                F.abs(F.col(est_col) - F.col(f"{audit_name}_exact")), round_dp
+            )
+            .cast("double")
+            .alias(f"{audit_name}_abs_err"),
+        )
+    )

@@ -5331,6 +5331,68 @@ FROM r{iterations}
     )
 
 
+def q_hist_quantile_rollup(spark, sf):
+    """Mergeable-quantile rollup (operators/sketch.py hist_quantile_rollup):
+    per-day fixed-bin histograms of event value per type, merged to period
+    p50/p95/p99 by elementwise addition — no rescan of raw rows — with an
+    exact-percentile audit column bounding the sketch error. The
+    deterministic, oracle-able stand-in for percentile_approx's t-digest
+    at 100 TB."""
+    from relational_data_loader_spark.operators.sketch import (
+        hist_quantile_rollup,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return hist_quantile_rollup(
+        ev, "event_type", "day", "value", lo=0.0, hi=512.0, n_bins=128
+    )
+
+
+SQL_HIST_QUANTILE_ROLLUP = """
+WITH base AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS unit, value AS v FROM events),
+sk AS (
+  SELECT g, unit,
+         least(greatest(CAST(floor((v - CAST(0.0 AS DOUBLE)) / CAST(4.0 AS DOUBLE))
+               AS BIGINT), 0), 127) AS bin,
+         count(*) AS cnt
+  FROM base GROUP BY 1, 2, 3),
+units AS (SELECT g, count(DISTINCT unit) AS n_units FROM sk GROUP BY g),
+merged AS (SELECT g, bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM sk GROUP BY 1, 2),
+cum AS (
+  SELECT g, bin, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY g) AS tot
+  FROM merged),
+est AS (
+  SELECT g, CAST(max(tot) AS BIGINT) AS n_rows,
+    CAST(round(max(CASE WHEN cum - cnt < ceil(CAST(0.5 AS DOUBLE) * tot)
+                         AND cum >= ceil(CAST(0.5 AS DOUBLE) * tot)
+      THEN CAST(0.0 AS DOUBLE) + CAST(4.0 AS DOUBLE) * (bin
+           + CAST(ceil(CAST(0.5 AS DOUBLE) * tot) - (cum - cnt) AS DOUBLE) / cnt)
+      END), 4) AS DOUBLE) AS p50_est,
+    CAST(round(max(CASE WHEN cum - cnt < ceil(CAST(0.95 AS DOUBLE) * tot)
+                         AND cum >= ceil(CAST(0.95 AS DOUBLE) * tot)
+      THEN CAST(0.0 AS DOUBLE) + CAST(4.0 AS DOUBLE) * (bin
+           + CAST(ceil(CAST(0.95 AS DOUBLE) * tot) - (cum - cnt) AS DOUBLE) / cnt)
+      END), 4) AS DOUBLE) AS p95_est,
+    CAST(round(max(CASE WHEN cum - cnt < ceil(CAST(0.99 AS DOUBLE) * tot)
+                         AND cum >= ceil(CAST(0.99 AS DOUBLE) * tot)
+      THEN CAST(0.0 AS DOUBLE) + CAST(4.0 AS DOUBLE) * (bin
+           + CAST(ceil(CAST(0.99 AS DOUBLE) * tot) - (cum - cnt) AS DOUBLE) / cnt)
+      END), 4) AS DOUBLE) AS p99_est
+  FROM cum GROUP BY g),
+exact AS (
+  SELECT g, CAST(round(quantile_cont(v, 0.95), 4) AS DOUBLE) AS p95_exact
+  FROM base GROUP BY g)
+SELECT g AS event_type, n_units, n_rows, p50_est, p95_est, p99_est, p95_exact,
+       CAST(round(abs(p95_est - p95_exact), 4) AS DOUBLE) AS p95_abs_err
+FROM est JOIN units USING (g) JOIN exact USING (g)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5483,4 +5545,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "volume_trend": (q_volume_trend, SQL_VOLUME_TREND),
     "pagerank_docs": (q_pagerank_docs, _pagerank_sql()),
+    "hist_quantile_rollup": (q_hist_quantile_rollup, SQL_HIST_QUANTILE_ROLLUP),
 }
