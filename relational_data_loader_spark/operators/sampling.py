@@ -197,3 +197,64 @@ def per_group_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def contrastive_negative_pairs(
+    vectors: DataFrame,
+    n_ids: int,
+    k: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_sim: float = 0.9,
+    salt: str = "neg",
+    round_dp: int = 3,
+) -> DataFrame:
+    """Deterministic random negatives for contrastive training: each anchor
+    draws ``k`` partner ids as ``md5(anchor:j:salt) % n_ids``, then pairs
+    whose embedding cosine reaches ``max_sim`` are dropped — the standard
+    accidental-positive guard (a "random" negative that is semantically the
+    anchor would push the embedding space apart incorrectly).
+
+    Content-hash drawn, so the sample is independent of partitioning,
+    ordering, and retries, and the DuckDB oracle can replay it verbatim —
+    the same contract as hash_uniform above. Requires ids in [0, n_ids)
+    (dense index), like graph.hash_link_graph.
+
+    Scale shape: the candidate build is a projection + explode (no
+    shuffle); resolving partner embeddings is ONE equi-join on the partner
+    id (each side shuffles once; payload is the embedding array). The
+    similarity filter runs on the rounded cosine so the cut is bit-stable
+    across engines. No sort, no window, no cross join.
+
+    Returns (a_id, j, n_id, sim) — sim kept as the "hardness" feature
+    curriculum samplers weight by.
+    """
+    js = F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j")
+    anchors = vectors.select(
+        F.col(id_col).alias("a_id"), F.col(emb_col).alias("a_emb"), js
+    )
+    n_id = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("a_id"), F.col("j"), F.lit(salt))),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint") % F.lit(n_ids)
+    cand = anchors.select("a_id", "j", n_id.alias("n_id"), "a_emb").filter(
+        F.col("a_id") != F.col("n_id")
+    )
+    partners = vectors.select(
+        F.col(id_col).alias("n_id"), F.col(emb_col).alias("n_emb")
+    )
+    from relational_data_loader_spark.operators.similarity import cosine_expr
+
+    sim = F.round(
+        cosine_expr(F.col("a_emb"), F.col("n_emb")), round_dp
+    ).cast("double")
+    return (
+        cand.join(partners, "n_id")
+        .select("a_id", "j", "n_id", sim.alias("sim"))
+        .filter(F.col("sim") < max_sim)
+    )

@@ -5393,6 +5393,39 @@ FROM est JOIN units USING (g) JOIN exact USING (g)
 """
 
 
+def q_contrastive_negatives(spark, sf):
+    """Contrastive-training negative mining (operators/sampling.py
+    contrastive_negative_pairs): k deterministic hash-drawn negatives per
+    anchor vector, with accidental positives (cosine ≥ 0.9) filtered and
+    the cosine kept as the hardness feature. One equi-join, no cross
+    join — the sample a 100 TB embedding-training pipeline draws nightly."""
+    from relational_data_loader_spark.operators.sampling import (
+        contrastive_negative_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    n = emb.count()
+    return contrastive_negative_pairs(emb, n, k=4)
+
+
+SQL_CONTRASTIVE_NEGATIVES = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS a_id, j.j AS j,
+         CAST(concat('0x', substr(md5(concat(a.vec_id, ':', j.j, ':neg')),
+              1, 14)) AS BIGINT) % (SELECT count(*) FROM v) AS n_id,
+         a.embedding AS a_emb
+  FROM v a, (SELECT unnest(range(4)) AS j) j),
+pairs AS (
+  SELECT a_id, j, n_id,
+         CAST(round(list_cosine_similarity(a_emb::DOUBLE[],
+              n.embedding::DOUBLE[]), 3) AS DOUBLE) AS sim
+  FROM cand JOIN v n ON n.vec_id = cand.n_id
+  WHERE a_id <> n_id)
+SELECT a_id, j, n_id, sim FROM pairs WHERE sim < 0.9
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5546,4 +5579,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "volume_trend": (q_volume_trend, SQL_VOLUME_TREND),
     "pagerank_docs": (q_pagerank_docs, _pagerank_sql()),
     "hist_quantile_rollup": (q_hist_quantile_rollup, SQL_HIST_QUANTILE_ROLLUP),
+    "contrastive_negatives": (q_contrastive_negatives, SQL_CONTRASTIVE_NEGATIVES),
 }

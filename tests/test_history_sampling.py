@@ -82,3 +82,36 @@ def test_hash_uniform_in_unit_range(spark):
     ]
     assert all(0.0 <= v < 1.0 for v in vals)
     assert 0.4 < sum(vals) / len(vals) < 0.6
+
+
+# --------------------------------------------------------------------------
+# contrastive_negative_pairs
+
+
+def test_contrastive_negatives_contract(spark):
+    from relational_data_loader_spark.operators.sampling import (
+        contrastive_negative_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    # 20 vectors: ids 0-9 all identical (accidental positives for each
+    # other), ids 10-19 orthogonal-ish distinct directions
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0, 0.0, 0.0, 0.0]))
+    for i in range(10, 20):
+        v = [0.0] * 4
+        v[i % 4] = 1.0
+        v[(i + 1) % 4] = float(i) / 20.0
+        rows.append((i, v))
+    vec = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = contrastive_negative_pairs(vec, 20, k=3).collect()
+    out2 = contrastive_negative_pairs(vec, 20, k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+    assert all(r["a_id"] != r["n_id"] for r in out)             # no self pairs
+    assert all(r["sim"] < 0.9 for r in out)                     # no accidental positives
+    # identical-vector pairs (both ids < 10) must have been filtered
+    assert not [r for r in out if r["a_id"] < 10 and r["n_id"] < 10]
+    # at most k negatives per anchor
+    from collections import Counter
+    assert max(Counter(r["a_id"] for r in out).values()) <= 3
