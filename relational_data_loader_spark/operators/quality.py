@@ -150,3 +150,74 @@ def gate_counts(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
     ]
     row = df.agg(*aggs).collect()[0]
     return {name: int(row[name]) for name in checks}
+
+
+def ks_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of each group's value
+    distribution against the REST of the corpus pooled — the
+    distribution-shift monitor that count-based checks (volume_trend,
+    daily_rate_anomaly) cannot express: a source can keep its volume while
+    its length/score distribution silently drifts (truncation bugs,
+    boilerplate injection, scraper changes).
+
+    KS = sup_x |F_g(x) − F_rest(x)|. Both ECDFs are step functions that
+    only move at observed values, so the sup is attained on the pooled
+    value grid — which is exactly what the plan builds:
+
+    - one groupBy (group, value) → per-group counts; one groupBy (value) →
+      pooled counts; the grid is groups × distinct values via a BROADCAST
+      cross join of the per-group totals (#groups rows — sources, not
+      data);
+    - both cumulative counts come from the SAME per-group window ordered
+      by value (the pooled count rides along on the grid rows), so there
+      is no unpartitioned window — the global ordering lives inside each
+      group's partition;
+    - all cumulation is integer-exact; doubles appear only in the final
+      two divisions, identically on both engines.
+
+    Grid size is #groups × #distinct-values: integers (lengths, scores)
+    are fine as-is; for continuous or unbounded domains bin the value
+    first (compose with hist_quantile_rollup's bin expression) — the KS of
+    the binned distribution is what a 100 TB monitor wants anyway.
+
+    Returns (group, n, ks) with ks rounded; a single-group frame yields
+    ks NULL (no rest to compare against) rather than a divide-by-zero.
+    """
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    gv = vals.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    vt = gv.groupBy("v").agg(F.sum("cnt").alias("cnt_all"))
+    gt = gv.groupBy("g").agg(F.sum("cnt").alias("n_g"))
+    tot = gt.agg(F.sum("n_g").alias("n_total"))
+    grid = (
+        vt.crossJoin(F.broadcast(gt))
+        .join(gv, ["g", "v"], "left")
+        .na.fill(0, ["cnt"])
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    c = grid.select(
+        "g",
+        "n_g",
+        "n_total",
+        F.sum("cnt").over(w).alias("cum_g"),
+        F.sum("cnt_all").over(w).alias("cum_all"),
+    )
+    f_g = F.col("cum_g").cast("double") / F.col("n_g")
+    f_rest = (F.col("cum_all") - F.col("cum_g")).cast("double") / F.nullif(
+        (F.col("n_total") - F.col("n_g")).cast("double"), F.lit(0.0)
+    )
+    return c.groupBy("g").agg(
+        F.max("n_g").alias("n"),
+        F.round(F.max(F.abs(f_g - f_rest)), round_dp)
+        .cast("double")
+        .alias("ks"),
+    ).select(F.col("g").alias(group_col), "n", "ks")

@@ -5426,6 +5426,43 @@ SELECT a_id, j, n_id, sim FROM pairs WHERE sim < 0.9
 """
 
 
+def q_source_length_ks(spark, sf):
+    """Distribution-drift monitor (operators/quality.py ks_drift):
+    two-sample KS statistic of each source's doc-length distribution vs
+    the rest of the corpus — catches truncation/boilerplate drift that
+    volume monitors miss. Integer-exact cumulation; grid = sources ×
+    distinct lengths via broadcast."""
+    from relational_data_loader_spark.operators.quality import ks_drift
+
+    docs = _t(spark, sf, "documents").select("source", "n_chars")
+    return ks_drift(docs, "source", "n_chars")
+
+
+SQL_SOURCE_LENGTH_KS = """
+WITH vals AS (SELECT source AS g, n_chars AS v FROM documents),
+gv AS (SELECT g, v, count(*) AS cnt FROM vals GROUP BY 1, 2),
+vt AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM gv GROUP BY v),
+gt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM gv GROUP BY g),
+tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total FROM gt),
+grid AS (
+  SELECT gt.g, gt.n_g, vt.v, vt.cnt_all, coalesce(gv.cnt, 0) AS cnt
+  FROM gt CROSS JOIN vt
+  LEFT JOIN gv ON gv.g = gt.g AND gv.v = vt.v),
+c AS (
+  SELECT g, n_g, v,
+         sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum_g,
+         sum(cnt_all) OVER (PARTITION BY g ORDER BY v) AS cum_all
+  FROM grid)
+SELECT g AS source, n_g AS n,
+       CAST(round(max(abs(CAST(cum_g AS DOUBLE) / n_g
+            - CAST(cum_all - cum_g AS DOUBLE)
+              / nullif(CAST(n_total - n_g AS DOUBLE), 0.0))), 4) AS DOUBLE)
+         AS ks
+FROM c CROSS JOIN tot
+GROUP BY g, n_g
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5580,4 +5617,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pagerank_docs": (q_pagerank_docs, _pagerank_sql()),
     "hist_quantile_rollup": (q_hist_quantile_rollup, SQL_HIST_QUANTILE_ROLLUP),
     "contrastive_negatives": (q_contrastive_negatives, SQL_CONTRASTIVE_NEGATIVES),
+    "source_length_ks": (q_source_length_ks, SQL_SOURCE_LENGTH_KS),
 }

@@ -170,3 +170,50 @@ def test_cli_reports_rejection_and_exits_nonzero(spark, tmp_path, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     rep = _json.loads(out[-1])
     assert rep["rejected"] is True and rep["violations"] == {"text_not_null": 1}
+
+
+# --------------------------------------------------------------------------
+# ks_drift (two-sample KS per group vs rest)
+
+
+def _ks_df(spark, rows):
+    return spark.createDataFrame(rows, ["g", "v"])
+
+
+def test_ks_identical_distributions_is_zero(spark):
+    from relational_data_loader_spark.operators.quality import ks_drift
+
+    rows = [("a", v) for v in (1, 2, 3, 4)] * 5 + [("b", v) for v in (1, 2, 3, 4)] * 7
+    out = {r["g"]: r["ks"] for r in ks_drift(_ks_df(spark, rows), "g", "v").collect()}
+    assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    from relational_data_loader_spark.operators.quality import ks_drift
+
+    rows = [("lo", v) for v in (1, 2, 3)] + [("hi", v) for v in (10, 11, 12)]
+    out = {r["g"]: r["ks"] for r in ks_drift(_ks_df(spark, rows), "g", "v").collect()}
+    assert out["lo"] == 1.0 and out["hi"] == 1.0
+
+
+def test_ks_matches_manual_ecdf(spark):
+    from relational_data_loader_spark.operators.quality import ks_drift
+
+    a = [1, 1, 2, 5, 9]
+    b = [2, 3, 3, 7]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    grid = sorted(set(a + b))
+    def ecdf(xs, x):
+        return sum(1 for t in xs if t <= x) / len(xs)
+    want = max(abs(ecdf(a, x) - ecdf(b, x)) for x in grid)
+    out = {r["g"]: r["ks"] for r in ks_drift(_ks_df(spark, rows), "g", "v").collect()}
+    assert abs(out["a"] - round(want, 4)) < 1e-12
+    assert out["a"] == out["b"]  # two-group case is symmetric
+
+
+def test_ks_single_group_is_null_not_crash(spark):
+    from relational_data_loader_spark.operators.quality import ks_drift
+
+    rows = [("only", v) for v in (1, 2, 3)]
+    r = ks_drift(_ks_df(spark, rows), "g", "v").first()
+    assert r["ks"] is None and r["n"] == 3
