@@ -47,6 +47,11 @@ def get_spark(
         # min/max/count probes (change-tracking info) answer from parquet
         # footers instead of scanning data
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
+        # INT96 columns carry NO footer min/max statistics, which blinds
+        # both row-group pruning and the snapshot sink's manifest zone maps
+        # (read_range) on every ts column
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("RDL_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -174,16 +174,81 @@ class SnapshotTable:
         stats: dict[str, Any] = {}
         for files in manifest["buckets"].values():
             for rel in files:
-                if rel in known:
+                if rel in known and "minmax" in known[rel]:
                     stats[rel] = known[rel]
                     continue
+                # new file, or carried over from a pre-zone-map manifest
+                # (one-time lazy upgrade; still footer-only)
                 full = os.path.join(self.path, rel)
                 pf = pq.ParquetFile(full)
                 stats[rel] = {
                     "bytes": os.path.getsize(full),
                     "rows": pf.metadata.num_rows,
+                    "minmax": self._footer_zone_maps(pf),
                 }
         return stats
+
+    @staticmethod
+    def _zone_value(v: Any) -> Any:
+        """JSON-storable, order-preserving encoding of a column statistic.
+        ISO-8601 strings sort chronologically, so datetime/date compare
+        correctly as strings after the JSON round-trip; long strings are
+        rejected (parquet may truncate their footer stats, and a truncated
+        max understates the true bound — pruning on it would be WRONG, not
+        just loose)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            return v if len(v) <= 256 else None
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return v.isoformat()
+        return None
+
+    @classmethod
+    def _footer_zone_maps(cls, pf: pq.ParquetFile) -> dict[str, Any]:
+        """Per-column file-level min/max from parquet row-group statistics
+        — metadata pages only, never data. The manifest-entry zone maps
+        Iceberg keeps natively; recording them at commit time is what lets
+        ``read_range`` prune FILES (not just row groups inside files the
+        scan already opened). A column is recorded only when every
+        row group carries usable stats; all-null files are marked
+        ``null_only`` (a range predicate can never match them — skip)."""
+        md = pf.metadata
+        out: dict[str, Any] = {}
+        if md.num_row_groups == 0:
+            return out
+        for ci in range(md.num_columns):
+            name = md.row_group(0).column(ci).path_in_schema
+            if "." in name:  # nested leaves: not prunable at this level
+                continue
+            mins: list[Any] = []
+            maxs: list[Any] = []
+            usable = True
+            for gi in range(md.num_row_groups):
+                rg = md.row_group(gi)
+                st = rg.column(ci).statistics
+                if st is not None and st.null_count == rg.num_rows:
+                    continue  # pure-null group: no min/max to contribute
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                lo, hi = cls._zone_value(st.min), cls._zone_value(st.max)
+                if lo is None or hi is None:
+                    usable = False
+                    break
+                mins.append(lo)
+                maxs.append(hi)
+            if not usable:
+                continue
+            if not mins:
+                out[name] = {"null_only": True}
+            else:
+                out[name] = {"min": min(mins), "max": max(maxs)}
+        return out
 
     def _commit(self, manifest: dict[str, Any]) -> dict[str, Any]:
         files = self._manifest_files()
@@ -416,6 +481,98 @@ class SnapshotTable:
             )
             .select(*visible)
         )
+
+    def _zone_pruned_rels(
+        self, m: dict[str, Any], col: str, lo: Any, hi: Any
+    ) -> tuple[list[str], list[str]]:
+        """(files to read, all files) for a range predicate on ``col``.
+        Files without a recorded zone map for the column are conservatively
+        read (correctness never depends on stats existing); ``null_only``
+        files are skipped — a range predicate cannot match NULL."""
+        stats = m.get("file_stats", {})
+        lo_k, hi_k = self._zone_value(lo), self._zone_value(hi)
+        all_rels = [p for files in m["buckets"].values() for p in files]
+        keep: list[str] = []
+        for rel in all_rels:
+            mm = stats.get(rel, {}).get("minmax", {}).get(col)
+            if mm is None:
+                keep.append(rel)
+                continue
+            if mm.get("null_only"):
+                continue
+            if lo_k is not None and mm["max"] < lo_k:
+                continue
+            if hi_k is not None and mm["min"] > hi_k:
+                continue
+            keep.append(rel)
+        return keep, all_rels
+
+    def read_range(
+        self,
+        col: str,
+        lo: Any = None,
+        hi: Any = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Visible rows with ``lo <= col <= hi`` (either bound optional),
+        reading ONLY the data files whose manifest zone map intersects the
+        range — file-level skipping on top of parquet's own row-group
+        pruning, the same two-tier story as Iceberg manifest stats + file
+        footers. The payoff tracks layout quality: after
+        ``optimize(sort_cols=...)`` / ``optimize(zorder_cols=...)``
+        clusters the column, most files' [min,max] windows are disjoint
+        from the predicate and never open (prune_report quantifies it;
+        zorder_skipping_gain predicts it from the data). The residual
+        in-file filter still applies, so results are exact regardless of
+        how loose the zone maps are."""
+        m = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        if m is None:
+            return self.spark.createDataFrame(
+                [], self.spec.destination_schema()
+            )
+        rels, _ = self._zone_pruned_rels(m, col, lo, hi)
+        df = self._read_files(rels).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        return df.select(*visible)
+
+    def prune_report(
+        self,
+        col: str,
+        lo: Any = None,
+        hi: Any = None,
+        version: int | None = None,
+    ) -> dict[str, Any]:
+        """What ``read_range`` would skip, from manifest metadata alone
+        (zero file opens) — the observability half of zone-map pruning,
+        for layout decisions: a low skip ratio on a hot predicate column
+        is the signal to re-``optimize`` with that column in the sort."""
+        m = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        if m is None:
+            return {"files_total": 0, "files_read": 0, "ok": True}
+        rels, all_rels = self._zone_pruned_rels(m, col, lo, hi)
+        stats = m.get("file_stats", {})
+        b = lambda ps: sum(int(stats.get(p, {}).get("bytes", 0)) for p in ps)  # noqa: E731
+        return {
+            "files_total": len(all_rels),
+            "files_read": len(rels),
+            "files_skipped": len(all_rels) - len(rels),
+            "bytes_total": b(all_rels),
+            "bytes_read": b(rels),
+        }
 
     # ---- change data feed ------------------------------------------------------
 
@@ -807,6 +964,7 @@ class SnapshotTable:
         sort_cols: list[str] | None = None,
         zorder_cols: list[str] | None = None,
         zorder_bits: int = 8,
+        files_per_bucket: int = 1,
     ) -> int:
         """Sort-compaction (the OPTIMIZE table service; Iceberg twin:
         ``rewrite_data_files`` with a sort strategy): rewrite every bucket
@@ -832,6 +990,22 @@ class SnapshotTable:
         carry over untouched, time travel to pre-optimize versions keeps
         reading the old files until ``vacuum``. Returns the file count
         before the rewrite (the maintenance report's "compacted N").
+
+        ``files_per_bucket > 1`` additionally RANGE-SPLITS each bucket
+        into that many files along the sort order (``ntile`` chunks), so
+        consecutive files hold disjoint sort-key ranges. That is what
+        turns the manifest's zone maps (``read_range``/``prune_report``)
+        into actual file skipping: with one file per bucket every file
+        spans ~the whole value range and nothing can be pruned; with
+        range-split files a narrow predicate opens ~1/files_per_bucket of
+        the table. Costs a second exchange (the ntile window hashes by
+        bucket, then the write redistributes by (bucket, chunk)) — pay it
+        when the table serves range scans, skip it for pure point-lookup
+        tables where bucket pruning already does the work. This is the
+        same layout Iceberg's sort-strategy ``rewrite_data_files`` with a
+        target file size produces. Bucket routing is untouched either
+        way (chunking splits WITHIN each bucket), so ``read_keys`` keeps
+        pruning by bucket — now to smaller files.
         """
         m = self.current_manifest()
         if m is None:
@@ -856,11 +1030,29 @@ class SnapshotTable:
             sort_keys = ["zcode"]
         else:
             sort_keys = list(sort_cols) if sort_cols else self.spec.primary_keys
-        clustered = (
-            df.withColumn(_BUCKET_COL, bucket_expr(self.bucket_key, layout))
-            .repartition(layout, F.col(_BUCKET_COL))
-            .sortWithinPartitions(_BUCKET_COL, *sort_keys)
+        bucketed = df.withColumn(
+            _BUCKET_COL, bucket_expr(self.bucket_key, layout)
         )
+        if files_per_bucket > 1:
+            wb = Window.partitionBy(_BUCKET_COL).orderBy(
+                *[F.col(c) for c in sort_keys]
+            )
+            clustered = (
+                bucketed.withColumn(
+                    "_chunk", F.ntile(files_per_bucket).over(wb)
+                )
+                .repartitionByRange(
+                    layout * files_per_bucket,
+                    F.col(_BUCKET_COL),
+                    F.col("_chunk"),
+                )
+                .sortWithinPartitions(_BUCKET_COL, "_chunk", *sort_keys)
+                .drop("_chunk")
+            )
+        else:
+            clustered = bucketed.repartition(
+                layout, F.col(_BUCKET_COL)
+            ).sortWithinPartitions(_BUCKET_COL, *sort_keys)
         if zorder_cols:
             clustered = clustered.drop("zcode", "file_id")
         new_buckets = self._write_buckets(
