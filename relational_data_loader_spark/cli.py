@@ -112,6 +112,30 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "code over these columns instead of the PK sort (multi-column "
         "row-group pruning; snapshot sink only)",
     )
+    p.add_argument(
+        "--branch",
+        default=None,
+        metavar="NAME",
+        help="batch mode: stage every spec's load onto a WAP branch "
+        "instead of main (write-audit-publish; snapshot sink only). Audit "
+        "the staged state, then --publish-branch NAME to make it live or "
+        "--drop-branch NAME to abandon it",
+    )
+    p.add_argument(
+        "--publish-branch",
+        default=None,
+        metavar="NAME",
+        help="maintenance: fast-forward each spec's table to branch NAME's "
+        "staged head and delete the branch (rc 3 if any table refuses — "
+        "main advanced past the fork point), then exit",
+    )
+    p.add_argument(
+        "--drop-branch",
+        default=None,
+        metavar="NAME",
+        help="maintenance: abandon branch NAME on each spec's table "
+        "(staged files reclaimed by the next --vacuum), then exit",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -142,6 +166,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.fsck
         or args.rollback_to is not None
         or args.maintenance_report
+        or args.publish_branch is not None
+        or args.drop_branch is not None
     ):
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
@@ -155,6 +181,27 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"[rdl-spark] {spec.name}: no table, skipping maintenance")
                 continue
             out: dict = {"spec": spec.name}
+            if args.publish_branch is not None:
+                # publish runs FIRST: later passes (optimize/fsck/vacuum)
+                # then operate on the just-published state
+                if hasattr(table, "publish_branch"):
+                    try:
+                        m = table.publish_branch(args.publish_branch)
+                        out["published_branch"] = args.publish_branch
+                        out["new_version"] = m["version"]
+                    except (RuntimeError, ValueError) as e:
+                        out["publish_failed"] = str(e)
+                        fsck_failed = True  # reuse the alerting rc
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --publish-branch is "
+                        "snapshot-sink only, skipping",
+                        file=sys.stderr,
+                    )
+            if args.drop_branch is not None:
+                if hasattr(table, "drop_branch"):
+                    table.drop_branch(args.drop_branch)
+                    out["dropped_branch"] = args.drop_branch
             if args.expire_tombstones_below is not None:
                 n = table.expire_tombstones(args.expire_tombstones_below)
                 # the snapshot sink counts expired rows; Iceberg's DELETE
@@ -268,6 +315,13 @@ def main(argv: list[str] | None = None) -> int:
             continue
         force = "*" in forced or spec.name in forced
         if args.stream:
+            if args.branch:
+                print(
+                    "[rdl-spark] --branch is batch-only (a streaming query "
+                    "owns its sink)",
+                    file=sys.stderr,
+                )
+                return 2
             from relational_data_loader_spark.streaming.runner import StreamingIngest
 
             ckpt = os.path.join(
@@ -288,7 +342,7 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             try:
-                res = mgr.run(spec, force_full=force)
+                res = mgr.run(spec, force_full=force, branch=args.branch)
             except ExpectationFailedError as e:
                 # admission gate rejected the epoch: nothing committed, the
                 # watermark never moved — report and keep servicing the

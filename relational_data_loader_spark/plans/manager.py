@@ -165,10 +165,29 @@ class DataLoadManager:
                 raise ExpectationFailedError(spec.name, bad)
         return counts
 
-    def run(self, spec: IngestSpec, force_full: bool = False) -> RunResult:
-        """One load execution: decide, run, commit, track (reference C1+C3)."""
+    def run(
+        self,
+        spec: IngestSpec,
+        force_full: bool = False,
+        branch: str | None = None,
+    ) -> RunResult:
+        """One load execution: decide, run, commit, track (reference C1+C3).
+
+        ``branch`` stages the whole load onto a WAP branch
+        (``SnapshotTable.branch``): the decision reads the branch head
+        (falling back to main at the fork), the commit lands in the branch
+        namespace, and main readers see NOTHING until
+        ``table.publish_branch(branch)``. Audit between run and publish —
+        spec expectations in audit mode, fsck, ad-hoc reads on the branch
+        view. Batch path only (a streaming query owns its sink)."""
         t0 = time.time()
         table = self.table(spec)
+        if branch is not None:
+            if not hasattr(table, "branch"):
+                raise ValueError(
+                    f"sink {spec.sink!r} does not support WAP branches"
+                )
+            table = table.branch(branch)
         log = read_change_log(self.spark, spec)
 
         # sink-generic control surface (manifest for SnapshotTable, snapshot

@@ -2745,6 +2745,75 @@ def q_cdc_compaction_state(spark, sf):
     return _run_engine_replay(spark, sf, "compact", split=False, maintain=True)
 
 
+def q_cdc_zone_pruned_read(spark, sf):
+    """Zone-map file skipping, driver-checked end to end
+    (sinks/snapshot.py read_range): full replay, range-split sort
+    compaction on ``turn_idx`` (files_per_bucket=4, so each bucket's files
+    hold disjoint sort-key windows), then a manifest-pruned range read of
+    ``turn_idx IN [5, 12]``. The entry HARD-FAILS if the zone maps pruned
+    nothing — a silent no-skip regression breaks correctness reporting,
+    not just a benchmark — and the returned rows must hash-equal the LWW
+    oracle filtered to the same range (pruning may never drop a matching
+    row, however loose or tight the per-file stats are)."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "zone")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    _derived_changelog(spark, sf).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    tbl.optimize(sort_cols=["turn_idx"], files_per_bucket=4)
+    rep = tbl.prune_report("turn_idx", lo=5, hi=12)
+    if not rep["files_skipped"]:
+        raise AssertionError(f"zone maps pruned no files: {rep}")
+    return tbl.read_range("turn_idx", lo=5, hi=12)
+
+
+def q_cdc_wap_publish_state(spark, sf):
+    """Write-audit-publish round trip on the driver's hard signal
+    (sinks/snapshot.py branch/publish_branch): head of the log loads to
+    MAIN, the tail stages onto a WAP branch (main must stay pinned at the
+    head state — asserted, not assumed), the staged state is audited
+    (fsck on the branch view) and then fast-forward published. The
+    returned MAIN table must hash-equal the plain full-replay LWW oracle:
+    the staging detour may change WHEN changes become visible, never
+    WHAT. Exactly-once carry-over is asserted too — replaying the tail
+    straight at main after publish must skip."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "wap")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    main = mgr.table(spec)
+    head_version = main.current_manifest()["version"]
+
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec, branch="audit")
+    if main.current_manifest()["version"] != head_version:
+        raise AssertionError("staged WAP load moved the main pointer")
+    if not main.branch("audit").fsck()["ok"]:
+        raise AssertionError("staged WAP state failed fsck audit")
+    main.publish_branch("audit")
+    if not mgr.run(spec).skipped:
+        raise AssertionError("published epochs replayed instead of skipping")
+    return main.read()
+
+
 def q_cdc_schema_evolution_state(spark, sf):
     """Engine replay across a MID-STREAM schema change (reference C1/W5:
     the model-JSON edit between loads — SURVEY §2.1 W5/C1): the head of the
@@ -2827,6 +2896,13 @@ FROM (
                             ORDER BY event_id DESC) AS rn
   FROM events) t
 WHERE rn = 1 AND NOT is_del
+"""
+
+# zone-pruned range read: identical LWW state, restricted to the turn_idx
+# window q_cdc_zone_pruned_read scans through the manifest zone maps
+SQL_ZONE_PRUNED_READ = f"""
+SELECT * FROM ({SQL_ENGINE_FINAL_STATE}) s
+WHERE turn_idx BETWEEN 5 AND 12
 """
 
 
@@ -5545,6 +5621,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_SCHEMA_EVOLUTION_STATE,
     ),
     "cdc_compaction_state": (q_cdc_compaction_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_zone_pruned_read": (q_cdc_zone_pruned_read, SQL_ZONE_PRUNED_READ),
+    "cdc_wap_publish_state": (q_cdc_wap_publish_state, SQL_ENGINE_FINAL_STATE),
     "cdc_streaming_state": (q_cdc_streaming_state, SQL_ENGINE_FINAL_STATE),
     "cdc_streaming_debezium_state": (
         q_cdc_streaming_debezium_state,

@@ -128,15 +128,27 @@ class SnapshotTable:
         self.spec = spec
         self.bucket_key = spec.primary_keys[0]
         self.n_buckets = spec.target_buckets
+        self._branch: str | None = None
         os.makedirs(os.path.join(path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
 
     # ---- manifest plumbing -------------------------------------------------
 
     def _manifest_files(self) -> list[str]:
+        """Main-line committed manifests only — branch staging lives in its
+        own namespace (``_manifests/branches/<name>/``) so nothing that
+        walks main history (vacuum retention windows, rollback, CDF) ever
+        sees an unpublished commit."""
         return sorted(glob(os.path.join(self.path, "_manifests", "v*.json")))
 
     def current_manifest(self) -> dict[str, Any] | None:
+        if self._branch:
+            staged = self._branch_files(self._branch)
+            if staged:
+                with open(staged[-1]) as f:
+                    return json.load(f)
+            # branch has no staged commit yet: reads/merges resolve the
+            # main head (the fork point the first staged commit will pin)
         files = self._manifest_files()
         if not files:
             return None
@@ -152,7 +164,12 @@ class SnapshotTable:
         only by manifests older than its ``keep_manifests`` window, so time
         travel / CDF are reliable within that retention window — the same
         contract as Iceberg snapshot expiry."""
-        path = os.path.join(self.path, "_manifests", f"v{version:08d}.json")
+        sub = (
+            os.path.join("_manifests", "branches", self._branch)
+            if self._branch
+            else "_manifests"
+        )
+        path = os.path.join(self.path, sub, f"v{version:08d}.json")
         if not os.path.exists(path):
             raise ValueError(
                 f"version {version} not available for {self.spec.name!r} "
@@ -251,6 +268,8 @@ class SnapshotTable:
         return out
 
     def _commit(self, manifest: dict[str, Any]) -> dict[str, Any]:
+        if self._branch:
+            return self._commit_to_branch(manifest)
         files = self._manifest_files()
         version = 1 + (
             int(os.path.basename(files[-1])[1:-5]) if files else 0
@@ -277,6 +296,126 @@ class SnapshotTable:
             )
         os.unlink(tmp)
         return manifest
+
+    # ---- branches (write-audit-publish) ------------------------------------
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A branch-scoped view of this table — the Iceberg
+        write-audit-publish staging pattern (branch write + audit +
+        ``fast_forward``): commits made through the view stage onto
+        ``_manifests/branches/<name>/`` and are INVISIBLE to main readers;
+        reads through the view resolve the branch head, falling back to
+        the main head before the first staged commit (the fork point).
+        Data files land in the shared ``data/`` dir either way — they are
+        only reachable through a manifest, so staging costs no copy and
+        publishing moves no bytes (metadata-only, like Iceberg
+        fast-forward). Audit however you like (DQ expectations via the
+        manager, ``fsck``, ad-hoc reads — all work on the view), then
+        ``publish_branch`` on the MAIN table to atomically make the staged
+        state the next main version, or ``drop_branch`` to abandon it
+        (``vacuum`` then reclaims the staged files)."""
+        import copy
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid branch name {name!r}")
+        view = copy.copy(self)
+        view._branch = name
+        return view
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(self.path, "_manifests", "branches", name)
+
+    def _branch_files(self, name: str) -> list[str]:
+        return sorted(glob(os.path.join(self._branch_dir(name), "v*.json")))
+
+    def list_branches(self) -> list[str]:
+        root = os.path.join(self.path, "_manifests", "branches")
+        return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+    def _commit_to_branch(self, manifest: dict[str, Any]) -> dict[str, Any]:
+        """Staged commit: same atomic tmp+link(2) dance as main, but into
+        the branch namespace with its own version sequence. The first
+        staged commit pins ``base_version`` (the main version the branch
+        forked from); later ones inherit it — that is what lets publish
+        verify fast-forward-ness without a lock spanning the audit."""
+        bdir = self._branch_dir(self._branch)
+        os.makedirs(bdir, exist_ok=True)
+        staged = self._branch_files(self._branch)
+        if staged:
+            with open(staged[-1]) as f:
+                base = int(json.load(f)["base_version"])
+            seq = 1 + int(os.path.basename(staged[-1])[1:-5])
+        else:
+            mains = self._manifest_files()
+            base = int(os.path.basename(mains[-1])[1:-5]) if mains else 0
+            seq = 1
+        manifest["file_stats"] = self._file_stats(manifest)
+        manifest["version"] = seq
+        manifest["branch"] = self._branch
+        manifest["base_version"] = base
+        manifest["committed_at"] = time.time()
+        tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
+        final = os.path.join(bdir, f"v{seq:08d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"concurrent commit detected on branch {self._branch!r}: "
+                f"{final} already exists"
+            )
+        os.unlink(tmp)
+        return manifest
+
+    def publish_branch(
+        self, name: str, require_fast_forward: bool = True
+    ) -> dict[str, Any]:
+        """Atomically make ``name``'s staged head the next MAIN version
+        (Iceberg ``manage_snapshots().fast_forward``) and delete the
+        branch. Metadata-only — the staged data files are simply
+        re-referenced. ``require_fast_forward`` (default) refuses to
+        publish when main advanced past the branch's fork point: the
+        staged state was merged against a stale base, so publishing would
+        silently drop main's newer commits — rebase (re-run the loads on a
+        fresh branch) instead. The staged manifest's ``applied_epochs``
+        and watermark publish with it, so exactly-once replays of the
+        staged epochs skip against main afterwards."""
+        if self._branch:
+            raise RuntimeError("publish_branch must be called on the main table view")
+        staged = self._branch_files(name)
+        if not staged:
+            raise ValueError(f"branch {name!r} has no staged commits")
+        with open(staged[-1]) as f:
+            head = json.load(f)
+        mains = self._manifest_files()
+        main_v = int(os.path.basename(mains[-1])[1:-5]) if mains else 0
+        if require_fast_forward and int(head.get("base_version", 0)) != main_v:
+            raise RuntimeError(
+                f"branch {name!r} forked from main v{head.get('base_version')} "
+                f"but main is now at v{main_v}: not a fast-forward. "
+                "Re-stage against the current head or publish with "
+                "require_fast_forward=False if overwriting main is intended."
+            )
+        pub = {
+            k: v
+            for k, v in head.items()
+            if k not in ("branch", "base_version", "version", "committed_at")
+        }
+        committed = self._commit(pub)
+        self.drop_branch(name)
+        return committed
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: remove its staged manifests. Its data files
+        become unreferenced and the next ``vacuum`` reclaims them."""
+        import shutil
+
+        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
 
     # ---- write paths ---------------------------------------------------------
 
@@ -944,8 +1083,12 @@ class SnapshotTable:
 
     def vacuum(self, keep_manifests: int = 3) -> int:
         """Delete data files unreferenced by the last ``keep_manifests``
-        manifests (snapshot expiry). Returns files removed."""
-        manifests = self._manifest_files()[-keep_manifests:]
+        MAIN manifests or by ANY live branch's staged manifests (snapshot
+        expiry; unpublished WAP staging is always retained — dropping a
+        branch is what releases its files). Returns files removed."""
+        manifests = self._manifest_files()[-keep_manifests:] + glob(
+            os.path.join(self.path, "_manifests", "branches", "*", "v*.json")
+        )
         referenced: set[str] = set()
         for mf in manifests:
             with open(mf) as f:

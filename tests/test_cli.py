@@ -244,3 +244,53 @@ def test_maintenance_optimize_zorder_flag(setup, capsys, tmp_path):
     assert_tables_equal(
         spark_sorted_pdf(t.read()), duck_final_state(f"{logdir}/*.parquet")
     )
+
+
+def test_wap_branch_stage_publish_cycle(setup, capsys, spark):
+    """--branch stages, main stays put; --publish-branch fast-forwards;
+    a stale branch publish exits rc 3 with the refusal in the JSON line."""
+    log, logdir, specdir, wh, spec = setup
+    cut = pc.max(log["lsn"]).as_py() // 2
+    write_log(log, logdir, lsn_upto=cut)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+
+    mgr = DataLoadManager(spark, wh)
+    main_tbl = mgr.table(spec)
+    wm_before = main_tbl.watermark()
+
+    write_log(log, logdir, lsn_from=cut)
+    assert main(["--warehouse", wh, "--specs", specdir, "--branch", "audit"]) == 0
+    (r,) = _out_lines(capsys)
+    assert r["decision"] == "incremental" and not r["skipped"]
+    assert main_tbl.watermark() == wm_before  # main untouched
+
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--publish-branch", "audit"]
+    ) == 0
+    (p,) = _out_lines(capsys)
+    assert p["published_branch"] == "audit"
+    got = spark_sorted_pdf(main_tbl.read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+    # stale branch: fork, advance main, publish must rc 3
+    write_log(log, logdir)  # rewrite whole log; next runs skip, so force
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--branch", "stale",
+         "--force-full-refresh", "*"]
+    ) == 0
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--force-full-refresh", "*"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--publish-branch", "stale"]
+    ) == 3
+    (f,) = _out_lines(capsys)
+    assert "not a fast-forward" in f["publish_failed"]
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--drop-branch", "stale"]
+    ) == 0
+    assert main_tbl.list_branches() == []
