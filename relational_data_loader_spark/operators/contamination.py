@@ -173,3 +173,52 @@ def doc_novelty(
             ),
         )
     )
+
+
+def embedding_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    round_dp: int = 3,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus items whose embedding cosine
+    against ANY benchmark item reaches ``threshold`` — the companion of
+    the n-gram overlap above for paraphrased/translated leakage that
+    shares no surface n-grams (the reason modern pipelines run both).
+    Returns ``(vec_id, max_sim, contaminated)`` per corpus item — the
+    audit row; callers drop or down-weight on ``contaminated``.
+
+    Scale shape: the benchmark side is an eval suite (10³–10⁵ vectors —
+    KBs to MBs), so it BROADCASTS and the plan is a map-only
+    broadcast-nested-loop over the corpus followed by one partial-agged
+    groupBy per corpus id: corpus never self-joins, never shuffles its
+    embedding payload, and the cost is corpus × |benchmark| fused
+    multiply-adds in codegen. If the "benchmark" ever grows corpus-sized,
+    this is the wrong operator — use the LSH-bucketed
+    ``embedding_near_dup_pairs`` (operators/similarity.py) instead.
+    The comparison runs on the ``round_dp``-rounded cosine so the
+    flag boundary is bit-stable across engines.
+    """
+    from pyspark.sql.functions import broadcast
+
+    from relational_data_loader_spark.operators.similarity import cosine_expr
+
+    b = broadcast(
+        benchmark.select(
+            F.col(id_col).alias("_b_id"), F.col(emb_col).alias("_b_emb")
+        )
+    )
+    c = corpus.select(F.col(id_col), F.col(emb_col).alias("_c_emb"))
+    sim = F.round(cosine_expr(F.col("_c_emb"), F.col("_b_emb")), round_dp)
+    return (
+        c.crossJoin(b)
+        .groupBy(id_col)
+        .agg(F.max(sim).cast("double").alias("max_sim"))
+        .select(
+            id_col,
+            "max_sim",
+            (F.col("max_sim") >= F.lit(float(threshold))).alias("contaminated"),
+        )
+    )

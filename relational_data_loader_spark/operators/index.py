@@ -253,3 +253,45 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", "tok", "tfidf", "rk")
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k0: int = 60,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-retriever top-k lists:
+    ``score(d) = Σ_r 1/(k0 + rank_r(d))`` — the standard hybrid-search
+    combiner for sparse (BM25) + dense (embedding cosine) retrieval,
+    rank-based so the retrievers' incomparable score scales never need
+    calibration. ``ranked`` is ``[(df, score_col), ...]``; each frame is
+    one retriever's candidates, re-ranked here by (score desc, id) so
+    the fused ranks are deterministic under ties. Absent-from-a-list
+    contributes 0 for that retriever (full-outer union of candidates).
+
+    Scale shape: inputs are per-query TOP-K frames (k rows each), not
+    corpora — the global-window re-rank and the full-outer joins run on
+    k-sized data, so the single-partition window is control-plane sized
+    by construction. Fusing many queries at once calls for a query_id
+    partition column on both sides instead; this signature is the
+    one-query serving shape.
+    """
+    fused: DataFrame | None = None
+    contribs = []
+    for i, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        r = df.select(id_col, F.row_number().over(w).alias(f"_r{i}"))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        contribs.append(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(k0)) + F.col(f"_r{i}")), F.lit(0.0)
+            )
+        )
+    assert fused is not None, "rrf_fuse needs at least one ranked list"
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return fused.select(
+        id_col, F.round(total, round_dp).cast("double").alias("rrf")
+    )

@@ -2075,6 +2075,95 @@ FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT 10
 """
 
 
+def q_hybrid_search_rrf(spark, sf):
+    """Hybrid retrieval (operators/index.py rrf_fuse): BM25 top-10 for
+    the 3-term query fused with embedding-cosine top-10 for query vector
+    0 by reciprocal-rank fusion (k0=60) — the standard sparse+dense
+    serving combiner, rank-based so the two score scales never need
+    calibration. The fixture's vec_id indexes the same corpus id space
+    as doc_id, so the fused id column is a doc key for both lists."""
+    from relational_data_loader_spark.operators.index import bm25_topk, rrf_fuse
+    from relational_data_loader_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    sparse = bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=10)
+    emb = _t(spark, sf, "embeddings")
+    dense = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=10).select(
+        F.col("c_id").alias("doc_id"), "sim"
+    )
+    return rrf_fuse([(sparse, "score"), (dense, "sim")], id_col="doc_id")
+
+
+SQL_HYBRID_RRF = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs, round(avg(len(ts)), 6) AS avgdl FROM toks),
+tf AS (
+  SELECT doc_id, len(ts) AS dl, t AS tok, count(*) AS tf
+  FROM (SELECT doc_id, ts, unnest(ts) AS t FROM toks)
+  WHERE t IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+  GROUP BY 1, 2, 3),
+dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avgdl))) AS raw
+  FROM tf JOIN dfs d USING (tok) CROSS JOIN stats s
+  GROUP BY 1),
+bm AS (
+  SELECT doc_id, CAST(round(raw, 4) AS DOUBLE) AS score
+  FROM scored ORDER BY round(raw, 4) DESC, doc_id LIMIT 10),
+bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT c.vec_id AS doc_id,
+         CAST(round(list_cosine_similarity(q.q_emb::DOUBLE[], c.embedding::DOUBLE[]), 3) AS DOUBLE) AS sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> 0),
+dn AS (
+  SELECT doc_id, sim
+  FROM (SELECT *, row_number() OVER (ORDER BY sim DESC, doc_id) rk FROM sims)
+  WHERE rk <= 10),
+dnr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM dn)
+SELECT COALESCE(bmr.doc_id, dnr.doc_id) AS doc_id,
+       CAST(round(COALESCE(1.0 / (60 + bmr.r), 0)
+                + COALESCE(1.0 / (60 + dnr.r), 0), 6) AS DOUBLE) AS rrf
+FROM bmr FULL OUTER JOIN dnr ON bmr.doc_id = dnr.doc_id
+"""
+
+
+def q_embedding_decontam(spark, sf):
+    """Semantic decontamination
+    (operators/contamination.py embedding_decontamination): every corpus
+    vector audited for max cosine against the benchmark slice
+    (vec_id % 97 = 0 plays the eval suite, broadcast); contaminated =
+    rounded max-sim >= 0.3 (the fixture's embeddings top out at ~0.47
+    cross-slice, so the flag genuinely splits). Paraphrase-leakage
+    companion to the surface n-gram overlap of ngram_contamination."""
+    from relational_data_loader_spark.operators.contamination import (
+        embedding_decontamination,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    corpus = emb.filter(F.col("vec_id") % 97 != 0)
+    return embedding_decontamination(corpus, bench, threshold=0.3)
+
+
+SQL_EMBEDDING_DECONTAM = """
+WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+m AS (
+  SELECT c.vec_id,
+         max(CAST(round(list_cosine_similarity(
+             c.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS DOUBLE)) AS max_sim
+  FROM c CROSS JOIN b GROUP BY 1)
+SELECT vec_id, max_sim, max_sim >= 0.3 AS contaminated FROM m
+"""
+
+
 def q_pii_redact(spark, sf):
     """PII scrub (functions/text.py redact_pii/pii_counts): every document
     is augmented with a deterministic synthetic email + phone derived from
@@ -5608,6 +5697,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "posting_index_ivm": (q_posting_index_ivm, SQL_POSTING_INDEX_IVM),
     "posting_lookup": (q_posting_lookup, SQL_POSTING_LOOKUP),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, SQL_HYBRID_RRF),
+    "embedding_decontam": (q_embedding_decontam, SQL_EMBEDDING_DECONTAM),
     "leakage_safe_split": (q_leakage_safe_split, _leakage_split_sql()),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),

@@ -313,7 +313,14 @@ class SnapshotTable:
         manager, ``fsck``, ad-hoc reads — all work on the view), then
         ``publish_branch`` on the MAIN table to atomically make the staged
         state the next main version, or ``drop_branch`` to abandon it
-        (``vacuum`` then reclaims the staged files)."""
+        (``vacuum`` then reclaims the staged files).
+
+        Iceberg twin (not implemented — jar-gated): native branch refs +
+        ``spark.wap.branch`` writes + ``CALL fast_forward``; a faithful
+        twin must also scope ``applied_epochs``/``watermark`` to the REF's
+        snapshot ancestry (``.refs`` + parent-id walk), because
+        ``.snapshots`` lists staged commits too and an unscoped guard
+        would make main skip epochs that were only ever staged."""
         import copy
         import re
 
