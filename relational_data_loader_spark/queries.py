@@ -2903,6 +2903,54 @@ def q_cdc_wap_publish_state(spark, sf):
     return main.read()
 
 
+def q_cdc_shadow_rebuild_diff(spark, sf):
+    """Shadow-rebuild audit — the WAP branch's ops use case beyond
+    staged ingest: main is built INCREMENTALLY (head refresh + tail
+    merge), then a FULL rebuild of the same log is staged on a branch
+    (never visible) and diffed against main PK-by-PK
+    (operators/diff.py snapshot_diff). Replay-route invariance says the
+    drift must be empty; this entry makes that a runnable production
+    audit instead of a test assertion, and returns the one-row summary
+    (n_drift must hash to 0 against the oracle, row counts equal). The
+    shadow branch is dropped afterwards, so repeated audits don't
+    accumulate staging."""
+    from relational_data_loader_spark.operators.diff import snapshot_diff
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    import shutil
+
+    base = _state_workdir(sf, "shadow")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)  # main: incremental route
+
+    main = mgr.table(spec)
+    mgr.run(spec, force_full=True, branch="shadow")  # shadow: full rebuild
+    drift = snapshot_diff(
+        main.read(),
+        main.branch("shadow").read(),
+        primary_keys=["conv_id", "turn_idx"],
+    )
+    n_main = main.read().count()
+    n_shadow = main.branch("shadow").read().count()
+    out = drift.agg(
+        F.count(F.lit(1)).alias("n_drift"),
+        F.lit(n_main).cast("bigint").alias("n_main"),
+        F.lit(n_shadow).cast("bigint").alias("n_shadow"),
+    )
+    result = out.collect()  # materialize before dropping the branch
+    main.drop_branch("shadow")
+    return spark.createDataFrame(result, out.schema)
+
+
 def q_cdc_schema_evolution_state(spark, sf):
     """Engine replay across a MID-STREAM schema change (reference C1/W5:
     the model-JSON edit between loads — SURVEY §2.1 W5/C1): the head of the
@@ -2992,6 +3040,16 @@ WHERE rn = 1 AND NOT is_del
 SQL_ZONE_PRUNED_READ = f"""
 SELECT * FROM ({SQL_ENGINE_FINAL_STATE}) s
 WHERE turn_idx BETWEEN 5 AND 12
+"""
+
+# shadow-rebuild audit: drift is zero by the engine's replay-route
+# invariance, and both states carry the LWW final row count
+SQL_SHADOW_REBUILD_DIFF = f"""
+WITH final AS ({SQL_ENGINE_FINAL_STATE})
+SELECT CAST(0 AS BIGINT) AS n_drift,
+       count(*) AS n_main,
+       count(*) AS n_shadow
+FROM final
 """
 
 
@@ -5714,6 +5772,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_compaction_state": (q_cdc_compaction_state, SQL_ENGINE_FINAL_STATE),
     "cdc_zone_pruned_read": (q_cdc_zone_pruned_read, SQL_ZONE_PRUNED_READ),
     "cdc_wap_publish_state": (q_cdc_wap_publish_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_shadow_rebuild_diff": (q_cdc_shadow_rebuild_diff, SQL_SHADOW_REBUILD_DIFF),
     "cdc_streaming_state": (q_cdc_streaming_state, SQL_ENGINE_FINAL_STATE),
     "cdc_streaming_debezium_state": (
         q_cdc_streaming_debezium_state,
