@@ -399,8 +399,19 @@ class SnapshotTable:
             raise ValueError(f"branch {name!r} has no staged commits")
         with open(staged[-1]) as f:
             head = json.load(f)
-        mains = self._manifest_files()
-        main_v = int(os.path.basename(mains[-1])[1:-5]) if mains else 0
+        cur = self.current_manifest()
+        main_v = int(cur["version"]) if cur else 0
+        # crash-safe retry: a previous publish of THIS branch head that died
+        # between the main commit and the branch cleanup left main already
+        # fast-forwarded — finish the cleanup and return, idempotently,
+        # instead of tripping the divergence guard on our own commit
+        if (
+            cur is not None
+            and cur.get("published_from_branch") == name
+            and cur.get("published_branch_version") == head["version"]
+        ):
+            self.drop_branch(name)
+            return cur
         if require_fast_forward and int(head.get("base_version", 0)) != main_v:
             raise RuntimeError(
                 f"branch {name!r} forked from main v{head.get('base_version')} "
@@ -413,6 +424,8 @@ class SnapshotTable:
             for k, v in head.items()
             if k not in ("branch", "base_version", "version", "committed_at")
         }
+        pub["published_from_branch"] = name
+        pub["published_branch_version"] = head["version"]
         committed = self._commit(pub)
         self.drop_branch(name)
         return committed

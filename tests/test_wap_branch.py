@@ -10,6 +10,7 @@ import pytest
 
 from relational_data_loader_spark.fixtures import generate_change_log
 from relational_data_loader_spark.plans.manager import DataLoadManager
+from relational_data_loader_spark.sinks.snapshot import SnapshotTable
 from relational_data_loader_spark.sources.readers import read_change_log
 from relational_data_loader_spark.spec import transcripts_spec
 from tests.util import spark_sorted_pdf, write_log
@@ -126,3 +127,40 @@ def test_bad_branch_name_rejected(spark, tmp_path):
     mgr, spec, _, _ = _setup(spark, tmp_path)
     with pytest.raises(ValueError, match="invalid branch name"):
         mgr.table(spec).branch("../escape")
+
+
+def test_publish_retry_after_crash_between_commit_and_cleanup(spark, tmp_path):
+    """Kill-between-publish-steps: the main commit landed but drop_branch
+    never ran. The retry must complete idempotently (finish the cleanup,
+    return the already-published manifest) — not refuse as a divergence,
+    and NOT double-commit."""
+    mgr, spec, log, cut = _setup(spark, tmp_path)
+    main = mgr.table(spec)
+    write_log(log, str(tmp_path / "log"), lsn_from=cut)
+    mgr.run(spec, branch="wap")
+
+    # simulate the crash: run the commit half of publish, skip the cleanup
+    orig_drop = SnapshotTable.drop_branch
+    try:
+        SnapshotTable.drop_branch = lambda self, name: None
+        first = main.publish_branch("wap")
+    finally:
+        SnapshotTable.drop_branch = orig_drop
+    assert main.list_branches() == ["wap"]  # cleanup really was skipped
+
+    retried = main.publish_branch("wap")
+    assert retried["version"] == first["version"]  # no second commit
+    assert main.current_manifest()["version"] == first["version"]
+    assert main.list_branches() == []
+
+
+def test_staged_epoch_replay_skips_on_branch(spark, tmp_path):
+    """Exactly-once WITHIN staging: rerunning the same tail against the
+    branch must skip (the staged head carries the watermark), so a
+    crashed-and-restarted staging job never double-applies."""
+    mgr, spec, log, cut = _setup(spark, tmp_path)
+    write_log(log, str(tmp_path / "log"), lsn_from=cut)
+    r1 = mgr.run(spec, branch="wap")
+    assert not r1.skipped
+    r2 = mgr.run(spec, branch="wap")
+    assert r2.skipped
