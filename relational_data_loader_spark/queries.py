@@ -2903,6 +2903,136 @@ def q_cdc_wap_publish_state(spark, sf):
     return main.read()
 
 
+def q_cdc_chunked_backlog_state(spark, sf):
+    """C2's batch loop on the driver's hard signal: the tail backlog is
+    applied in lsn-range chunks (spec.batch_size sized so the tail splits
+    into >= 3 chunks, each netted and manifest-committed separately), and
+    the final state must still equal the whole-log LWW oracle — chunk
+    boundaries are invisible in the result, only in the commit count.
+    Hard-fails if the backlog did NOT actually chunk (a silently
+    one-chunk run would make this entry vacuous)."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "chunked")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    hi = log.agg(F.max("lsn")).first()[0]
+    cut = hi // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    chunked = transcripts_spec(
+        source=f"parquet://{log_dir}",
+        target_buckets=8,
+        batch_size=max((hi - cut) // 4, 1),
+    )
+    r = mgr.run(chunked)
+    if r.n_chunks < 3:
+        raise AssertionError(f"backlog did not chunk: n_chunks={r.n_chunks}")
+    return mgr.table(spec).read()
+
+
+def q_cdc_salted_merge_state(spark, sf):
+    """The spec-pinned salted pre-net (operators/lww.py, SURVEY skew
+    handling) end to end on the driver signal: the tail merge runs with
+    salt_buckets=8 — every PK's events spread over 8 salt reducers and
+    net locally before the final per-PK window — and the final state
+    must be indistinguishable from the unsalted route's oracle. Pins
+    that salting changes the SHUFFLE SHAPE only, never the result."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "salted")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(
+        source=f"parquet://{log_dir}", target_buckets=8, salt_buckets=8
+    )
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    r = mgr.run(spec)
+    if r.salt_buckets != 8:
+        raise AssertionError("salted path not taken")
+    return mgr.table(spec).read()
+
+
+def q_cdc_dq_audit_counts(spark, sf):
+    """The data-quality admission gate in AUDIT mode on the driver
+    signal: a short-text expectation counts its violations over the
+    epoch's projected upsert rows (deletes exempt by envelope contract)
+    while the load still commits; the count the engine reports must
+    equal the oracle's own count over the same derivation. One row:
+    (check, n_violations)."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "dqaudit")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    _derived_changelog(spark, sf).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(
+        source=f"parquet://{log_dir}",
+        target_buckets=8,
+        expectations={"short_text": "length(text) < 30"},
+        expectations_mode="audit",
+    )
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    r = mgr.run(spec)
+    rows = [("short_text", int((r.dq_violations or {}).get("short_text", 0)))]
+    return spark.createDataFrame(rows, "check string, n_violations bigint")
+
+
+def q_cdc_rollback_state(spark, sf):
+    """Version rollback on the driver signal: head load commits v1, tail
+    merge commits v2, rollback(1) commits an append-only restore — and
+    the visible table must equal the LWW oracle over the HEAD HALF of
+    the log alone. Watermark reverts with it (asserted: a fresh run
+    re-applies the tail as incremental, not skipped), which is the
+    exactly-once re-ingest contract the CLI --rollback-to documents."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "rollb")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    tbl.rollback(1)
+    if tbl.watermark() != cut:
+        raise AssertionError("rollback did not revert the watermark")
+    return tbl.read()
+
+
+SQL_DQ_AUDIT_COUNTS = f"""
+SELECT 'short_text' AS check,
+       count(*) FILTER (length(event_type || ':' || props) < 30) AS n_violations
+FROM events WHERE event_type <> '{DELETE_OP}'
+"""
+
+
 def q_cdc_shadow_rebuild_diff(spark, sf):
     """Shadow-rebuild audit — the WAP branch's ops use case beyond
     staged ingest: main is built INCREMENTALLY (head refresh + tail
@@ -3040,6 +3170,25 @@ WHERE rn = 1 AND NOT is_del
 SQL_ZONE_PRUNED_READ = f"""
 SELECT * FROM ({SQL_ENGINE_FINAL_STATE}) s
 WHERE turn_idx BETWEEN 5 AND 12
+"""
+
+# rollback restores the head-half state: the same LWW derivation with the
+# source truncated at the head/tail cut (max lsn // 2) the entry loads to v1
+SQL_ROLLBACK_STATE = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ':' || props AS text,
+         substr(props, 1, 8) AS tool,
+         ts,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY user_id, event_id % 37
+                            ORDER BY event_id DESC) AS rn
+  FROM events
+  WHERE event_id <= (SELECT max(event_id) // 2 FROM events)) t
+WHERE rn = 1 AND NOT is_del
 """
 
 # shadow-rebuild audit: drift is zero by the engine's replay-route
@@ -5773,6 +5922,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_zone_pruned_read": (q_cdc_zone_pruned_read, SQL_ZONE_PRUNED_READ),
     "cdc_wap_publish_state": (q_cdc_wap_publish_state, SQL_ENGINE_FINAL_STATE),
     "cdc_shadow_rebuild_diff": (q_cdc_shadow_rebuild_diff, SQL_SHADOW_REBUILD_DIFF),
+    "cdc_chunked_backlog_state": (q_cdc_chunked_backlog_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_salted_merge_state": (q_cdc_salted_merge_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_dq_audit_counts": (q_cdc_dq_audit_counts, SQL_DQ_AUDIT_COUNTS),
+    "cdc_rollback_state": (q_cdc_rollback_state, SQL_ROLLBACK_STATE),
     "cdc_streaming_state": (q_cdc_streaming_state, SQL_ENGINE_FINAL_STATE),
     "cdc_streaming_debezium_state": (
         q_cdc_streaming_debezium_state,
