@@ -120,3 +120,94 @@ def finalize_rollup(rollup: DataFrame, dp: int = 2) -> DataFrame:
         F.round(F.col("_sum"), dp).cast("double").alias("sum_value"),
         "n_rows",
     )
+
+
+def join_view(
+    fact: DataFrame,
+    dim: DataFrame,
+    fk: str,
+    dim_key: str,
+    dim_attrs: list[str],
+) -> DataFrame:
+    """Full-recompute bootstrap of an enrichment view: ``fact LEFT JOIN
+    dim`` on ``fact.fk = dim.dim_key``, dim attributes appended under their
+    own names. LEFT (not inner) is deliberate: it makes the view's row set
+    a pure function of the fact table, which is what lets
+    ``apply_delta_join_view`` treat dim-side churn as a column rewrite
+    instead of a row add/remove — inner-join IVM needs an orphan-fact side
+    table to resurrect facts when their dim key later appears."""
+    return fact.join(
+        dim.select(F.col(dim_key).alias(fk), *dim_attrs), fk, "left"
+    )
+
+
+def apply_delta_join_view(
+    prev: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    dim_old: DataFrame,
+    fact_pk: list[str],
+    fk: str,
+    dim_key: str,
+    dim_attrs: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Incrementally maintain ``join_view(fact, dim, ...)`` under one epoch
+    of I/U/D change feeds on BOTH sides — the materialized-enrichment twin
+    of ``apply_delta_rollup``. The contract is the same: applying the
+    deltas to the previous view must equal a full recompute against the
+    new base states (the catalog oracle IS that recompute).
+
+    Feed shapes:
+    - ``fact_changes``: op + the fact's full NEW row (op='D' rows need only
+      the PK; other columns are ignored for D).
+    - ``dim_changes``: op + ``dim_key`` + NEW ``dim_attrs`` (ignored for D).
+    - ``dim_old``: the dim state BEFORE this epoch, used only to enrich the
+      fact-side inserts/updates (pass the dim's own previous snapshot — a
+      CDC deployment already materializes it).
+
+    Two passes, equal to recompute by case analysis:
+    1. Fact pass: anti-join the changed PKs out of the view, union back the
+       I/U rows enriched against ``dim_old``. Unchanged facts keep their
+       (possibly stale) dim attrs; new/updated facts get dim_old attrs —
+       both fixed up by pass 2 exactly when their fk's dim row changed this
+       epoch.
+    2. Dim pass: left-join the pass-1 view against ``dim_changes`` on the
+       fk. Matched 'D' nulls the attrs (the fact row survives — LEFT view),
+       matched I/U overwrites with the new attrs, unmatched keeps pass-1
+       values. An fk the fact row just moved TO (U that rewrote the fk)
+       resolves correctly because pass 1 re-enriched the whole row.
+
+    Scale: pass 1 costs |Δfact| ⋈ dim_old (broadcast when the dim is small;
+    a shuffled equi-join otherwise) plus an anti-join on the fact PK — with
+    the view stored bucketed by PK (sinks/snapshot.py layout) the anti-join
+    and union are partition-local, no view-wide shuffle. Pass 2 is one
+    equi-join whose build side is |Δdim| — drift-proportional, normally a
+    broadcast. Neither pass rescans the fact base table; nothing here is
+    proportional to view size except the streamed (non-build) side of the
+    joins, which a columnar scan pipelines."""
+    op = F.col(op_col)
+    fact_cols = [c for c in prev.columns if c not in dim_attrs]
+    upserts = join_view(
+        fact_changes.filter(op.isin("I", "U")).select(*fact_cols),
+        dim_old,
+        fk,
+        dim_key,
+        dim_attrs,
+    )
+    changed_keys = fact_changes.select(*fact_pk).distinct()
+    step1 = prev.join(changed_keys, fact_pk, "left_anti").unionByName(upserts)
+
+    dim_delta = dim_changes.select(
+        F.col(dim_key).alias(fk),
+        op.alias("_dim_op"),
+        *[F.col(a).alias(f"_new_{a}") for a in dim_attrs],
+    )
+    patched = [
+        F.when(F.col("_dim_op").isNull(), F.col(a))
+        .when(F.col("_dim_op") == "D", F.lit(None))
+        .otherwise(F.col(f"_new_{a}"))
+        .alias(a)
+        for a in dim_attrs
+    ]
+    return step1.join(dim_delta, fk, "left").select(*fact_cols, *patched)

@@ -200,3 +200,76 @@ def dedup_conversations(
             F.min("n_turns").alias("n_turns"),
         )
     )
+
+
+def drop_boilerplate_turns(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    min_convs: int = 3,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal at TURN granularity: drop every
+    turn whose exact text appears in ``>= min_convs`` distinct
+    conversations, then re-assemble what survives.
+
+    Transcript corpora carry canned text *inside* otherwise-unique
+    conversations — templated system prompts, autoresponder greetings,
+    tool-call preambles — which conversation-level dedup
+    (``dedup_conversations``) never fires on because the surrounding turns
+    differ. The document-corpus analog drops high-document-frequency lines
+    (CCNet-style boilerplate pruning); here the unit is the turn and the
+    frequency is *distinct conversations containing the text* (a text
+    repeated 50× inside ONE conversation is repetition, not boilerplate —
+    ``doc_repetition_stats`` covers that axis).
+
+    Output, one row per conversation: ``n_turns`` (before), ``n_kept``,
+    ``n_dropped``, ``kept_fingerprint`` (md5 of the ordered surviving
+    texts; md5('') for a conversation that was pure boilerplate),
+    ``kept_chars``.
+
+    Plan shape (two exchanges, both partial-aggregated):
+    1. groupBy(text) with count(DISTINCT conv) — the text key is the
+       shuffle; uniform unless one string dominates the corpus, and that
+       string is exactly the boilerplate head whose group collapses to a
+       count, not a row list.
+    2. Mark turns via a left join of the turn table against the flagged
+       texts. The flagged side is the df >= min_convs HEAD of the text
+       frequency distribution — corpus/min_convs rows at worst, tiny in
+       practice — so AQE turns this into a broadcast; we do not force the
+       hint because at 100 TB with min_convs=2 the head can exceed driver
+       memory, and a shuffled equi-join on the text is still exact.
+    3. One groupBy(conv) re-assembly identical to
+       ``assemble_conversations`` but collecting only unmarked turns
+       (``collect_list`` skips the NULLs the ``when`` emits for dropped
+       turns).
+    """
+    turns = df.select(
+        F.col(conv_col).alias("_conv"),
+        F.col(turn_col).alias("_turn"),
+        F.col(text_col).alias("_txt"),
+    )
+    flagged = (
+        turns.groupBy("_txt")
+        .agg(F.countDistinct("_conv").alias("_nc"))
+        .filter(F.col("_nc") >= F.lit(min_convs))
+        .select("_txt", F.lit(1).alias("_bp"))
+    )
+    marked = turns.join(flagged, "_txt", "left")
+    kept_struct = F.when(
+        F.col("_bp").isNull(), F.struct(F.col("_turn").alias("t"), F.col("_txt").alias("x"))
+    )
+    ordered = F.array_sort(F.collect_list(kept_struct))
+    joined = F.array_join(
+        F.transform(ordered, lambda s: s["x"]), sep, null_replacement="\x00"
+    )
+    return marked.groupBy(F.col("_conv").alias(conv_col)).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(F.col("_bp").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_bp").isNull(), 0).otherwise(1)).alias("n_dropped"),
+        F.md5(joined).alias("kept_fingerprint"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bp").isNull(), F.length("_txt"))), F.lit(0)
+        ).alias("kept_chars"),
+    )

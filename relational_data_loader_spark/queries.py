@@ -5835,6 +5835,152 @@ GROUP BY g, n_g
 """
 
 
+def q_cdc_join_view_ivm(spark, sf):
+    """Incrementally maintained enrichment view (operators/incremental.py
+    apply_delta_join_view): a materialized ``orders LEFT JOIN customer``
+    view carried across one CDC epoch with churn on BOTH sides — fact
+    inserts (o_orderkey%13=0), fact updates that MOVE the foreign key
+    (%13=1) or rewrite a measure (%13=2), fact deletes (synthetic
+    o_orderkey+1e9 rows), dim inserts (c_custkey%11=0), dim attribute
+    updates (%11=1, 'OLD-' prefix stripped), and dim deletes (%11=5,
+    attrs must null out while the fact rows survive). The oracle is the
+    full recompute against the NEW base states — so the two-pass delta
+    algebra (anti-join + dim_old re-enrich, then Δdim patch join) is
+    verified end to end, never rescanning the fact base."""
+    from relational_data_loader_spark.operators.incremental import (
+        apply_delta_join_view,
+        join_view,
+    )
+
+    attrs = ["c_name", "c_mktsegment"]
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", *attrs)
+    m13 = F.pmod(F.col("o_orderkey"), F.lit(13))
+    m11 = F.pmod(F.col("c_custkey"), F.lit(11))
+
+    dim_old = cust.filter(m11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(
+            m11 == 1, F.concat(F.lit("OLD-"), F.col("c_mktsegment"))
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    fact_old = (
+        orders.filter(m13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(m13 == 1, F.col("o_custkey") + 17)
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_orderstatus",
+            F.when(m13 == 2, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(m13 == 3).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias(
+                    "o_orderkey"
+                ),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    prev = join_view(fact_old, dim_old, "o_custkey", "c_custkey", attrs)
+
+    fact_changes = orders.filter(m13.isin(0, 1, 2)).withColumn(
+        "op", F.when(m13 == 0, F.lit("I")).otherwise(F.lit("U"))
+    ).unionByName(
+        orders.filter(m13 == 3).select(
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+        )
+    )
+    dim_changes = cust.filter(m11.isin(0, 1)).withColumn(
+        "op", F.when(m11 == 0, F.lit("I")).otherwise(F.lit("U"))
+    ).unionByName(cust.filter(m11 == 5).withColumn("op", F.lit("D")))
+
+    return apply_delta_join_view(
+        prev,
+        fact_changes,
+        dim_changes,
+        dim_old,
+        ["o_orderkey"],
+        "o_custkey",
+        "c_custkey",
+        attrs,
+    )
+
+
+SQL_JOIN_VIEW_IVM = """
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       c.c_name, c.c_mktsegment
+FROM orders o
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 11 <> 5) c
+  ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_boilerplate_turn_scrub(spark, sf):
+    """Turn-granular boilerplate removal (operators/transcript.py
+    drop_boilerplate_turns): drop every turn whose exact text occurs in
+    >=3 distinct conversations, then re-fingerprint what survives. events
+    as the transcript (user_id=conv, event_id=turn order); the text mixes
+    a canned 'greet:<type>' phrase (every 5th turn — true boilerplate,
+    shared corpus-wide) with per-turn-unique bodies, so conversations keep
+    most turns but shed the template."""
+    from relational_data_loader_spark.operators.transcript import (
+        drop_boilerplate_turns,
+    )
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) == 0,
+            F.concat(F.lit("greet:"), F.col("event_type")),
+        )
+        .otherwise(
+            F.concat(F.col("event_type"), F.lit(":"), F.col("event_id"))
+        )
+        .alias("txt"),
+    )
+    return drop_boilerplate_turns(
+        ev, "user_id", "event_id", "txt", min_convs=3
+    )
+
+
+SQL_BOILERPLATE_SCRUB = """
+WITH turns AS (
+  SELECT user_id AS conv, event_id AS turn,
+         CASE WHEN event_id % 5 = 0 THEN 'greet:' || event_type
+              ELSE event_type || ':' || CAST(event_id AS VARCHAR) END AS txt
+  FROM events),
+bp AS (
+  SELECT txt FROM turns GROUP BY txt
+  HAVING count(DISTINCT conv) >= 3),
+marked AS (
+  SELECT t.conv, t.turn, t.txt, (b.txt IS NOT NULL) AS is_bp
+  FROM turns t LEFT JOIN bp b ON t.txt = b.txt)
+SELECT conv AS user_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(coalesce(
+         string_agg(CASE WHEN NOT is_bp THEN txt END, chr(31) ORDER BY turn),
+         '')) AS kept_fingerprint,
+       CAST(coalesce(sum(CASE WHEN NOT is_bp THEN length(txt) END), 0)
+            AS BIGINT) AS kept_chars
+FROM marked GROUP BY conv
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -5999,4 +6145,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hist_quantile_rollup": (q_hist_quantile_rollup, SQL_HIST_QUANTILE_ROLLUP),
     "contrastive_negatives": (q_contrastive_negatives, SQL_CONTRASTIVE_NEGATIVES),
     "source_length_ks": (q_source_length_ks, SQL_SOURCE_LENGTH_KS),
+    "cdc_join_view_ivm": (q_cdc_join_view_ivm, SQL_JOIN_VIEW_IVM),
+    "boilerplate_turn_scrub": (q_boilerplate_turn_scrub, SQL_BOILERPLATE_SCRUB),
 }

@@ -1,0 +1,158 @@
+"""Round-5 session-6 additions: incrementally maintained enrichment
+join views (both-side CDC churn must equal a full recompute) and
+turn-granular boilerplate scrubbing on transcripts."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from relational_data_loader_spark.operators.incremental import (
+    apply_delta_join_view,
+    join_view,
+)
+from relational_data_loader_spark.operators.transcript import (
+    drop_boilerplate_turns,
+)
+
+
+# --------------------------------------------------------------------------
+# apply_delta_join_view
+
+
+def _frames(spark):
+    fact_old = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b"), (3, 20, "c"), (4, 30, "d")],
+        ["id", "fk", "val"],
+    )
+    dim_old = spark.createDataFrame(
+        [(10, "ten"), (20, "twenty"), (30, "thirty")], ["k", "attr"]
+    )
+    # epoch: fact — insert 5→40, update 2 (fk MOVES 10→20), delete 4;
+    #        dim  — insert 40, update 10 ("ten"→"TEN"), delete 30
+    fact_changes = spark.createDataFrame(
+        [
+            ("I", 5, 40, "e"),
+            ("U", 2, 20, "b2"),
+            ("D", 4, None, None),
+        ],
+        ["op", "id", "fk", "val"],
+    )
+    dim_changes = spark.createDataFrame(
+        [("I", 40, "forty"), ("U", 10, "TEN"), ("D", 30, None)],
+        ["op", "k", "attr"],
+    )
+    fact_new = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b2"), (3, 20, "c"), (5, 40, "e")],
+        ["id", "fk", "val"],
+    )
+    dim_new = spark.createDataFrame(
+        [(10, "TEN"), (20, "twenty"), (40, "forty")], ["k", "attr"]
+    )
+    return fact_old, dim_old, fact_changes, dim_changes, fact_new, dim_new
+
+
+def test_join_view_delta_equals_recompute(spark):
+    fact_old, dim_old, fc, dc, fact_new, dim_new = _frames(spark)
+    prev = join_view(fact_old, dim_old, "fk", "k", ["attr"])
+    got = apply_delta_join_view(
+        prev, fc, dc, dim_old, ["id"], "fk", "k", ["attr"]
+    )
+    want = join_view(fact_new, dim_new, "fk", "k", ["attr"])
+    key = lambda r: r["id"]  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_join_view_delta_cases(spark):
+    fact_old, dim_old, fc, dc, *_ = _frames(spark)
+    prev = join_view(fact_old, dim_old, "fk", "k", ["attr"])
+    rows = {
+        r["id"]: r
+        for r in apply_delta_join_view(
+            prev, fc, dc, dim_old, ["id"], "fk", "k", ["attr"]
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3, 5}  # 4 deleted
+    # unchanged fact, dim row updated this epoch → new attr patched in
+    assert rows[1]["attr"] == "TEN"
+    # fact fk moved 10→20; must carry the TARGET dim's attr
+    assert rows[2]["attr"] == "twenty" and rows[2]["val"] == "b2"
+    # dim row 30 deleted → no fact references it any more (4 was deleted);
+    # inserted fact 5 references dim 40 inserted the SAME epoch
+    assert rows[5]["attr"] == "forty"
+
+
+def test_join_view_dim_delete_nulls_attr_fact_survives(spark):
+    fact_old = spark.createDataFrame([(1, 30, "a")], ["id", "fk", "val"])
+    dim_old = spark.createDataFrame([(30, "thirty")], ["k", "attr"])
+    prev = join_view(fact_old, dim_old, "fk", "k", ["attr"])
+    fc = spark.createDataFrame([], "op string, id long, fk long, val string")
+    dc = spark.createDataFrame(
+        [("D", 30, None)], "op string, k long, attr string"
+    )
+    got = apply_delta_join_view(
+        prev, fc, dc, dim_old, ["id"], "fk", "k", ["attr"]
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["id"] == 1 and got[0]["attr"] is None
+
+
+# --------------------------------------------------------------------------
+# drop_boilerplate_turns
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_boilerplate_known_values(spark):
+    sep = "\x1f"
+    turns = spark.createDataFrame(
+        [
+            (1, 0, "hi"), (1, 1, "u1a"), (1, 2, "u1b"),
+            (2, 0, "hi"), (2, 1, "u2a"),
+            (3, 0, "hi"),  # pure boilerplate conversation
+        ],
+        ["conv", "turn", "txt"],
+    )
+    rows = {
+        r["conv"]: r
+        for r in drop_boilerplate_turns(
+            turns, "conv", "turn", "txt", min_convs=3
+        ).collect()
+    }
+    assert rows[1]["n_turns"] == 3 and rows[1]["n_kept"] == 2
+    assert rows[1]["n_dropped"] == 1
+    assert rows[1]["kept_fingerprint"] == _md5(f"u1a{sep}u1b")
+    assert rows[1]["kept_chars"] == 6
+    assert rows[2]["kept_fingerprint"] == _md5("u2a")
+    # a conversation reduced to nothing still emits a row, md5('')
+    assert rows[3]["n_kept"] == 0
+    assert rows[3]["kept_fingerprint"] == _md5("")
+    assert rows[3]["kept_chars"] == 0
+
+
+def test_boilerplate_within_conv_repetition_not_flagged(spark):
+    # "spam" appears 4x but inside ONE conversation → distinct-conv df=1,
+    # below min_convs → kept (repetition is doc_repetition_stats' axis)
+    turns = spark.createDataFrame(
+        [(1, i, "spam") for i in range(4)] + [(2, 0, "x")],
+        ["conv", "turn", "txt"],
+    )
+    rows = {
+        r["conv"]: r
+        for r in drop_boilerplate_turns(
+            turns, "conv", "turn", "txt", min_convs=3
+        ).collect()
+    }
+    assert rows[1]["n_kept"] == 4 and rows[1]["n_dropped"] == 0
+
+
+def test_boilerplate_order_preserved_in_fingerprint(spark):
+    sep = "\x1f"
+    turns = spark.createDataFrame(
+        [(1, 2, "c"), (1, 0, "a"), (1, 1, "b")], ["conv", "turn", "txt"]
+    )
+    (row,) = drop_boilerplate_turns(
+        turns, "conv", "turn", "txt", min_convs=2
+    ).collect()
+    assert row["kept_fingerprint"] == _md5(f"a{sep}b{sep}c")
