@@ -273,3 +273,164 @@ def drop_boilerplate_turns(
             F.sum(F.when(F.col("_bp").isNull(), F.length("_txt"))), F.lit(0)
         ).alias("kept_chars"),
     )
+
+
+def role_alternation_audit(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    repeatable_roles: tuple[str, ...] = ("tool",),
+) -> DataFrame:
+    """Per-conversation role-protocol audit: does the turn sequence obey
+    the transcript grammar ``system* (user | assistant | tool)…`` with no
+    same-role back-to-back turns (except ``repeatable_roles`` — agent
+    transcripts legitimately emit consecutive tool-result turns)?
+
+    Violations counted per conversation:
+    - ``n_role_repeats``: turns whose role equals the PREVIOUS turn's role
+      and is not repeatable (double-user means a lost assistant turn;
+      double-assistant means a double-applied epoch the PK dedup missed).
+    - ``n_system_mid``: system turns preceded by a non-system turn — the
+      system prompt must be a prefix, so any later system turn is an
+      injection or a mis-ordered replay.
+    - ``first_role``: arg-min by turn; clean conversations open with
+      'system' or 'user'.
+    - ``is_clean``: all of the above hold.
+
+    Plan: one ``lag`` window on (conv, turn) and one groupBy on the SAME
+    key — Spark reuses the window's hash partitioning for the aggregation,
+    so the whole audit is a single exchange; every aggregate is a scalar
+    conditional sum with map-side combine.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    role = F.col(role_col)
+    prev = F.lag(role_col).over(w)
+    rep = (
+        role.eqNullSafe(prev) & ~role.isin(*repeatable_roles)
+    ).cast("int")
+    sys_mid = (
+        (role == "system") & prev.isNotNull() & (prev != "system")
+    ).cast("int")
+    agg = df.select(
+        F.col(conv_col), F.col(turn_col), role.alias("_role"),
+        rep.alias("_rep"), sys_mid.alias("_sys_mid"),
+    ).groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_rep").alias("n_role_repeats"),
+        F.sum("_sys_mid").alias("n_system_mid"),
+        F.min_by("_role", F.col(turn_col)).alias("first_role"),
+    )
+    return agg.withColumn(
+        "is_clean",
+        (F.col("n_role_repeats") == 0)
+        & (F.col("n_system_mid") == 0)
+        & F.col("first_role").isin("system", "user"),
+    )
+
+
+def trim_to_token_budget(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+    budget: int,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Context-window trimming: keep the longest SUFFIX of turns whose
+    cumulative whitespace-token count fits ``budget`` — the standard
+    "drop oldest turns first" truncation an inference/SFT pipeline applies
+    before packing. The FINAL turn is always kept even if it alone busts
+    the budget (an example with zero turns is useless; the caller's
+    length filter handles oversized single turns).
+
+    Output, one row per conversation: ``n_turns`` (before), ``n_kept``,
+    ``kept_tokens`` (may exceed ``budget`` only in the single-oversized-
+    final-turn case), ``first_kept_turn``, and ``kept_fingerprint`` — md5
+    of the ordered surviving texts, so a trimmed replica can be compared
+    turn-text-exactly without shipping the texts.
+
+    Plan: one descending window on (conv, turn) computes the reverse
+    running token sum and row number in a single pass; the groupBy keys on
+    the same conv column, so the window's exchange is reused — one shuffle
+    total. Token counting is `size(split(...))` codegen, no Python.
+    """
+    from pyspark.sql import Window
+
+    from relational_data_loader_spark.functions.text import token_count
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ntok = token_count(F.col(text_col))
+    rows = df.select(
+        F.col(conv_col), F.col(turn_col), F.col(text_col).alias("_txt"),
+        ntok.alias("_ntok"),
+        F.sum(ntok).over(w).alias("_rev_cum"),
+        F.row_number().over(
+            Window.partitionBy(conv_col).orderBy(F.col(turn_col).desc())
+        ).alias("_rn_desc"),
+    ).withColumn(
+        "_keep",
+        (F.col("_rev_cum") <= F.lit(int(budget))) | (F.col("_rn_desc") == 1),
+    )
+    kept_struct = F.when(
+        F.col("_keep"),
+        F.struct(F.col(turn_col).alias("t"), F.col("_txt").alias("x")),
+    )
+    joined = F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["x"]),
+        sep,
+        null_replacement="\x00",
+    )
+    return rows.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.sum(F.when(F.col("_keep"), F.col("_ntok")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.min(F.when(F.col("_keep"), F.col(turn_col))).alias(
+            "first_kept_turn"
+        ),
+        F.md5(joined).alias("kept_fingerprint"),
+    )
+
+
+def sft_loss_mask_stats(
+    df: DataFrame,
+    conv_col: str,
+    role_col: str,
+    text_col: str,
+    trainable_role: str = "assistant",
+) -> DataFrame:
+    """Loss-mask accounting for SFT example construction: per conversation,
+    how many tokens are TRAINABLE (turns of ``trainable_role`` — the only
+    spans that receive loss; user/system/tool turns are context-masked)
+    vs total, the mask ratio (4dp), and ``n_examples`` (one training
+    example per trainable turn under the each-assistant-turn-is-a-target
+    convention). A corpus whose mask ratio collapses toward 0 trains
+    mostly on padding context — this is the monitor that catches it.
+
+    Plan: one partial-aggregated groupBy; token counting is codegen."""
+    from relational_data_loader_spark.functions.text import token_count
+
+    ntok = token_count(F.col(text_col))
+    trainable = F.when(F.col(role_col) == trainable_role, ntok).otherwise(
+        F.lit(0)
+    )
+    return df.groupBy(conv_col).agg(
+        F.sum(ntok).alias("total_tokens"),
+        F.sum(trainable).alias("trainable_tokens"),
+        F.count(F.when(F.col(role_col) == trainable_role, 1)).alias(
+            "n_examples"
+        ),
+        F.round(
+            F.sum(trainable)
+            / F.nullif(F.sum(ntok).cast("double"), F.lit(0.0)),
+            4,
+        ).alias("mask_ratio"),
+    )

@@ -5981,6 +5981,147 @@ FROM marked GROUP BY conv
 """
 
 
+# shared turn-table derivation for the transcript-protocol entries: events
+# as the transcript (user_id=conv, event_id=turn order), role derived
+# deterministically from the turn id (system sprinkled at %17, tool at %13,
+# the rest alternating-ish user/assistant), text = event_type + props (3
+# whitespace tokens per turn). Both engines compute the identical mapping.
+def _turns_with_roles(spark, sf):
+    ev = _t(spark, sf, "events")
+    role = (
+        F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit("system"))
+        .when(F.pmod(F.col("event_id"), F.lit(13)) == 0, F.lit("tool"))
+        .when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        role.alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("txt"),
+    )
+
+
+_SQL_TURNS_WITH_ROLES = """
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'system'
+              WHEN event_id % 13 = 0 THEN 'tool'
+              WHEN event_id % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         event_type || ' ' || props AS txt
+  FROM events
+"""
+
+
+def q_transcript_role_audit(spark, sf):
+    """Role-protocol audit (operators/transcript.py
+    role_alternation_audit): per conversation, same-role back-to-back
+    violations (tool exempt), mid-conversation system injections, and the
+    opening role — the transcript-grammar DQ check a CDC replica runs
+    before the corpus is assembled."""
+    from relational_data_loader_spark.operators.transcript import (
+        role_alternation_audit,
+    )
+
+    return role_alternation_audit(
+        _turns_with_roles(spark, sf), "user_id", "event_id", "role"
+    )
+
+
+SQL_TRANSCRIPT_ROLE_AUDIT = f"""
+WITH t AS ({_SQL_TURNS_WITH_ROLES}),
+l AS (SELECT user_id, event_id, role,
+             lag(role) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      FROM t),
+a AS (
+  SELECT user_id,
+         count(*) AS n_turns,
+         CAST(sum(CASE WHEN role = prev AND role <> 'tool'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
+         CAST(sum(CASE WHEN role = 'system' AND prev IS NOT NULL
+                        AND prev <> 'system'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_system_mid,
+         arg_min(role, event_id) AS first_role
+  FROM l GROUP BY user_id)
+SELECT user_id, n_turns, n_role_repeats, n_system_mid, first_role,
+       (n_role_repeats = 0 AND n_system_mid = 0
+        AND first_role IN ('system', 'user')) AS is_clean
+FROM a
+"""
+
+
+def q_transcript_token_trim(spark, sf):
+    """Context-budget trimming (operators/transcript.py
+    trim_to_token_budget): keep the longest suffix of turns fitting 12
+    whitespace tokens (the final turn unconditionally), fingerprint what
+    survives — the drop-oldest-turns truncation every SFT/inference
+    pipeline applies before packing."""
+    from relational_data_loader_spark.operators.transcript import (
+        trim_to_token_budget,
+    )
+
+    return trim_to_token_budget(
+        _turns_with_roles(spark, sf), "user_id", "event_id", "txt", budget=12
+    )
+
+
+SQL_TRANSCRIPT_TOKEN_TRIM = f"""
+WITH t AS ({_SQL_TURNS_WITH_ROLES}),
+k AS (SELECT user_id, event_id, txt,
+             len(string_split(regexp_replace(lower(txt), '\\s+', ' ', 'g'),
+                 ' ')) AS ntok,
+             sum(len(string_split(regexp_replace(lower(txt), '\\s+', ' ',
+                 'g'), ' ')))
+               OVER (PARTITION BY user_id ORDER BY event_id DESC
+                     ROWS UNBOUNDED PRECEDING) AS rev_cum,
+             row_number()
+               OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM t),
+m AS (SELECT *, (rev_cum <= 12 OR rn = 1) AS keep FROM k)
+SELECT user_id,
+       count(*) AS n_turns,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN ntok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       min(CASE WHEN keep THEN event_id END) AS first_kept_turn,
+       md5(string_agg(CASE WHEN keep THEN txt END, chr(31)
+                      ORDER BY event_id)) AS kept_fingerprint
+FROM m GROUP BY user_id
+"""
+
+
+def q_sft_mask_ratio(spark, sf):
+    """Loss-mask accounting (operators/transcript.py sft_loss_mask_stats):
+    trainable (assistant-turn) tokens vs total per conversation + the 4dp
+    mask ratio — the monitor that catches a corpus degenerating into
+    context-only padding."""
+    from relational_data_loader_spark.operators.transcript import (
+        sft_loss_mask_stats,
+    )
+
+    return sft_loss_mask_stats(
+        _turns_with_roles(spark, sf), "user_id", "role", "txt"
+    )
+
+
+SQL_SFT_MASK_RATIO = f"""
+WITH t AS ({_SQL_TURNS_WITH_ROLES}),
+k AS (SELECT user_id, role,
+             len(string_split(regexp_replace(lower(txt), '\\s+', ' ', 'g'),
+                 ' ')) AS ntok
+      FROM t)
+SELECT user_id,
+       CAST(sum(ntok) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+            AS BIGINT) AS trainable_tokens,
+       count(CASE WHEN role = 'assistant' THEN 1 END) AS n_examples,
+       CAST(round(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END)
+             / nullif(CAST(sum(ntok) AS DOUBLE), 0.0), 4) AS DOUBLE)
+         AS mask_ratio
+FROM k GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -6147,4 +6288,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "source_length_ks": (q_source_length_ks, SQL_SOURCE_LENGTH_KS),
     "cdc_join_view_ivm": (q_cdc_join_view_ivm, SQL_JOIN_VIEW_IVM),
     "boilerplate_turn_scrub": (q_boilerplate_turn_scrub, SQL_BOILERPLATE_SCRUB),
+    "transcript_role_audit": (q_transcript_role_audit, SQL_TRANSCRIPT_ROLE_AUDIT),
+    "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
+    "sft_mask_ratio": (q_sft_mask_ratio, SQL_SFT_MASK_RATIO),
 }

@@ -156,3 +156,80 @@ def test_boilerplate_order_preserved_in_fingerprint(spark):
         turns, "conv", "turn", "txt", min_convs=2
     ).collect()
     assert row["kept_fingerprint"] == _md5(f"a{sep}b{sep}c")
+
+
+# --------------------------------------------------------------------------
+# role_alternation_audit / trim_to_token_budget / sft_loss_mask_stats
+
+from relational_data_loader_spark.operators.transcript import (  # noqa: E402
+    role_alternation_audit,
+    sft_loss_mask_stats,
+    trim_to_token_budget,
+)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, ["conv", "turn", "role", "txt"])
+
+
+def test_role_audit_clean_and_violations(spark):
+    rows = (
+        # conv 1: clean agent transcript incl. back-to-back tool turns
+        [(1, 0, "system", ""), (1, 1, "user", ""), (1, 2, "assistant", ""),
+         (1, 3, "tool", ""), (1, 4, "tool", ""), (1, 5, "assistant", "")]
+        # conv 2: double-user + a mid-conversation system injection
+        + [(2, 0, "user", ""), (2, 1, "user", ""), (2, 2, "system", ""),
+           (2, 3, "assistant", "")]
+        # conv 3: opens with assistant
+        + [(3, 0, "assistant", ""), (3, 1, "user", "")]
+    )
+    got = {
+        r["conv"]: r
+        for r in role_alternation_audit(
+            _turns(spark, rows), "conv", "turn", "role"
+        ).collect()
+    }
+    assert got[1]["is_clean"] and got[1]["n_role_repeats"] == 0
+    assert got[2]["n_role_repeats"] == 1 and got[2]["n_system_mid"] == 1
+    assert not got[2]["is_clean"]
+    assert got[3]["first_role"] == "assistant" and not got[3]["is_clean"]
+    assert got[3]["n_role_repeats"] == 0  # alternation itself is fine
+
+
+def test_trim_keeps_suffix_within_budget(spark):
+    # 4 turns x 3 tokens each; budget 7 -> last two fit (6), third busts
+    rows = [(1, i, "u", "a b c") for i in range(4)]
+    (r,) = trim_to_token_budget(
+        _turns(spark, rows), "conv", "turn", "txt", budget=7
+    ).collect()
+    assert r["n_turns"] == 4 and r["n_kept"] == 2
+    assert r["kept_tokens"] == 6 and r["first_kept_turn"] == 2
+    import hashlib
+
+    assert r["kept_fingerprint"] == hashlib.md5(
+        "a b c\x1fa b c".encode()
+    ).hexdigest()
+
+
+def test_trim_always_keeps_final_turn(spark):
+    rows = [(1, 0, "u", "tiny"), (1, 1, "u", "w x y z q r s t")]  # 8 > 5
+    (r,) = trim_to_token_budget(
+        _turns(spark, rows), "conv", "turn", "txt", budget=5
+    ).collect()
+    assert r["n_kept"] == 1 and r["first_kept_turn"] == 1
+    assert r["kept_tokens"] == 8  # documented budget overshoot case
+
+
+def test_sft_mask_ratio_known_values(spark):
+    rows = [
+        (1, 0, "user", "a b c d"),       # 4 context tokens
+        (1, 1, "assistant", "e f"),      # 2 trainable
+        (1, 2, "user", "g"),             # 1 context
+        (1, 3, "assistant", "h"),        # 1 trainable
+    ]
+    (r,) = sft_loss_mask_stats(
+        _turns(spark, rows), "conv", "role", "txt"
+    ).collect()
+    assert r["total_tokens"] == 8 and r["trainable_tokens"] == 3
+    assert r["n_examples"] == 2
+    assert r["mask_ratio"] == round(3 / 8, 4)
