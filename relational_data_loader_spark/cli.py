@@ -136,6 +136,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="maintenance: abandon branch NAME on each spec's table "
         "(staged files reclaimed by the next --vacuum), then exit",
     )
+    p.add_argument(
+        "--commit-retries",
+        type=int,
+        default=1,
+        metavar="N",
+        help="batch loads: retry up to N times when another writer wins "
+        "the manifest-commit race (re-plans against the winner's version; "
+        "default 1 = fail on first conflict, the single-writer posture)",
+    )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
     return p.parse_args(argv)
@@ -342,7 +351,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             try:
-                res = mgr.run(spec, force_full=force, branch=args.branch)
+                res = mgr.run_with_retry(
+                    spec,
+                    max_attempts=args.commit_retries,
+                    force_full=force,
+                    branch=args.branch,
+                )
             except ExpectationFailedError as e:
                 # admission gate rejected the epoch: nothing committed, the
                 # watermark never moved — report and keep servicing the

@@ -165,6 +165,43 @@ class DataLoadManager:
                 raise ExpectationFailedError(spec.name, bad)
         return counts
 
+    def run_with_retry(
+        self,
+        spec: IngestSpec,
+        max_attempts: int = 3,
+        force_full: bool = False,
+        branch: str | None = None,
+    ) -> RunResult:
+        """``run`` under optimistic concurrency: when another writer wins
+        the manifest version race (``ConcurrentCommitError``), re-plan and
+        retry instead of failing the load. Safe by construction: the loser
+        tracked NOTHING (state append happens only after a successful
+        commit), so the retry's decision re-reads the WINNER's watermark
+        and applied-epochs set — epochs the winner already landed are
+        detected as no-ops, and only genuinely missing work is re-applied.
+        The losing attempt's data files are orphans until ``vacuum``.
+
+        This is the manifest-sink twin of Iceberg's internal
+        CommitFailedException retry loop; the Iceberg sink doesn't need it
+        (its catalog does the same re-plan JVM-side). Branch-publish
+        divergence is NOT retried — a non-fast-forward publish means the
+        audit ran against a stale base and must be re-staged deliberately.
+        """
+        from relational_data_loader_spark.sinks.snapshot import (
+            ConcurrentCommitError,
+        )
+
+        last_err: ConcurrentCommitError | None = None
+        for _ in range(max(1, int(max_attempts))):
+            try:
+                return self.run(spec, force_full=force_full, branch=branch)
+            except ConcurrentCommitError as e:
+                last_err = e
+        raise ConcurrentCommitError(
+            f"load {spec.name!r} lost the commit race {max_attempts} times; "
+            "a writer storm needs coordination, not more retries"
+        ) from last_err
+
     def run(
         self,
         spec: IngestSpec,

@@ -82,6 +82,19 @@ LSN_COL = "_rdl_lsn"
 DELETED_COL = "_rdl_deleted"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer linked this manifest version first. The loser's data
+    files are orphans (vacuum reclaims them); its STATE is untouched —
+    nothing was tracked, so re-running the load re-plans against the
+    winner's committed watermark and applies only what is still missing.
+    That re-plan-and-retry loop is ``DataLoadManager.run_with_retry`` —
+    the same optimistic-concurrency protocol Iceberg's commit path runs
+    internally (retry on CommitFailedException), surfaced here because the
+    manifest sink's link(2) commit has no JVM to hide it in. Branch
+    PUBLISH divergence is deliberately NOT this type: a non-fast-forward
+    publish needs re-staging, not a blind retry."""
+
+
 def epoch_key(epoch_id: int, namespace: str) -> str:
     """Namespaced idempotence key for the applied-epochs set."""
     if namespace not in ("batch", "stream"):
@@ -290,9 +303,9 @@ class SnapshotTable:
             os.link(tmp, final)
         except FileExistsError:
             os.unlink(tmp)
-            raise RuntimeError(
+            raise ConcurrentCommitError(
                 f"concurrent commit detected: {final} already exists "
-                f"(single-writer contract violated for {self.path})"
+                f"(another writer won version {version} for {self.path})"
             )
         os.unlink(tmp)
         return manifest
@@ -372,7 +385,7 @@ class SnapshotTable:
             os.link(tmp, final)
         except FileExistsError:
             os.unlink(tmp)
-            raise RuntimeError(
+            raise ConcurrentCommitError(
                 f"concurrent commit detected on branch {self._branch!r}: "
                 f"{final} already exists"
             )
