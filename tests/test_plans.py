@@ -365,3 +365,43 @@ def test_cms_cells_single_aggregation_shuffle(spark):
     plan = _plan(df)
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_role_audit_single_exchange(spark):
+    """lag window and the audit groupBy both key on conv — Spark must
+    reuse the window's hash partitioning, one exchange total."""
+    from relational_data_loader_spark.queries import q_transcript_role_audit
+
+    plan = _plan(q_transcript_role_audit(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_token_trim_single_exchange_no_python(spark):
+    """Reverse-cumsum window + row_number + groupBy all key on conv: one
+    exchange; token counting stays codegen (no Python workers)."""
+    from relational_data_loader_spark.queries import q_transcript_token_trim
+
+    plan = _plan(q_transcript_token_trim(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_scrub_two_exchanges_both_partial(spark):
+    """Text-frequency groupBy + conv re-assembly = exactly two hash
+    exchanges (the marker join rides one of them); no cartesian."""
+    from relational_data_loader_spark.queries import q_boilerplate_turn_scrub
+
+    plan = _plan(q_boilerplate_turn_scrub(spark, SF))
+    # tiny flagged head at this SF broadcasts -> its join adds no exchange
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_join_view_ivm_no_view_scan_joins(spark):
+    """Both IVM passes are equi-joins (anti + left); nothing compiles to
+    a nested-loop or cartesian."""
+    from relational_data_loader_spark.queries import q_cdc_join_view_ivm
+
+    plan = _plan(q_cdc_join_view_ivm(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
