@@ -48,6 +48,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "before the merge; state is one long per live PK",
     )
     p.add_argument(
+        "--state-ttl-minutes",
+        type=int,
+        default=None,
+        metavar="M",
+        help="with --stateful-dedup: evict a key's dedup state after M "
+        "idle minutes, bounding the state store to keys active within the "
+        "TTL (evicted keys fall back to the sink's version guard). "
+        "Resident streams only — incompatible with --once",
+    )
+    p.add_argument(
         "--expire-tombstones-below",
         type=int,
         default=None,
@@ -152,6 +162,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+
+    if args.state_ttl_minutes is not None and args.once:
+        # the runner would raise the same contract; fail before a Spark
+        # session is paid for (see StreamingIngest.start's guard)
+        print(
+            "[rdl-spark] --state-ttl-minutes needs a resident stream: "
+            "processing-time timeouts never let an --once (availableNow) "
+            "trigger terminate",
+            file=sys.stderr,
+        )
+        return 2
 
     from relational_data_loader_spark.plans.manager import DataLoadManager
     from relational_data_loader_spark.session import get_spark
@@ -341,7 +362,8 @@ def main(argv: list[str] | None = None) -> int:
                 mgr.run(spec, force_full=True)
             queries.append(
                 StreamingIngest(
-                    mgr, spec, ckpt, stateful_dedup=args.stateful_dedup
+                    mgr, spec, ckpt, stateful_dedup=args.stateful_dedup,
+                    state_ttl_minutes=args.state_ttl_minutes,
                 ).start(available_now=args.once)
             )
             print(f"[rdl-spark] streaming {spec.name} (checkpoint={ckpt})")

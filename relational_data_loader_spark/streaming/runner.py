@@ -42,6 +42,7 @@ class StreamingIngest:
         max_files_per_trigger: int | None = None,
         rows_per_file_hint: int = 250_000,
         stateful_dedup: bool = False,
+        state_ttl_minutes: int | None = None,
     ):
         self.mgr = manager
         self.spec = spec
@@ -50,6 +51,9 @@ class StreamingIngest:
         # kills re-delivered/stale events before the merge shuffle. State is
         # one long per live PK — size the state store accordingly.
         self.stateful_dedup = stateful_dedup
+        # bounds the dedup state to keys active within the TTL; evicted
+        # keys fall back to the sink's version guard (state_filter.py)
+        self.state_ttl_minutes = state_ttl_minutes
         if max_files_per_trigger is None:
             # derive micro-batch size from the spec's batch_size (the
             # reference C2 knob): the file source is bounded in files, not
@@ -137,6 +141,19 @@ class StreamingIngest:
         (watermark → CHANGETABLE-analog scan → merge). That equivalence is
         tested in tests/test_streaming.py::test_jdbc_style_poll_loop.
         """
+        if available_now and self.state_ttl_minutes is not None:
+            # measured, not theoretical: processing-time timers make the
+            # stateful operator report pending work every trigger, so an
+            # availableNow run schedules empty drain micro-batches FOREVER
+            # (observed 160+ zero-data batches with all timers already
+            # cleared). TTL eviction is a resident-stream feature; a
+            # poll-style drain should run without it (state carried in the
+            # checkpoint is bounded by what the resident runs evicted).
+            raise ValueError(
+                "state_ttl_minutes requires a resident stream "
+                "(start(available_now=False)): processing-time timeouts "
+                "prevent availableNow triggers from ever terminating"
+            )
         scheme, _, path = self.spec.source.partition("://")
         if scheme == "kafka":
             # Debezium topic tail (sources/kafka.py, jar-gated);
@@ -184,7 +201,9 @@ class StreamingIngest:
                 monotone_lsn_filter,
             )
 
-            stream = monotone_lsn_filter(stream, self.spec)
+            stream = monotone_lsn_filter(
+                stream, self.spec, ttl_minutes=self.state_ttl_minutes
+            )
         writer = (
             stream.writeStream.foreachBatch(self.apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

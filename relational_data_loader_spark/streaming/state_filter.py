@@ -75,7 +75,9 @@ _MAP_STATE_SCHEMA = T.StructType(
 _SUBKEY_SEP = "\x1f"
 
 
-def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
+def monotone_lsn_filter(
+    stream: DataFrame, spec: IngestSpec, ttl_minutes: int | None = None
+) -> DataFrame:
     """Drop events at-or-below the per-PK high-water LSN seen so far.
 
     Works on a streaming DataFrame with the spec's change schema; returns
@@ -87,6 +89,22 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
     the module docstring's group-granularity argument (a 46k-group batch
     costs ~55 s in per-group overhead alone; the coarse grouping removes
     exactly that, the guard stays per-PK exact).
+
+    ``ttl_minutes`` bounds the state: a group idle for that long is
+    EVICTED (processing-time timeout). Without it, state is one row per
+    key EVER SEEN — unbounded over a 10^10-event tail whose key space
+    grows (every new conversation adds a row forever). Eviction is safe
+    because this filter is an optimization, not the correctness guard: a
+    re-delivered event for an evicted key passes the filter and rides the
+    merge, where the sink's version-guarded MERGE + applied-epoch manifest
+    no-op it — exactly the path it would have taken with the filter off.
+    The TTL trades that wasted merge work (only for re-deliveries older
+    than the TTL, which real tails deliver within minutes) for an O(live
+    keys within TTL) state bound. Timeouts fire between micro-batches, so
+    a TTL of 0 means "evict at the next batch boundary". Resident streams
+    only: processing-time timers keep an availableNow trigger scheduling
+    empty drain batches forever, so ``StreamingIngest.start`` refuses the
+    combination (see its guard).
     """
     lsn = spec.lsn_column
     out_schema = stream.schema
@@ -94,9 +112,21 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl_ms = (
+        None if ttl_minutes is None else max(1, int(ttl_minutes) * 60_000)
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
     if len(pks) == 1:
 
         def dedup(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+            if ttl_ms is not None and state.hasTimedOut:
+                state.remove()
+                return
             prior = state.get[0] if state.exists else -1
             if prior is None:
                 prior = -1
@@ -110,18 +140,23 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
                     yield keep
             if mx > prior:
                 state.update((mx,))
+            if ttl_ms is not None and state.exists:
+                state.setTimeoutDuration(ttl_ms)
 
         return stream.groupBy(*pks).applyInPandasWithState(
             dedup,
             out_schema,
             _STATE_SCHEMA,
             "update",
-            GroupStateTimeout.NoTimeout,
+            timeout_conf,
         )
 
     sub_pks = pks[1:]
 
     def dedup_map(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             sub_keys, max_lsns = state.get
             prior: dict[str, int] = dict(zip(sub_keys or [], max_lsns or []))
@@ -152,11 +187,13 @@ def monotone_lsn_filter(stream: DataFrame, spec: IngestSpec) -> DataFrame:
         if advanced:
             prior.update(advanced)
             state.update((list(prior.keys()), list(prior.values())))
+        if ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
 
     return stream.groupBy(pks[0]).applyInPandasWithState(
         dedup_map,
         out_schema,
         _MAP_STATE_SCHEMA,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout_conf,
     )

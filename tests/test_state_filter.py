@@ -172,3 +172,102 @@ def test_state_filter_with_renamed_pk_spec(spark, warehouse, tmp_path):
     got = mgr.table(spec).read()
     assert {"conversation_id", "turn_number", "speaker"} <= set(got.columns)
     assert got.count() > 0
+
+
+def test_ttl_eviction_admits_stale_rows_sink_guard_keeps_state_exact(
+    spark, warehouse, tmp_path
+):
+    """With a (deliberately absurd) 0-minute TTL on a RESIDENT stream, keys
+    idle for one batch are evicted; a later stale re-delivery for them
+    PASSES the filter — and the version-guarded MERGE still no-ops every
+    row, so the final table is byte-equal to the no-redelivery oracle.
+    Pins the safety argument in monotone_lsn_filter's docstring: eviction
+    trades wasted merge work, never correctness."""
+    import pyarrow.compute as pc
+
+    tbl = generate_change_log(n_events=1200, n_convs=25, seed=19)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    # seg0: everything; seg1: thin stale slice (keeps its few convs' state
+    # alive, everyone else times out in seg1's batch); seg2: wide stale
+    # re-delivery hitting evicted convs
+    cuts = [(0, n + 1), (n // 2, n // 2 + 20), (n // 4, n // 2)]
+    _write_segments(tbl, logdir, cuts)
+
+    # deterministic expectation: exactly the seg2 rows of convs NOT kept
+    # alive by seg1 pass the filter (their state was evicted)
+    def _convs(lo, hi):
+        seg = tbl.filter(
+            pc.and_(pc.greater_equal(tbl["lsn"], lo), pc.less(tbl["lsn"], hi))
+        )
+        return set(seg["conv_id"].to_pylist())
+
+    alive = _convs(*cuts[1])
+    seg2 = tbl.filter(
+        pc.and_(
+            pc.greater_equal(tbl["lsn"], cuts[2][0]),
+            pc.less(tbl["lsn"], cuts[2][1]),
+        )
+    )
+    expected_pass = sum(c not in alive for c in seg2["conv_id"].to_pylist())
+    assert 0 < expected_pass < seg2.num_rows  # fixture exercises both sides
+
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = RecordingIngest(
+        mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        stateful_dedup=True, state_ttl_minutes=0,  # 1 ms: next-batch evict
+    )
+    q = ing.start(available_now=False)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline and len(ing.delivered) < 3:
+            time.sleep(2)
+        assert len(ing.delivered) >= 3, ing.delivered
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    data_batches = ing.delivered[:3]  # later entries are empty drain batches
+    assert data_batches[0] == n
+    # seg1's convs still had live state -> all 20 stale rows filtered
+    assert data_batches[1] == 0, ing.delivered
+    # seg2: evicted convs pass, still-armed (seg1) convs stay filtered
+    assert data_batches[2] == expected_pass, ing.delivered
+    assert all(d == 0 for d in ing.delivered[3:]), ing.delivered
+    # ...and the sink's version guard no-ops every admitted stale row
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    want = duck_final_state(f"{logdir}/seg-000.parquet")
+    assert_tables_equal(got, want)
+
+
+def test_ttl_refused_on_available_now(spark, warehouse, tmp_path):
+    tbl = generate_change_log(n_events=100, n_convs=5, seed=3)
+    logdir = str(tmp_path / "log")
+    _write_segments(tbl, logdir, [(0, tbl.num_rows + 1)])
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = StreamingIngest(
+        mgr, spec, str(tmp_path / "ckpt"),
+        stateful_dedup=True, state_ttl_minutes=5,
+    )
+    with pytest.raises(ValueError, match="resident stream"):
+        ing.start(available_now=True)
+
+
+def test_no_ttl_behavior_unchanged(spark, warehouse, tmp_path):
+    """Default (no TTL) keeps the NoTimeout contract: the same wide stale
+    re-delivery is fully filtered."""
+    tbl = generate_change_log(n_events=1200, n_convs=25, seed=19)
+    n = tbl.num_rows
+    logdir = str(tmp_path / "log")
+    _write_segments(tbl, logdir, [(0, n + 1), (n // 4, n // 2)])
+
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=4)
+    mgr = DataLoadManager(spark, warehouse)
+    ing = RecordingIngest(
+        mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=1,
+        stateful_dedup=True,
+    )
+    ing.run_until_caught_up()
+    assert ing.delivered == [n, 0], ing.delivered
