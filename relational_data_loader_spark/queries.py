@@ -6122,6 +6122,87 @@ FROM k GROUP BY user_id
 """
 
 
+def q_stream_interval_join(spark, sf):
+    """Watermarked stream-stream interval join (streaming/joins.py): the
+    click and purchase tails of the event stream joined live — a purchase
+    attributes to every click by the same user in the preceding 24 h. A
+    REAL streaming query runs (two file-source streams, availableNow,
+    memory sink); the emitted pairs are then aggregated per user in batch.
+    Watermark delays are set far beyond the fixture's span so no pair is
+    dropped — the inner-join emission then equals the batch join exactly,
+    which is what the DuckDB oracle recomputes."""
+    import uuid
+
+    from relational_data_loader_spark.streaming.joins import (
+        interval_join_streams,
+    )
+
+    # the file-stream source needs a DIRECTORY; expose the fixture file
+    # through a scratch dir via symlink (no copy)
+    src = os.path.abspath(f"{sf}/events.parquet")
+    stream_dir = _state_workdir(sf, "sjoin")
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    path = stream_dir
+    sch = spark.read.parquet(path).schema
+
+    def _side(etype, ts_alias, *extra):
+        return (
+            spark.readStream.schema(sch)
+            .parquet(path)
+            .filter(F.col("event_type") == etype)
+            # watermarks require TIMESTAMP (tz-aware); the fixture's ts is
+            # NTZ and the session TZ is pinned UTC, so the cast is exact
+            .select(
+                "user_id", F.col("ts").cast("timestamp").alias(ts_alias), *extra
+            )
+        )
+
+    joined = interval_join_streams(
+        _side("click", "click_ts"),
+        _side("purchase", "buy_ts", "value"),
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        window="24 hours",
+        left_delay="3650 days",
+        right_delay="3650 days",
+    )
+    name = f"attr_{uuid.uuid4().hex[:10]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            _dec_sum(F.col("value"), "attributed_value"),
+        )
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT c.user_id,
+       count(*) AS n_attributed,
+       CAST(round(sum(CAST(p.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+         AS attributed_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 24 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+GROUP BY c.user_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -6291,4 +6372,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "transcript_role_audit": (q_transcript_role_audit, SQL_TRANSCRIPT_ROLE_AUDIT),
     "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
     "sft_mask_ratio": (q_sft_mask_ratio, SQL_SFT_MASK_RATIO),
+    "stream_interval_join": (q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
 }

@@ -233,3 +233,70 @@ def test_sft_mask_ratio_known_values(spark):
     assert r["total_tokens"] == 8 and r["trainable_tokens"] == 3
     assert r["n_examples"] == 2
     assert r["mask_ratio"] == round(3 / 8, 4)
+
+
+# --------------------------------------------------------------------------
+# interval_join_streams (streaming/joins.py)
+
+from relational_data_loader_spark.streaming.joins import (  # noqa: E402
+    interval_join_streams,
+)
+
+
+def _write_side(spark, tmp_path, name, rows, cols):
+    d = str(tmp_path / name)
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(d)
+    return d
+
+
+def test_stream_join_equals_batch_join(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    clicks = [(1, s(0)), (1, s(60)), (2, s(10)), (3, s(0))]
+    buys = [(1, s(20), 5.0), (2, s(100), 7.0), (3, s(0), 1.0), (4, s(5), 9.0)]
+    cdir = _write_side(spark, tmp_path, "c", clicks, ["user_id", "click_ts"])
+    bdir = _write_side(
+        spark, tmp_path, "b", buys, ["user_id", "buy_ts", "amt"]
+    )
+
+    kw = dict(
+        key="user_id", left_ts="click_ts", right_ts="buy_ts",
+        window="30 minutes", left_delay="365 days", right_delay="365 days",
+    )
+    want = sorted(
+        interval_join_streams(
+            spark.read.parquet(cdir), spark.read.parquet(bdir), **kw
+        ).collect()
+    )
+    # expected by hand: u1 click@0 -> buy@20 (in 30m); click@60 no;
+    # u2 buy@100 is 90m after click -> no; u3 exact-equal ts -> yes; u4 no click
+    assert [(r["user_id"], r["amt"]) for r in want] == [(1, 5.0), (3, 1.0)]
+
+    csch = spark.read.parquet(cdir).schema
+    bsch = spark.read.parquet(bdir).schema
+    joined = interval_join_streams(
+        spark.readStream.schema(csch).parquet(cdir),
+        spark.readStream.schema(bsch).parquet(bdir),
+        **kw,
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("sjtest")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(spark.table("sjtest").collect())
+    assert got == want
+
+
+def test_stream_join_rejects_colliding_ts_names(spark, tmp_path):
+    d = _write_side(spark, tmp_path, "x", [(1, 2)], ["user_id", "ts"])
+    df = spark.read.parquet(d)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct column names"):
+        interval_join_streams(
+            df, df, key="user_id", left_ts="ts", right_ts="ts",
+            window="1 minute", left_delay="1 minute", right_delay="1 minute",
+        )
