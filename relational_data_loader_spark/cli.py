@@ -69,8 +69,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--vacuum",
         action="store_true",
-        help="maintenance: delete uncommitted data files + old manifests "
-        "(snapshot sink) / expire old snapshots (iceberg), then exit",
+        help="maintenance: expire superseded data files (snapshot sink) / "
+        "old snapshots (iceberg), then exit. Never-referenced orphans "
+        "(crash/race leftovers) are reclaimed only past a 1-day age gate "
+        "so a concurrent writer's in-flight commit is never collected",
     )
     p.add_argument(
         "--optimize",

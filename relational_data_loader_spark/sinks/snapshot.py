@@ -444,11 +444,21 @@ class SnapshotTable:
         return committed
 
     def drop_branch(self, name: str) -> None:
-        """Abandon a branch: remove its staged manifests. Its data files
-        become unreferenced and the next ``vacuum`` reclaims them."""
-        import shutil
-
-        shutil.rmtree(self._branch_dir(name), ignore_errors=True)
+        """Abandon a branch: retire its staged manifests to a
+        dropped-branch record (rename, not delete). The record is what
+        lets ``vacuum`` tell the difference between "was staged, branch
+        abandoned" — reclaim the files NOW — and "referenced by nothing at
+        all", which could be a concurrent committer's in-flight write and
+        is only reclaimed past the orphan age gate. Vacuum removes the
+        record once it has swept."""
+        src = self._branch_dir(name)
+        if not os.path.isdir(src):
+            return
+        dst = os.path.join(
+            self.path, "_manifests", "_dropped", f"{name}.{uuid.uuid4().hex}"
+        )
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
 
     # ---- write paths ---------------------------------------------------------
 
@@ -1114,25 +1124,67 @@ class SnapshotTable:
 
     # ---- maintenance -----------------------------------------------------------
 
-    def vacuum(self, keep_manifests: int = 3) -> int:
-        """Delete data files unreferenced by the last ``keep_manifests``
-        MAIN manifests or by ANY live branch's staged manifests (snapshot
-        expiry; unpublished WAP staging is always retained — dropping a
-        branch is what releases its files). Returns files removed."""
-        manifests = self._manifest_files()[-keep_manifests:] + glob(
+    def vacuum(
+        self, keep_manifests: int = 3, orphan_min_age_seconds: int = 86_400
+    ) -> int:
+        """Snapshot expiry + orphan collection, three-way:
+
+        - referenced by the last ``keep_manifests`` MAIN manifests or ANY
+          live branch → KEPT (unpublished WAP staging is always retained;
+          dropping the branch is what releases its files);
+        - referenced by an EXPIRED manifest or a dropped-branch record →
+          superseded history, deleted immediately;
+        - referenced by NOTHING, EVER → deleted only once older than
+          ``orphan_min_age_seconds``. These are crash/race leftovers — a
+          failed or out-raced commit's data files — but a file in this set
+          can ALSO be a concurrent writer's commit IN FLIGHT (written,
+          manifest not yet linked), which is exactly the population
+          ``run_with_retry`` makes routine. The age gate is what keeps GC
+          from eating a live writer's files mid-commit (Iceberg's
+          remove_orphan_files draws the same line, default 3 days); pass
+          0 only when no other writer can be active.
+
+        Returns files removed. Aged manifest ``.tmp-*`` leftovers (crash
+        between fsync and link) are swept on the same gate, uncounted."""
+        import shutil
+
+        def _refs(manifest_paths: list[str]) -> set[str]:
+            out: set[str] = set()
+            for mf in manifest_paths:
+                with open(mf) as f:
+                    doc = json.load(f)
+                for files in doc["buckets"].values():
+                    out.update(files)
+            return out
+
+        all_main = self._manifest_files()
+        live_branch = glob(
             os.path.join(self.path, "_manifests", "branches", "*", "v*.json")
         )
-        referenced: set[str] = set()
-        for mf in manifests:
-            with open(mf) as f:
-                doc = json.load(f)
-            for files in doc["buckets"].values():
-                referenced.update(files)
+        dropped = glob(
+            os.path.join(self.path, "_manifests", "_dropped", "*", "v*.json")
+        )
+        kept = _refs(all_main[-keep_manifests:] + live_branch)
+        ever = _refs(all_main + dropped) | kept
+        now = time.time()
         removed = 0
-        for f in glob(os.path.join(self.path, "data", "*", f"{_BUCKET_COL}=*", "*.parquet")):
-            if os.path.relpath(f, self.path) not in referenced:
+        for f in glob(
+            os.path.join(self.path, "data", "*", f"{_BUCKET_COL}=*", "*.parquet")
+        ):
+            rel = os.path.relpath(f, self.path)
+            if rel in kept:
+                continue
+            if rel in ever or now - os.path.getmtime(f) >= orphan_min_age_seconds:
                 os.remove(f)
                 removed += 1
+        # dropped-branch records have served their purpose this sweep
+        shutil.rmtree(
+            os.path.join(self.path, "_manifests", "_dropped"),
+            ignore_errors=True,
+        )
+        for tmp in glob(os.path.join(self.path, "_manifests", ".tmp-*")):
+            if now - os.path.getmtime(tmp) >= orphan_min_age_seconds:
+                os.remove(tmp)
         return removed
 
     def optimize(

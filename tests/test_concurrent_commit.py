@@ -108,3 +108,50 @@ def test_retry_exhaustion_reraises_typed(spark, warehouse, staged, monkeypatch):
 def test_error_is_runtimeerror_subclass():
     # callers that caught RuntimeError before the typed class keep working
     assert issubclass(ConcurrentCommitError, RuntimeError)
+
+
+def test_vacuum_age_gates_never_referenced_orphans(
+    spark, warehouse, staged, monkeypatch
+):
+    """A race loser's data files are referenced by no manifest ever.
+    Default vacuum must NOT touch them (they are indistinguishable from a
+    live writer's in-flight commit); orphan_min_age_seconds=0 reclaims
+    them. Superseded-history expiry is unaffected either way."""
+    import glob as globmod
+    import os
+
+    spec, mgr, logdir = staged
+    real_link = os.link
+
+    def always_lose(src, dst, *a, **kw):
+        if "_manifests" in str(dst):
+            raise FileExistsError(dst)
+        return real_link(src, dst, *a, **kw)
+
+    t = mgr.table(spec)
+    data_glob = os.path.join(t.path, "data", "*", "_bucket=*", "*.parquet")
+    n_before = len(globmod.glob(data_glob))
+
+    monkeypatch.setattr(os, "link", always_lose)
+    import pytest as _pytest
+
+    from relational_data_loader_spark.sinks.snapshot import (
+        ConcurrentCommitError,
+    )
+
+    with _pytest.raises(ConcurrentCommitError):
+        mgr.run(spec)
+    monkeypatch.setattr(os, "link", real_link)
+
+    n_after_loss = len(globmod.glob(data_glob))
+    assert n_after_loss > n_before, "losing attempt must have left orphans"
+
+    # default (age-gated) vacuum keeps the fresh never-referenced files
+    assert t.vacuum(keep_manifests=99) == 0
+    assert len(globmod.glob(data_glob)) == n_after_loss
+    # explicit no-other-writers vacuum reclaims exactly the orphans
+    removed = t.vacuum(keep_manifests=99, orphan_min_age_seconds=0)
+    assert removed == n_after_loss - n_before
+    assert len(globmod.glob(data_glob)) == n_before
+    # table is untouched and still serves reads
+    assert t.fsck()["ok"]
