@@ -295,3 +295,90 @@ def rrf_fuse(
     return fused.select(
         id_col, F.round(total, round_dp).cast("double").alias("rrf")
     )
+
+
+def refresh_serving_postings(
+    spark,
+    new_index: DataFrame,
+    prev_index: DataFrame,
+    changes: DataFrame,
+    text_col: str,
+    id_col: str,
+    path: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> int:
+    """Incremental maintenance of the TOKEN-bucketed serving copy: rewrite
+    ONLY the bucket partitions whose posting sets this epoch's changes
+    touched, instead of `write_serving_postings`'s full rebuild.
+
+    A bucket is affected iff some posting in it was added or removed —
+    i.e. it holds a token of a changed doc's OLD text (posting removed;
+    read from ``prev_index``, which the IVM pipeline already has in hand)
+    or of an I/U doc's NEW text (posting added; re-derived exactly the way
+    ``apply_delta_postings`` derives them, so the two stay in lockstep).
+    Affected buckets get their FULL new content rewritten from
+    ``new_index`` through Spark's dynamic partition overwrite — untouched
+    bucket directories are not rewritten, not even listed.
+
+    Scale: the affected-bucket id list is a control-plane collect of at
+    most ``n_buckets`` rows (64 by default — bucket ids, never tokens or
+    postings). The rewrite cost is (touched buckets / n_buckets) of a full
+    rebuild; with drift-proportional changes and uniform token hashing
+    that ratio is min(1, |changed tokens| / n_buckets)… i.e. small epochs
+    touch few buckets ONLY when n_buckets is sized well above the typical
+    per-epoch distinct-token count — size it for the drift, not the
+    corpus. Worst case (every bucket touched) degenerates to exactly the
+    full rebuild, never worse.
+
+    Returns the number of bucket partitions rewritten."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_serving_meta.json")) as fh:
+        n_buckets = int(json.load(fh)["n_buckets"])
+
+    changed = changes.select(F.col(id_col).alias("doc_id")).distinct()
+    old_toks = prev_index.join(changed, "doc_id", "inner").select("tok")
+    new_toks = posting_index(
+        changes.where(F.col(op_col) != delete_op), text_col, id_col
+    ).select("tok")
+    affected = [
+        r["b"]
+        for r in old_toks.union(new_toks)
+        .select(_token_bucket(F.col("tok"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+
+    rows = new_index.withColumn(
+        "_bucket", _token_bucket(F.col("tok"), n_buckets)
+    ).filter(F.col("_bucket").isin(affected))
+    prev_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        rows.repartition("_bucket").write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev_mode
+        )
+    # dynamic overwrite only replaces partitions it WRITES: an affected
+    # bucket whose new posting set is EMPTY (its last token lost its last
+    # doc) emits no rows, so its stale directory must be dropped
+    # explicitly. Control-plane: <= n_buckets ids.
+    import shutil
+
+    present = {
+        r["_bucket"] for r in rows.select("_bucket").distinct().collect()
+    }
+    for b in set(affected) - present:
+        shutil.rmtree(
+            os.path.join(path, f"_bucket={b}"), ignore_errors=True
+        )
+    return len(affected)

@@ -6203,6 +6203,76 @@ GROUP BY c.user_id
 """
 
 
+def q_posting_serving_refresh(spark, sf):
+    """Serving-index incremental refresh, end to end (operators/index.py
+    refresh_serving_postings): bootstrap the token-bucketed serving copy
+    from a synthetic OLD corpus state (inserts missing, one slice carrying
+    stale extra tokens, synthetic to-be-deleted docs), apply one epoch of
+    I/U/D through the posting IVM, rewrite ONLY the affected bucket
+    partitions, then answer a real query (doc-frequency top 50) from the
+    refreshed serving FILES. The oracle recomputes the answer from the NEW
+    corpus state directly — so stale-posting leaks, missed buckets, and
+    the emptied-bucket edge all surface as a hash mismatch."""
+    import shutil
+
+    from relational_data_loader_spark.operators.index import (
+        apply_delta_postings,
+        posting_index,
+        refresh_serving_postings,
+        write_serving_postings,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    m17 = F.pmod(F.col("doc_id"), F.lit(17))
+    old_docs = docs.filter(m17 != 0).select(
+        "doc_id",
+        F.when(
+            m17 == 1, F.concat(F.col("text"), F.lit(" zzstaletok"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        docs.filter(m17 == 2).select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+        )
+    )
+    changes = docs.filter(m17.isin(0, 1)).withColumn(
+        "op", F.when(m17 == 0, F.lit("I")).otherwise(F.lit("U"))
+    ).unionByName(
+        docs.filter(m17 == 2).select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            "text",
+            F.lit("D").alias("op"),
+        )
+    )
+
+    serving = _state_workdir(sf, "serving")
+    shutil.rmtree(serving, ignore_errors=True)
+    old_index = posting_index(old_docs, "text", "doc_id")
+    write_serving_postings(old_index, serving, n_buckets=64)
+    new_index = apply_delta_postings(old_index, changes, "text", "doc_id")
+    refresh_serving_postings(
+        spark, new_index, old_index, changes, "text", "doc_id", serving
+    )
+    return (
+        spark.read.parquet(serving)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+SQL_POSTING_SERVING_REFRESH = r"""
+SELECT tok, count(*) AS doc_freq
+FROM (SELECT DISTINCT doc_id, unnest(string_split(
+        regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY doc_freq DESC, tok
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -6373,4 +6443,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
     "sft_mask_ratio": (q_sft_mask_ratio, SQL_SFT_MASK_RATIO),
     "stream_interval_join": (q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),
+    "posting_serving_refresh": (
+        q_posting_serving_refresh,
+        SQL_POSTING_SERVING_REFRESH,
+    ),
 }

@@ -300,3 +300,108 @@ def test_stream_join_rejects_colliding_ts_names(spark, tmp_path):
             df, df, key="user_id", left_ts="ts", right_ts="ts",
             window="1 minute", left_delay="1 minute", right_delay="1 minute",
         )
+
+
+# --------------------------------------------------------------------------
+# refresh_serving_postings (operators/index.py)
+
+from relational_data_loader_spark.operators.index import (  # noqa: E402
+    apply_delta_postings,
+    posting_index,
+    refresh_serving_postings,
+    write_serving_postings,
+)
+
+
+def test_serving_refresh_partial_rewrite_equals_full_rebuild(spark, tmp_path):
+    import glob
+    import os
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1} shared") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    prev_index = posting_index(docs, "text", "doc_id")
+    serving = str(tmp_path / "serving")
+    write_serving_postings(prev_index, serving, n_buckets=16)
+
+    # record per-bucket file mtimes before the refresh
+    def bucket_mtimes():
+        out = {}
+        for f in glob.glob(os.path.join(serving, "_bucket=*", "*.parquet")):
+            b = int(f.split("_bucket=")[1].split("/")[0])
+            out.setdefault(b, []).append((f, os.path.getmtime(f)))
+        return out
+
+    before = bucket_mtimes()
+
+    # epoch: doc 0 rewritten, doc 39 deleted, doc 100 inserted
+    changes = spark.createDataFrame(
+        [
+            ("U", 0, "newtok shared"),
+            ("D", 39, None),
+            ("I", 100, "tok0 brandnew"),
+        ],
+        "op string, doc_id long, text string",
+    )
+    new_index = apply_delta_postings(prev_index, changes, "text", "doc_id")
+    n_rewritten = refresh_serving_postings(
+        spark, new_index, prev_index, changes, "text", "doc_id", serving
+    )
+    assert 0 < n_rewritten < 16, "epoch must touch some but not all buckets"
+
+    # content == a from-scratch rebuild of the new index
+    got = sorted(
+        (r["tok"], r["doc_id"])
+        for r in spark.read.parquet(serving).select("tok", "doc_id").collect()
+    )
+    want = sorted(
+        (r["tok"], r["doc_id"]) for r in new_index.collect()
+    )
+    assert got == want
+
+    # untouched buckets were not rewritten (same files, same mtimes);
+    # not every one of the 16 buckets necessarily materialized originally
+    after = bucket_mtimes()
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert changed, "refresh must have rewritten something"
+    assert len(changed) <= n_rewritten
+    assert len(before) - len(changed) >= len(before) - n_rewritten
+
+
+def test_serving_refresh_noop_epoch_touches_nothing(spark, tmp_path):
+    docs = spark.createDataFrame([(1, "a b"), (2, "c")], ["doc_id", "text"])
+    idx = posting_index(docs, "text", "doc_id")
+    serving = str(tmp_path / "s2")
+    write_serving_postings(idx, serving, n_buckets=8)
+    empty = spark.createDataFrame([], "op string, doc_id long, text string")
+    assert (
+        refresh_serving_postings(
+            spark, idx, idx, empty, "text", "doc_id", serving
+        )
+        == 0
+    )
+
+
+def test_serving_refresh_drops_emptied_bucket(spark, tmp_path):
+    import glob
+    import os
+
+    # one doc, one token: deleting the doc empties the token's bucket —
+    # dynamic overwrite writes no rows there, so the operator must drop
+    # the stale directory explicitly
+    docs = spark.createDataFrame([(1, "solotoken")], ["doc_id", "text"])
+    idx = posting_index(docs, "text", "doc_id")
+    serving = str(tmp_path / "s3")
+    write_serving_postings(idx, serving, n_buckets=8)
+    assert glob.glob(os.path.join(serving, "_bucket=*"))
+
+    changes = spark.createDataFrame(
+        [("D", 1, None)], "op string, doc_id long, text string"
+    )
+    new_idx = apply_delta_postings(idx, changes, "text", "doc_id")
+    n = refresh_serving_postings(
+        spark, new_idx, idx, changes, "text", "doc_id", serving
+    )
+    assert n == 1
+    assert not glob.glob(os.path.join(serving, "_bucket=*", "*.parquet"))
