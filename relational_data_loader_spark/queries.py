@@ -6273,6 +6273,78 @@ LIMIT 50
 """
 
 
+def q_cdc_commit_retry_state(spark, sf):
+    """Engine replay where the tail incremental LOSES the manifest-commit
+    race (plans/manager.py run_with_retry): a rival manager lands the
+    identical load inside the loser's commit window (between manifest
+    listing and link(2) — injected by wrapping os.link, the race's real
+    location), the loser gets ConcurrentCommitError, and the retry
+    re-plans against the rival's committed watermark. The visible state
+    must equal the straight replay oracle — optimistic concurrency on the
+    driver's hard signal."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "race")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    rival = DataLoadManager(spark, os.path.join(base, "wh"))
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+
+    real_link = os.link
+    fired = [False]
+
+    def racing_link(src, dst, *a, **kw):
+        if "_manifests" in str(dst) and not fired[0]:
+            fired[0] = True
+            os.link = real_link
+            rival.run(spec)  # the rival commits the same backlog for real
+            os.link = racing_link
+        return real_link(src, dst, *a, **kw)
+
+    os.link = racing_link
+    try:
+        mgr.run_with_retry(spec, max_attempts=3)
+    finally:
+        os.link = real_link
+    return mgr.table(spec).read()
+
+
+def q_cdc_vacuum_state(spark, sf):
+    """Engine replay in two slices, then snapshot expiry + orphan GC
+    (sinks/snapshot.py vacuum, keep_manifests=1, orphan gate 0): the sweep
+    must drop only superseded/never-referenced files — the visible state
+    after GC must still equal the replay oracle, pinned on the driver's
+    hard signal."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "vac")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    cut = log.agg(F.max("lsn")).first()[0] // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    tbl.vacuum(keep_manifests=1, orphan_min_age_seconds=0)
+    return tbl.read()
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -6447,4 +6519,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_posting_serving_refresh,
         SQL_POSTING_SERVING_REFRESH,
     ),
+    "cdc_commit_retry_state": (q_cdc_commit_retry_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_vacuum_state": (q_cdc_vacuum_state, SQL_ENGINE_FINAL_STATE),
 }
