@@ -6171,14 +6171,26 @@ def q_stream_interval_join(spark, sf):
         right_delay="3650 days",
     )
     name = f"attr_{uuid.uuid4().hex[:10]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store sizing: each shuffle partition commits one delta file +
+    # fsync PER STORE PER MICRO-BATCH regardless of row count, and a
+    # stream-stream join keeps four stores per partition — at this
+    # fixture's ~20k rows/side the fsyncs ARE the query (measured 12.0 s
+    # at 64 partitions → 8 partitions cuts the commit count 8×). This is
+    # the streaming analog of sizing shuffle.partitions to data volume;
+    # at production volume the same knob goes UP, not down.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return (
         spark.table(name)
         .groupBy("user_id")
