@@ -185,8 +185,24 @@ def apply_delta_join_view(
     equi-join whose build side is |Δdim| — drift-proportional, normally a
     broadcast. Neither pass rescans the fact base table; nothing here is
     proportional to view size except the streamed (non-build) side of the
-    joins, which a columnar scan pipelines."""
+    joins, which a columnar scan pipelines.
+
+    Contract — NETTED feeds: at most one row per fact PK in
+    ``fact_changes`` and one per ``dim_key`` in ``dim_changes`` (the
+    engine's change feeds are netted by construction — operators/lww.py
+    ``net_changes`` — and snapshot_diff emits one row per key by shape).
+    A raw multi-event feed would duplicate view rows through the pass-2
+    join; net it first. Fact columns and ``dim_attrs`` must also be
+    disjoint name sets (the dim attributes are patched BY NAME), which is
+    checked eagerly below."""
     op = F.col(op_col)
+    overlap = set(dim_attrs) & (set(fact_changes.columns) - {op_col})
+    if overlap:
+        raise ValueError(
+            f"dim_attrs {sorted(overlap)} collide with fact columns — the "
+            "dim pass patches attributes by name, so a fact column of the "
+            "same name would be silently overwritten; rename one side"
+        )
     fact_cols = [c for c in prev.columns if c not in dim_attrs]
     upserts = join_view(
         fact_changes.filter(op.isin("I", "U")).select(*fact_cols),

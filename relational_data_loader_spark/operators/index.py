@@ -331,6 +331,13 @@ def refresh_serving_postings(
     corpus. Worst case (every bucket touched) degenerates to exactly the
     full rebuild, never worse.
 
+    Visibility: like ``write_serving_postings``'s full rebuild, the
+    rewrite is per-partition-directory, NOT transactional — a reader
+    scanning mid-refresh can see pre-epoch buckets beside post-epoch ones.
+    The serving copy is a derived projection; point a fresh reader at it
+    after the maintenance cycle (or serve from the manifest-committed IVM
+    table when cross-bucket consistency matters mid-cycle).
+
     Returns the number of bucket partitions rewritten."""
     import json
     import os

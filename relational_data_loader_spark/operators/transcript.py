@@ -308,9 +308,10 @@ def role_alternation_audit(
     w = Window.partitionBy(conv_col).orderBy(turn_col)
     role = F.col(role_col)
     prev = F.lag(role_col).over(w)
-    rep = (
-        role.eqNullSafe(prev) & ~role.isin(*repeatable_roles)
-    ).cast("int")
+    rep = role.eqNullSafe(prev)
+    if repeatable_roles:  # isin() with zero args is a Spark error
+        rep = rep & ~role.isin(*repeatable_roles)
+    rep = rep.cast("int")
     sys_mid = (
         (role == "system") & prev.isNotNull() & (prev != "system")
     ).cast("int")

@@ -405,3 +405,24 @@ def test_serving_refresh_drops_emptied_bucket(spark, tmp_path):
     )
     assert n == 1
     assert not glob.glob(os.path.join(serving, "_bucket=*", "*.parquet"))
+
+
+def test_join_view_rejects_colliding_attr_names(spark):
+    fact_old, dim_old, fc, dc, *_ = _frames(spark)
+    prev = join_view(fact_old, dim_old, "fk", "k", ["attr"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide with fact columns"):
+        apply_delta_join_view(
+            prev, fc.withColumnRenamed("val", "attr"), dc, dim_old,
+            ["id"], "fk", "k", ["attr"],
+        )
+
+
+def test_role_audit_empty_repeatable_roles(spark):
+    rows = [(1, 0, "tool", ""), (1, 1, "tool", "")]
+    (r,) = role_alternation_audit(
+        _turns(spark, rows), "conv", "turn", "role", repeatable_roles=()
+    ).collect()
+    # with no exemptions the tool-tool repeat IS a violation
+    assert r["n_role_repeats"] == 1
