@@ -151,11 +151,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--commit-retries",
         type=int,
-        default=1,
+        default=0,
         metavar="N",
-        help="batch loads: retry up to N times when another writer wins "
-        "the manifest-commit race (re-plans against the winner's version; "
-        "default 1 = fail on first conflict, the single-writer posture)",
+        help="batch loads: retry up to N ADDITIONAL times when another "
+        "writer wins the manifest-commit race (each retry re-plans "
+        "against the winner's version; default 0 = fail on first "
+        "conflict, the single-writer posture)",
     )
     p.add_argument("--master", default=None)
     p.add_argument("--log-level", default="WARN")
@@ -165,6 +166,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
 
+    if args.state_ttl_minutes is not None and not args.stateful_dedup:
+        # the TTL bounds the DEDUP state; without the filter it would be
+        # silently inert — the operator would believe state is bounded
+        # while no dedup state exists at all
+        print(
+            "[rdl-spark] --state-ttl-minutes requires --stateful-dedup "
+            "(it bounds the dedup filter's state)",
+            file=sys.stderr,
+        )
+        return 2
     if args.state_ttl_minutes is not None and args.once:
         # the runner would raise the same contract; fail before a Spark
         # session is paid for (see StreamingIngest.start's guard)
@@ -377,7 +388,9 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 res = mgr.run_with_retry(
                     spec,
-                    max_attempts=args.commit_retries,
+                    # N retries = N+1 total attempts (run_with_retry counts
+                    # attempts; the flag counts recoveries)
+                    max_attempts=args.commit_retries + 1,
                     force_full=force,
                     branch=args.branch,
                 )

@@ -360,9 +360,15 @@ def refresh_serving_postings(
     if not affected:
         return 0
 
-    rows = new_index.withColumn(
-        "_bucket", _token_bucket(F.col("tok"), n_buckets)
-    ).filter(F.col("_bucket").isin(affected))
+    # persist before the write: the write AND the present-bucket probe
+    # below both consume this lineage (an anti-join over prev_index plus
+    # re-derived postings) — without the pin the probe would re-run the
+    # whole refresh job a second time (measured as ~2x the refresh cost)
+    rows = (
+        new_index.withColumn("_bucket", _token_bucket(F.col("tok"), n_buckets))
+        .filter(F.col("_bucket").isin(affected))
+        .persist()
+    )
     prev_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
     )
@@ -371,21 +377,22 @@ def refresh_serving_postings(
         rows.repartition("_bucket").write.partitionBy("_bucket").mode(
             "overwrite"
         ).parquet(path)
+        # dynamic overwrite only replaces partitions it WRITES: an affected
+        # bucket whose new posting set is EMPTY (its last token lost its
+        # last doc) emits no rows, so its stale directory must be dropped
+        # explicitly. Control-plane: <= n_buckets ids, served from the pin.
+        import shutil
+
+        present = {
+            r["_bucket"] for r in rows.select("_bucket").distinct().collect()
+        }
+        for b in set(affected) - present:
+            shutil.rmtree(
+                os.path.join(path, f"_bucket={b}"), ignore_errors=True
+            )
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", prev_mode
         )
-    # dynamic overwrite only replaces partitions it WRITES: an affected
-    # bucket whose new posting set is EMPTY (its last token lost its last
-    # doc) emits no rows, so its stale directory must be dropped
-    # explicitly. Control-plane: <= n_buckets ids.
-    import shutil
-
-    present = {
-        r["_bucket"] for r in rows.select("_bucket").distinct().collect()
-    }
-    for b in set(affected) - present:
-        shutil.rmtree(
-            os.path.join(path, f"_bucket={b}"), ignore_errors=True
-        )
+        rows.unpersist()
     return len(affected)

@@ -245,10 +245,13 @@ def drop_boilerplate_turns(
        (``collect_list`` skips the NULLs the ``when`` emits for dropped
        turns).
     """
+    # NULL text normalizes to '' so the fingerprint agrees with any SQL
+    # twin (string_agg SKIPS nulls while array_join substitutes — two
+    # engines, two conventions; '' sidesteps both)
     turns = df.select(
         F.col(conv_col).alias("_conv"),
         F.col(turn_col).alias("_turn"),
-        F.col(text_col).alias("_txt"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_txt"),
     )
     flagged = (
         turns.groupBy("_txt")
@@ -284,7 +287,10 @@ def role_alternation_audit(
 ) -> DataFrame:
     """Per-conversation role-protocol audit: does the turn sequence obey
     the transcript grammar ``system* (user | assistant | tool)…`` with no
-    same-role back-to-back turns (except ``repeatable_roles`` — agent
+    same-role back-to-back turns (except system pairs — the system*
+    prefix legalizes multi-part system prompts, and a mid-conversation
+    pair is already billed once via ``n_system_mid`` — and except
+    ``repeatable_roles`` — agent
     transcripts legitimately emit consecutive tool-result turns)?
 
     Violations counted per conversation:
@@ -308,7 +314,11 @@ def role_alternation_audit(
     w = Window.partitionBy(conv_col).orderBy(turn_col)
     role = F.col(role_col)
     prev = F.lag(role_col).over(w)
-    rep = role.eqNullSafe(prev)
+    # system-system pairs are NOT repeats: the grammar's system* prefix
+    # makes a multi-part system prompt legal, and a system repeated MID
+    # conversation already fired n_system_mid on its first row — counting
+    # the pair again would double-bill one injection event
+    rep = role.eqNullSafe(prev) & ~(role == "system")
     if repeatable_roles:  # isin() with zero args is a Spark error
         rep = rep & ~role.isin(*repeatable_roles)
     rep = rep.cast("int")
@@ -367,9 +377,12 @@ def trim_to_token_budget(
         .orderBy(F.col(turn_col).desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    ntok = token_count(F.col(text_col))
+    # NULL text → '' (same cross-engine fingerprint rationale as
+    # drop_boilerplate_turns)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    ntok = token_count(txt)
     rows = df.select(
-        F.col(conv_col), F.col(turn_col), F.col(text_col).alias("_txt"),
+        F.col(conv_col), F.col(turn_col), txt.alias("_txt"),
         ntok.alias("_ntok"),
         F.sum(ntok).over(w).alias("_rev_cum"),
         F.row_number().over(

@@ -6016,7 +6016,8 @@ _SQL_TURNS_WITH_ROLES = """
 def q_transcript_role_audit(spark, sf):
     """Role-protocol audit (operators/transcript.py
     role_alternation_audit): per conversation, same-role back-to-back
-    violations (tool exempt), mid-conversation system injections, and the
+    violations (tool and system exempt), mid-conversation system
+    injections, and the
     opening role — the transcript-grammar DQ check a CDC replica runs
     before the corpus is assembled."""
     from relational_data_loader_spark.operators.transcript import (
@@ -6037,6 +6038,7 @@ a AS (
   SELECT user_id,
          count(*) AS n_turns,
          CAST(sum(CASE WHEN role = prev AND role <> 'tool'
+                        AND role <> 'system'
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeats,
          CAST(sum(CASE WHEN role = 'system' AND prev IS NOT NULL
                         AND prev <> 'system'
@@ -6131,7 +6133,7 @@ def q_stream_interval_join(spark, sf):
     Watermark delays are set far beyond the fixture's span so no pair is
     dropped — the inner-join emission then equals the batch join exactly,
     which is what the DuckDB oracle recomputes."""
-    import uuid
+    import hashlib
 
     from relational_data_loader_spark.streaming.joins import (
         interval_join_streams,
@@ -6143,7 +6145,14 @@ def q_stream_interval_join(spark, sf):
     stream_dir = _state_workdir(sf, "sjoin")
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    # lexists, not exists: a dangling link reads as absent to exists() but
+    # still blocks os.symlink; and a live link from an earlier run may
+    # point at a MOVED fixture — always relink to the current target
+    if os.path.lexists(link):
+        if os.path.realpath(link) != os.path.realpath(src):
+            os.remove(link)
+            os.symlink(src, link)
+    else:
         os.symlink(src, link)
     path = stream_dir
     sch = spark.read.parquet(path).schema
@@ -6170,7 +6179,14 @@ def q_stream_interval_join(spark, sf):
         left_delay="3650 days",
         right_delay="3650 days",
     )
-    name = f"attr_{uuid.uuid4().hex[:10]}"
+    # deterministic sink name per sf: repeated invocations in one session
+    # (bench trials, parity runs) REPLACE the memory table instead of
+    # accumulating one driver-resident copy of the join output per call
+    name = "attr_" + hashlib.md5(sf.encode()).hexdigest()[:10]
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
     # state-store sizing: each shuffle partition commits one delta file +
     # fsync PER STORE PER MICRO-BATCH regardless of row count, and a
     # stream-stream join keeps four stores per partition — at this

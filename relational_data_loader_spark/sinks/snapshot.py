@@ -1164,9 +1164,21 @@ class SnapshotTable:
         dropped = glob(
             os.path.join(self.path, "_manifests", "_dropped", "*", "v*.json")
         )
-        kept = _refs(all_main[-keep_manifests:] + live_branch)
-        ever = _refs(all_main + dropped) | kept
         now = time.time()
+        # the "ever referenced" set only matters for files YOUNGER than the
+        # orphan gate (older ones fall to the age rule regardless), and a
+        # file can only be younger than the gate if some manifest committed
+        # within the gate window references it — so parsing is bounded to
+        # manifests whose own mtime is inside the window (+ the kept tail),
+        # not the table's entire commit history. A 15-min-commit table is
+        # ~100 manifests/day, not 35k/year, per sweep.
+        recent_main = [
+            mf
+            for mf in all_main[: -keep_manifests or None]
+            if now - os.path.getmtime(mf) < orphan_min_age_seconds
+        ]
+        kept = _refs(all_main[-keep_manifests:] + live_branch)
+        ever = _refs(recent_main + dropped) | kept
         removed = 0
         for f in glob(
             os.path.join(self.path, "data", "*", f"{_BUCKET_COL}=*", "*.parquet")
@@ -1174,17 +1186,29 @@ class SnapshotTable:
             rel = os.path.relpath(f, self.path)
             if rel in kept:
                 continue
-            if rel in ever or now - os.path.getmtime(f) >= orphan_min_age_seconds:
-                os.remove(f)
-                removed += 1
+            try:
+                expired = (
+                    rel in ever
+                    or now - os.path.getmtime(f) >= orphan_min_age_seconds
+                )
+                if expired:
+                    os.remove(f)
+                    removed += 1
+            except FileNotFoundError:
+                # a concurrent sweep (or maintenance) beat us to it — the
+                # file being gone IS the goal state, not an error
+                continue
         # dropped-branch records have served their purpose this sweep
         shutil.rmtree(
             os.path.join(self.path, "_manifests", "_dropped"),
             ignore_errors=True,
         )
         for tmp in glob(os.path.join(self.path, "_manifests", ".tmp-*")):
-            if now - os.path.getmtime(tmp) >= orphan_min_age_seconds:
-                os.remove(tmp)
+            try:
+                if now - os.path.getmtime(tmp) >= orphan_min_age_seconds:
+                    os.remove(tmp)
+            except FileNotFoundError:
+                continue
         return removed
 
     def optimize(

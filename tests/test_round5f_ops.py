@@ -426,3 +426,22 @@ def test_role_audit_empty_repeatable_roles(spark):
     ).collect()
     # with no exemptions the tool-tool repeat IS a violation
     assert r["n_role_repeats"] == 1
+
+
+def test_role_audit_system_prefix_not_a_repeat(spark):
+    # multi-part system prompt is legal under the system* grammar
+    rows = [(1, 0, "system", ""), (1, 1, "system", ""), (1, 2, "user", ""),
+            (1, 3, "assistant", "")]
+    (r,) = role_alternation_audit(
+        _turns(spark, rows), "conv", "turn", "role"
+    ).collect()
+    assert r["n_role_repeats"] == 0 and r["n_system_mid"] == 0
+    assert r["is_clean"]
+    # ...and a mid-conversation system PAIR is billed exactly once
+    rows2 = [(2, 0, "user", ""), (2, 1, "system", ""), (2, 2, "system", ""),
+             (2, 3, "assistant", "")]
+    (r2,) = role_alternation_audit(
+        _turns(spark, rows2), "conv", "turn", "role"
+    ).collect()
+    assert r2["n_system_mid"] == 1 and r2["n_role_repeats"] == 0
+    assert not r2["is_clean"]
