@@ -44,6 +44,25 @@ format:
   dropped outright — a baseline snapshot really does cover its whole lsn
   range. (Iceberg twin: sequence-number-guarded MERGE INTO with soft-delete
   rows — sinks/iceberg.py.)
+- **Merge-on-read deltas (spec.merge_mode="mor")** — the write-side twin of
+  the bucket-pruned CoW merge. With hashed PKs, even a tiny batch touches
+  ~every bucket, so CoW write cost is O(table) per epoch no matter how small
+  the batch: at 10^10 rows the tail of a CDC stream rewrites the whole table
+  every few minutes. MoR merges instead APPEND the epoch's envelopes as
+  bucketed **delta files** (one bucketed write of the batch — no base read
+  at all), recorded per bucket under the manifest's ``deltas`` map with a
+  monotone ``_rdl_seq`` written into the rows. Every read path assembles
+  state by folding base ∪ deltas with the SAME LWW window the CoW merge
+  uses — order by (lsn DESC, seq DESC), so out-of-order and tombstone
+  semantics are identical in both modes — and buckets without deltas skip
+  the fold entirely (zero read tax once compacted). ``compact_deltas()``
+  folds the debt back into base files (one bucket-clustered shuffle,
+  kind="compact_deltas"); ``spec.mor_compact_files`` auto-triggers it when
+  any bucket's delta pile exceeds the threshold, because per-bucket delta
+  file count IS that bucket's read amplification. The two modes interleave
+  safely: a CoW merge on a table with pending deltas folds them into the
+  buckets it rewrites. This is Hudi's MoR table type / Iceberg v2
+  write.merge.mode re-expressed over the manifest sink.
 - **Layout pinning** — every manifest records the ``n_buckets`` the files
   were laid out with. MERGE always prunes/rewrites against the *committed*
   layout, never the live spec: a spec edit to ``target_buckets`` must not
@@ -80,6 +99,11 @@ _BUCKET_COL = "_bucket"
 # and the soft-delete marker that make the MERGE version-guarded
 LSN_COL = "_rdl_lsn"
 DELETED_COL = "_rdl_deleted"
+# merge-on-read only: commit-ordinal written into delta rows so the read
+# fold can break equal-lsn ties toward the LATER epoch — the same
+# batch-beats-target rule the CoW merge window applies via _rdl_src. Base
+# rows fold at seq 0; the manifest's next_delta_seq hands out 1, 2, ...
+SEQ_COL = "_rdl_seq"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -202,7 +226,10 @@ class SnapshotTable:
         prev = self.current_manifest() or {}
         known: dict[str, Any] = prev.get("file_stats", {})
         stats: dict[str, Any] = {}
-        for files in manifest["buckets"].values():
+        referenced = list(manifest["buckets"].values()) + list(
+            (manifest.get("deltas") or {}).values()
+        )
+        for files in referenced:
             for rel in files:
                 if rel in known and "minmax" in known[rel]:
                     stats[rel] = known[rel]
@@ -615,18 +642,65 @@ class SnapshotTable:
         # yield NULL for the new columns (parquet read-by-name)
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _read_delta_files(self, relpaths: list[str]) -> DataFrame:
+        """Delta files carry the storage schema plus the fold ordinal."""
+        schema = T.StructType(
+            list(self._storage_schema().fields)
+            + [T.StructField(SEQ_COL, T.LongType(), True)]
+        )
+        if not relpaths:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, p) for p in relpaths]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _fold(self, base_rels: list[str], delta_rels: list[str]) -> DataFrame:
+        """Merge-on-read fold: LWW winners (tombstones INCLUDED) over base
+        files ∪ delta files, ordered by (lsn DESC, seq DESC) per PK — the
+        exact ordering the CoW merge window applies, so both modes resolve
+        out-of-order arrivals and equal-lsn redeliveries identically. Cost
+        is one shuffle of the rows read; callers route only DELTA-BEARING
+        buckets through here (``_assembled``), so a compacted table pays
+        nothing."""
+        if not delta_rels:
+            return self._read_files(base_rels)
+        unioned = self._read_files(base_rels).withColumn(
+            SEQ_COL, F.lit(0).cast("long")
+        ).unionByName(self._read_delta_files(delta_rels))
+        w = Window.partitionBy(*self.spec.primary_keys).orderBy(
+            F.desc(F.coalesce(F.col(LSN_COL), F.lit(-1))),
+            F.desc(F.coalesce(F.col(SEQ_COL), F.lit(0))),
+        )
+        return (
+            unioned.withColumn("_rdl_rn", F.row_number().over(w))
+            .filter(F.col("_rdl_rn") == 1)
+            .drop("_rdl_rn", SEQ_COL)
+        )
+
+    def _assembled(self, m: dict[str, Any]) -> DataFrame:
+        """Storage-schema state (tombstones included) for a manifest: buckets
+        with pending deltas fold, buckets without scan directly — the fold's
+        shuffle is paid only on the delta-bearing fraction of the table."""
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        base: dict[str, list[str]] = m.get("buckets", {})
+        if not deltas:
+            return self._read_files([p for fs in base.values() for p in fs])
+        cold = [p for b, fs in base.items() if b not in deltas for p in fs]
+        hot_base = [p for b in deltas for p in base.get(b, [])]
+        hot_delta = [p for fs in deltas.values() for p in fs]
+        return self._fold(hot_base, hot_delta).unionByName(self._read_files(cold))
+
     def read(self, version: int | None = None) -> DataFrame:
         """User-visible table state: tombstones filtered, internals dropped.
         ``version`` time-travels to an earlier committed manifest (within
-        vacuum's retention window) — the manifest pins the exact file list,
-        so an old version reads byte-identically even after later merges
-        (merges never rewrite old commit dirs; vacuum is what expires them).
+        vacuum's retention window) — the manifest pins the exact file list
+        AND its pending delta set, so an old version reads byte-identically
+        even after later merges or compactions (which never rewrite old
+        commit dirs; vacuum is what expires them).
         """
         m = self.current_manifest() if version is None else self.manifest_at(version)
         if m is None:
             return self.spark.createDataFrame([], self.spec.destination_schema())
-        rels = [p for files in m["buckets"].values() for p in files]
-        df = self._read_files(rels)
+        df = self._assembled(m)
         visible = [f.name for f in self.spec.destination_schema().fields]
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(*visible)
 
@@ -653,10 +727,17 @@ class SnapshotTable:
             str(r["b"])
             for r in kdf.select(bucket_expr(self.bucket_key, layout).alias("b")).collect()
         }
-        rels = [p for b in sorted(buckets) for p in m["buckets"].get(b, [])]
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        # bucket-scoped sub-manifest: the fold (if the bucket has pending
+        # deltas) runs over just the selected buckets' files — point lookups
+        # stay O(files in those buckets) in both merge modes
+        sub = {
+            "buckets": {b: m["buckets"].get(b, []) for b in sorted(buckets)},
+            "deltas": {b: deltas[b] for b in sorted(buckets) if b in deltas},
+        }
         visible = [f.name for f in self.spec.destination_schema().fields]
         return (
-            self._read_files(rels)
+            self._assembled(sub)
             .filter(
                 F.col(self.bucket_key).isin(values)
                 & ~F.coalesce(F.col(DELETED_COL), F.lit(False))
@@ -716,10 +797,30 @@ class SnapshotTable:
             return self.spark.createDataFrame(
                 [], self.spec.destination_schema()
             )
-        rels, _ = self._zone_pruned_rels(m, col, lo, hi)
-        df = self._read_files(rels).filter(
-            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        )
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not deltas:
+            rels, _ = self._zone_pruned_rels(m, col, lo, hi)
+            df = self._read_files(rels)
+        else:
+            # delta-bearing buckets CANNOT zone-prune their base files: the
+            # fold needs every base row present so a stale in-range delta
+            # row loses to its newer out-of-range base version (prune the
+            # base file and the stale delta would win the fold and leak
+            # into the result). Cold buckets prune as usual; correctness
+            # never depends on the pruning, only the residual filter.
+            cold = {
+                "buckets": {
+                    b: fs for b, fs in m["buckets"].items() if b not in deltas
+                },
+                "file_stats": m.get("file_stats", {}),
+            }
+            cold_rels, _ = self._zone_pruned_rels(cold, col, lo, hi)
+            hot_base = [p for b in deltas for p in m["buckets"].get(b, [])]
+            hot_delta = [p for fs in deltas.values() for p in fs]
+            df = self._fold(hot_base, hot_delta).unionByName(
+                self._read_files(cold_rels)
+            )
+        df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -745,7 +846,26 @@ class SnapshotTable:
         )
         if m is None:
             return {"files_total": 0, "files_read": 0, "ok": True}
-        rels, all_rels = self._zone_pruned_rels(m, col, lo, hi)
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not deltas:
+            rels, all_rels = self._zone_pruned_rels(m, col, lo, hi)
+        else:
+            # mirror read_range exactly: delta-bearing buckets read their
+            # base + delta files in full (fold correctness), cold buckets
+            # zone-prune — so the report quantifies the REAL skip ratio,
+            # including the pruning the delta debt is costing (a low ratio
+            # on a hot predicate column is also the compact_deltas signal)
+            cold = {
+                "buckets": {
+                    b: fs for b, fs in m["buckets"].items() if b not in deltas
+                },
+                "file_stats": m.get("file_stats", {}),
+            }
+            cold_rels, cold_all = self._zone_pruned_rels(cold, col, lo, hi)
+            hot = [p for b in deltas for p in m["buckets"].get(b, [])] + [
+                p for fs in deltas.values() for p in fs
+            ]
+            rels, all_rels = cold_rels + hot, cold_all + hot
         stats = m.get("file_stats", {})
         b = lambda ps: sum(int(stats.get(p, {}).get("bytes", 0)) for p in ps)  # noqa: E731
         return {
@@ -760,14 +880,21 @@ class SnapshotTable:
 
     @staticmethod
     def _changed_buckets(m_from: dict[str, Any], m_to: dict[str, Any]) -> list[str]:
-        """Buckets whose committed file lists differ between two manifests.
-        Merges rewrite touched buckets wholesale and carry untouched ones BY
-        REFERENCE (identical relpath lists), so list equality is an exact
-        no-change proof — the CDF reads only drifted buckets, never the
-        table."""
+        """Buckets whose committed state can differ between two manifests.
+        Merges rewrite touched buckets wholesale (CoW) or append to their
+        delta list (MoR) and carry untouched ones BY REFERENCE (identical
+        relpath lists on BOTH maps), so (base list, delta list) equality is
+        an exact no-change proof — the CDF reads only drifted buckets,
+        never the table."""
         b0, b1 = m_from.get("buckets", {}), m_to.get("buckets", {})
+        d0, d1 = m_from.get("deltas") or {}, m_to.get("deltas") or {}
         return sorted(
-            (b for b in set(b0) | set(b1) if b0.get(b) != b1.get(b)), key=int
+            (
+                b
+                for b in set(b0) | set(b1) | set(d0) | set(d1)
+                if b0.get(b) != b1.get(b) or d0.get(b, []) != d1.get(b, [])
+            ),
+            key=int,
         )
 
     def changes_between(self, v_from: int, v_to: int) -> DataFrame:
@@ -806,8 +933,15 @@ class SnapshotTable:
         payload = [c for c in visible if c not in pks]
 
         def _side(m: dict[str, Any], with_tombstones: bool) -> DataFrame:
-            rels = [p for b in changed for p in m["buckets"].get(b, [])]
-            df = self._read_files(rels)
+            # bucket-scoped assembly: MoR manifests fold each changed
+            # bucket's base ∪ deltas to its LWW state first, so the diff
+            # compares the same resolved rows a reader of that version sees
+            deltas = m.get("deltas") or {}
+            sub = {
+                "buckets": {b: m["buckets"].get(b, []) for b in changed},
+                "deltas": {b: deltas[b] for b in changed if b in deltas},
+            }
+            df = self._assembled(sub)
             flag = F.coalesce(F.col(DELETED_COL), F.lit(False))
             if not with_tombstones:
                 return df.filter(~flag).select(*visible, F.col(LSN_COL))
@@ -1033,27 +1167,13 @@ class SnapshotTable:
                 batch = batch.persist()
                 persisted = True
 
-            touched_rels = [
-                p for b in touched for p in m["buckets"].get(str(b), [])
-            ]
-            target = self._read_files(touched_rels)
+            deltas_prev: dict[str, list[str]] = {
+                b: list(fs) for b, fs in (m.get("deltas") or {}).items()
+            }
+            next_seq = int(m.get("next_delta_seq", 1))
 
-            # version-guarded LWW against the target (module docstring):
-            # stored rows and batch rows become one envelope stream and the
-            # max-lsn row per PK wins; deletes win as tombstone rows. One
-            # shuffle on the FULL primary key (fine-grained — hot convs
-            # spread over turns, same argument as netting) + per-group sort
-            # of 2-3 rows. No broadcast anywhere: driver-side build cost
-            # would cap scaling at replay batch sizes.
-            t_env = (
-                target.withColumn(
-                    LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(-1)).cast("long")
-                )
-                .withColumn(
-                    DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
-                )
-                .withColumn("_rdl_src", F.lit(0))
-            )
+            # shared envelope normalization: destination rows + change
+            # version + tombstone flag (audit-stamped)
             b_env = (
                 self._with_audit(batch.select(*self._dest_cols(),
                                                F.col(spec.lsn_column),
@@ -1063,7 +1183,61 @@ class SnapshotTable:
                     DELETED_COL, F.col(spec.op_column) == F.lit(spec.delete_op)
                 )
                 .drop(spec.lsn_column, spec.op_column)
-                .withColumn("_rdl_src", F.lit(1))
+            )
+
+            if spec.merge_mode == "mor":
+                return self._merge_mor(
+                    b_env, m, layout, key, epoch_id, deltas_prev, next_seq,
+                    touched, ups, dels, batch_max_lsn, stat_rows, t0,
+                )
+
+            touched_rels = [
+                p for b in touched for p in m["buckets"].get(str(b), [])
+            ]
+            target = self._read_files(touched_rels).withColumn(
+                SEQ_COL, F.lit(0).cast("long")
+            )
+            # pending MoR deltas for the touched buckets fold into this
+            # rewrite (mode interleave safety): their rows join the target
+            # side carrying their commit seq, so equal-lsn redeliveries
+            # still resolve toward the later epoch, and the new manifest
+            # drops the absorbed delta references.
+            delta_rels_touched = [
+                p
+                for b in touched
+                if str(b) in deltas_prev
+                for p in deltas_prev[str(b)]
+            ]
+            if delta_rels_touched:
+                target = target.unionByName(
+                    self._read_delta_files(delta_rels_touched)
+                )
+
+            # version-guarded LWW against the target (module docstring):
+            # stored rows and batch rows become one envelope stream and the
+            # max-lsn row per PK wins; deletes win as tombstone rows. One
+            # shuffle on the FULL primary key (fine-grained — hot convs
+            # spread over turns, same argument as netting) + per-group sort
+            # of 2-3 rows. No broadcast anywhere: driver-side build cost
+            # would cap scaling at replay batch sizes.
+            # _rdl_src is the equal-lsn tie rank: base rows 0, delta rows
+            # their commit seq, this batch next_seq (> every stored seq) —
+            # the CoW generalization of the old 0/1 batch-beats-target flag.
+            t_env = (
+                target.withColumn(
+                    LSN_COL, F.coalesce(F.col(LSN_COL), F.lit(-1)).cast("long")
+                )
+                .withColumn(
+                    DELETED_COL, F.coalesce(F.col(DELETED_COL), F.lit(False))
+                )
+                .withColumn(
+                    "_rdl_src",
+                    F.coalesce(F.col(SEQ_COL), F.lit(0)).cast("long"),
+                )
+                .drop(SEQ_COL)
+            )
+            b_env = b_env.withColumn(
+                "_rdl_src", F.lit(next_seq).cast("long")
             )
             merged = self._lww_merge_plan(t_env, b_env, layout)
 
@@ -1095,6 +1269,15 @@ class SnapshotTable:
                 "kind": "merge",
                 "epoch_id": epoch_id,
             }
+            remaining = {
+                b: fs
+                for b, fs in deltas_prev.items()
+                if int(b) not in set(touched)
+            }
+            if remaining:
+                manifest["deltas"] = remaining
+            if "next_delta_seq" in m:
+                manifest["next_delta_seq"] = next_seq
             self._commit(manifest)
             return MergeStats(
                 epoch_id,
@@ -1121,6 +1304,150 @@ class SnapshotTable:
                 import shutil
 
                 shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _merge_mor(
+        self,
+        b_env: DataFrame,
+        m: dict[str, Any],
+        layout: int,
+        key: str,
+        epoch_id: int,
+        deltas_prev: dict[str, list[str]],
+        next_seq: int,
+        touched: list[int],
+        ups: int,
+        dels: int,
+        batch_max_lsn: int,
+        stat_rows: list,
+        t0: float,
+    ) -> MergeStats:
+        """Merge-on-read epoch apply: ONE bucketed write of the batch's
+        netted envelopes as delta files — the base table is never read (the
+        module docstring's O(batch)-vs-O(table) argument; a plan gate pins
+        the no-base-read property). The per-epoch net rides the same single
+        exchange the bucketed write needs (the ``_lww_merge_plan`` fusion
+        argument applied to the delta write): window top-1 per PK within
+        this batch, tombstones kept as rows. Cross-epoch and against-base
+        resolution happens at read time (``_fold``) ordered by
+        (lsn DESC, seq DESC), which reproduces the CoW window's
+        batch-beats-target tie rule exactly."""
+        spec = self.spec
+        env = b_env.withColumn(
+            SEQ_COL, F.lit(next_seq).cast("long")
+        ).withColumn(_BUCKET_COL, bucket_expr(self.bucket_key, layout))
+        clustered = env.repartition(layout, F.col(_BUCKET_COL))
+        w = Window.partitionBy(_BUCKET_COL, *spec.primary_keys).orderBy(
+            F.desc(F.coalesce(F.col(LSN_COL), F.lit(-1)))
+        )
+        netted = (
+            clustered.withColumn("_rdl_rn", F.row_number().over(w))
+            .filter(F.col("_rdl_rn") == 1)
+            .drop("_rdl_rn")
+        )
+        new_files = self._write_buckets(
+            netted, n_buckets=layout, pre_clustered=True
+        )
+        for b, files in new_files.items():
+            deltas_prev.setdefault(b, []).extend(files)
+        manifest = {
+            "buckets": m["buckets"],
+            "deltas": deltas_prev,
+            "next_delta_seq": next_seq + 1,
+            "n_buckets": layout,
+            "applied_epochs": sorted(
+                _normalize_epoch_keys(m["applied_epochs"]) | {key}
+            ),
+            "watermark": max(int(m["watermark"]), batch_max_lsn),
+            "baseline_watermark": int(
+                m.get("baseline_watermark", m.get("watermark", -1))
+            ),
+            "spec_checksum": spec.checksum(),
+            "spec_json": spec.to_json(),
+            "schema": m["schema"],
+            "kind": "merge_mor",
+            "epoch_id": epoch_id,
+        }
+        self._commit(manifest)
+        stats = MergeStats(
+            epoch_id,
+            False,
+            len(touched),
+            ups,
+            dels,
+            manifest["watermark"],
+            int((time.time() - t0) * 1000),
+            bucket_stats=[
+                {
+                    "partition_id": int(r["b"]),
+                    "max_applied_lsn": int(r["max_lsn"]),
+                    "rows_upserted": int(r["ups"]),
+                    "rows_deleted": int(r["dels"]),
+                }
+                for r in stat_rows
+            ],
+        )
+        # read-amplification guard: when any bucket's delta pile crosses the
+        # spec threshold, fold it back into base before returning. Crash
+        # between the merge commit above and this compaction is safe — the
+        # epoch is already durable, the debt just compacts one epoch later.
+        if spec.mor_compact_files and any(
+            len(fs) >= spec.mor_compact_files for fs in deltas_prev.values()
+        ):
+            self.compact_deltas()
+        return stats
+
+    def compact_deltas(self) -> int:
+        """Fold every pending MoR delta file back into its bucket's base
+        files (Hudi's compaction service / Iceberg's
+        rewrite_position_delete_files analog): ONE bucket-clustered shuffle
+        over base ∪ deltas of the delta-bearing buckets — the same fused
+        window+write plan the CoW merge uses — then a manifest that
+        references the folded files and clears those buckets' delta lists.
+        Logical content is bit-identical (the fold IS the read path's
+        resolution, materialized); tombstones, lsn guards, audit stamps all
+        ride through, so time travel to pre-compaction versions keeps
+        folding the old deltas and ``expire_tombstones`` stays a separate,
+        explicitly-gated decision. Buckets without deltas are carried by
+        reference — compaction cost is O(delta-bearing buckets), not
+        O(table). Returns the number of delta files folded (0 = no debt)."""
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not deltas:
+            return 0
+        layout = int(m.get("n_buckets", self.n_buckets))
+        base_rels = [p for b in deltas for p in m["buckets"].get(b, [])]
+        delta_rels = [p for fs in deltas.values() for p in fs]
+        unioned = self._read_files(base_rels).withColumn(
+            SEQ_COL, F.lit(0).cast("long")
+        ).unionByName(self._read_delta_files(delta_rels))
+        unioned = unioned.withColumn(
+            _BUCKET_COL, bucket_expr(self.bucket_key, layout)
+        )
+        clustered = unioned.repartition(layout, F.col(_BUCKET_COL))
+        w = Window.partitionBy(_BUCKET_COL, *self.spec.primary_keys).orderBy(
+            F.desc(F.coalesce(F.col(LSN_COL), F.lit(-1))),
+            F.desc(F.coalesce(F.col(SEQ_COL), F.lit(0))),
+        )
+        folded = (
+            clustered.withColumn("_rdl_rn", F.row_number().over(w))
+            .filter(F.col("_rdl_rn") == 1)
+            .drop("_rdl_rn", SEQ_COL)
+        )
+        new_buckets = self._write_buckets(
+            folded, n_buckets=layout, pre_clustered=True
+        )
+        buckets = {
+            b: fs for b, fs in m["buckets"].items() if b not in deltas
+        }
+        buckets.update(new_buckets)
+        manifest = dict(m)
+        manifest["buckets"] = buckets
+        manifest.pop("deltas", None)
+        manifest["kind"] = "compact_deltas"
+        self._commit(manifest)
+        return len(delta_rels)
 
     # ---- maintenance -----------------------------------------------------------
 
@@ -1154,6 +1481,10 @@ class SnapshotTable:
                 with open(mf) as f:
                     doc = json.load(f)
                 for files in doc["buckets"].values():
+                    out.update(files)
+                # pending MoR delta files are as live as base files — a
+                # sweep that missed them would eat uncompacted epochs
+                for files in (doc.get("deltas") or {}).values():
                     out.update(files)
             return out
 
@@ -1259,6 +1590,11 @@ class SnapshotTable:
         way (chunking splits WITHIN each bucket), so ``read_keys`` keeps
         pruning by bucket — now to smaller files.
         """
+        # pending merge-on-read deltas fold into base first: this verb
+        # rewrites whole buckets from their BASE file lists, and a rewrite
+        # that ignored delta rows would silently drop uncompacted epochs
+        if (self.current_manifest() or {}).get("deltas"):
+            self.compact_deltas()
         m = self.current_manifest()
         if m is None:
             return 0
@@ -1335,6 +1671,11 @@ class SnapshotTable:
         automatically. Returns the previous bucket count (0 = no table or
         no-op).
         """
+        # pending merge-on-read deltas fold into base first: this verb
+        # rewrites whole buckets from their BASE file lists, and a rewrite
+        # that ignored delta rows would silently drop uncompacted epochs
+        if (self.current_manifest() or {}).get("deltas"):
+            self.compact_deltas()
         m = self.current_manifest()
         if m is None:
             return 0
@@ -1378,12 +1719,25 @@ class SnapshotTable:
           that brings it back under (the ``rebucket`` argument to use);
         - ``bucket_skew``: max/mean bucket bytes — >2 means the bucket KEY
           is skewed; rebucketing won't fix that (same key → same bucket at
-          any count), hot-key handling will (operators/skew.py).
+          any count), hot-key handling will (operators/skew.py);
+        - ``recommend_compact_deltas``: merge-on-read delta debt — the max
+          per-bucket delta FILE count is that bucket's read amplification
+          (every read of it folds that many extra files), so >0 with any
+          meaningful pile is the ``compact_deltas`` signal. Auto-compaction
+          (``spec.mor_compact_files``) keeps this bounded by construction.
         """
         m = self.current_manifest()
         if m is None:
             return {"status": "no_table"}
         stats = m.get("file_stats", {})
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        delta_files = sum(len(fs) for fs in deltas.values())
+        delta_bytes = sum(
+            int(stats.get(p, {}).get("bytes", 0))
+            for fs in deltas.values()
+            for p in fs
+        )
+        max_delta_files = max((len(fs) for fs in deltas.values()), default=0)
         per_bucket_bytes: dict[str, int] = {}
         per_bucket_files: dict[str, int] = {}
         total_rows = 0
@@ -1414,6 +1768,10 @@ class SnapshotTable:
             "max_files_per_bucket": max_files,
             "recommend_optimize": max_files > 1,
             "recommend_rebucket_to": rec_rebucket,
+            "delta_files": delta_files,
+            "delta_bytes": delta_bytes,
+            "max_delta_files_per_bucket": max_delta_files,
+            "recommend_compact_deltas": delta_files > 0,
         }
 
     def rollback(self, version: int) -> dict[str, Any]:
@@ -1474,7 +1832,9 @@ class SnapshotTable:
         corrupt: list[str] = []
         unverifiable: list[str] = []
         n = 0
-        for files in m["buckets"].values():
+        for files in list(m["buckets"].values()) + list(
+            (m.get("deltas") or {}).values()
+        ):
             for rel in files:
                 n += 1
                 full = os.path.join(self.path, rel)
@@ -1513,6 +1873,11 @@ class SnapshotTable:
         files are fully processed up to it). Rewrites ONLY the buckets that
         hold expirable tombstones — found by one column-pruned scan of the
         two internal columns."""
+        # pending merge-on-read deltas fold into base first: this verb
+        # rewrites whole buckets from their BASE file lists, and a rewrite
+        # that ignored delta rows would silently drop uncompacted epochs
+        if (self.current_manifest() or {}).get("deltas"):
+            self.compact_deltas()
         m = self.current_manifest()
         if m is None:
             return 0
@@ -1572,6 +1937,10 @@ class SnapshotTable:
         sink's, not the engine's, and is documented in sinks/iceberg.py.
         """
         if renames:
+            # a rename rewrite reads the BASE file lists with the old
+            # schema; fold pending MoR deltas in first so no epoch is lost
+            if (self.current_manifest() or {}).get("deltas"):
+                self.compact_deltas()
             m = self.current_manifest()
             # read the existing files with the schema they were WRITTEN with
             # (the manifest's), not the new spec's — read-by-name would

@@ -114,6 +114,30 @@ class IngestSpec:
     # Spark ≥3.5 (plans/manager.py) — pin a factor only on engines without
     # that optimization.
     salt_buckets: int = 0
+    # MERGE strategy for the snapshot sink (Hudi's table-type choice,
+    # Iceberg's write.merge.mode):
+    #   "cow" (default) — copy-on-write: each epoch rewrites the touched
+    #     buckets' files; reads are plain scans. Best for read-heavy tables.
+    #   "mor" — merge-on-read: each epoch APPENDS bucketed delta files
+    #     (O(batch) write, no base read at all); readers fold base ∪ deltas
+    #     with the same LWW window; compact_deltas() folds the debt back
+    #     into base files. Best for write-heavy CDC tails: with hashed PKs
+    #     even a tiny batch touches ~every bucket, so CoW write cost is
+    #     O(table) per epoch regardless of batch size — MoR makes it
+    #     O(batch) and moves the fold cost to reads until compaction.
+    # NOT part of checksum(): flipping the strategy is a deployment change,
+    # never a schema change — it must not force a full refresh (the CoW
+    # merge absorbs pending deltas for the buckets it touches, so the modes
+    # interleave safely on one table). The Iceberg sink ignores it: its
+    # MERGE INTO path is engine-side CoW here; real Iceberg v2 runtimes
+    # flip the same trade via write.merge.mode table properties.
+    merge_mode: str = "cow"
+    # Auto-compaction trigger for merge_mode="mor": when any bucket holds
+    # >= this many delta files after a merge, the sink runs compact_deltas()
+    # before returning (0 = manual compaction only). Per-bucket delta file
+    # count IS the read amplification of that bucket, which is why the
+    # trigger is max-per-bucket, not a table-wide total.
+    mor_compact_files: int = 0
     # Per-row audit/lineage columns (reference P3: modules/BatchDataLoader.py
     # appends load metadata to every destination row). When true, every
     # written row carries _rdl_exec_id (the epoch that wrote it) and
@@ -146,6 +170,18 @@ class IngestSpec:
     # orphan window. Orchestration metadata, deliberately NOT part of
     # checksum(): re-declaring an ordering must never force a refresh.
     depends_on: tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"spec {self.name!r}: merge_mode must be 'cow' or 'mor', "
+                f"got {self.merge_mode!r}"
+            )
+        if self.mor_compact_files < 0:
+            raise ValueError(
+                f"spec {self.name!r}: mor_compact_files must be >= 0, "
+                f"got {self.mor_compact_files}"
+            )
 
     # ---- derived --------------------------------------------------------
 
@@ -273,6 +309,8 @@ class IngestSpec:
             "upsert_ops": list(self.upsert_ops),
             "target_buckets": self.target_buckets,
             "salt_buckets": self.salt_buckets,
+            "merge_mode": self.merge_mode,
+            "mor_compact_files": self.mor_compact_files,
             "audit_columns": self.audit_columns,
             "transforms": self.transforms,
             "expectations": self.expectations,
@@ -306,6 +344,8 @@ class IngestSpec:
             upsert_ops=tuple(doc.get("upsert_ops", ("I", "U"))),
             target_buckets=doc.get("target_buckets", 16),
             salt_buckets=doc.get("salt_buckets", 0),
+            merge_mode=doc.get("merge_mode", "cow"),
+            mor_compact_files=doc.get("mor_compact_files", 0),
             audit_columns=doc.get("audit_columns", False),
             transforms=doc.get("transforms", {}),
             expectations=doc.get("expectations", {}),
