@@ -75,6 +75,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "so a concurrent writer's in-flight commit is never collected",
     )
     p.add_argument(
+        "--compact-deltas",
+        action="store_true",
+        help="maintenance: fold every pending merge-on-read delta file back "
+        "into its bucket's base files (content-neutral; clears the table's "
+        "read amplification), then exit (snapshot sink only)",
+    )
+    p.add_argument(
         "--optimize",
         action="store_true",
         help="maintenance: sort-compact every bucket to one PK-sorted file "
@@ -204,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     if (
         args.expire_tombstones_below is not None
         or args.vacuum
+        or args.compact_deltas
         or args.optimize
         or args.rebucket is not None
         or args.fsck
@@ -280,6 +288,18 @@ def main(argv: list[str] | None = None) -> int:
                         f"[rdl-spark] {spec.name}: --rebucket is snapshot-"
                         "sink only (Iceberg evolves partition specs via "
                         "REPLACE PARTITION FIELD), skipping",
+                        file=sys.stderr,
+                    )
+            if args.compact_deltas:
+                # runs before --optimize by construction (optimize would
+                # auto-compact anyway; the explicit verb reports the count)
+                if hasattr(table, "compact_deltas"):
+                    out["delta_files_compacted"] = table.compact_deltas()
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --compact-deltas is "
+                        "snapshot-sink only (Iceberg v2 compaction runs as "
+                        "a rewrite_data_files service), skipping",
                         file=sys.stderr,
                     )
             if args.optimize:

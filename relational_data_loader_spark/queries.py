@@ -2701,14 +2701,29 @@ def _state_workdir(sf: str, tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"rdl_qstate_{tag}_{safe}")
 
 
-def _run_engine_replay(spark, sf, tag: str, split: bool, maintain: bool = False):
+def _run_engine_replay(
+    spark,
+    sf,
+    tag: str,
+    split: bool,
+    maintain: bool = False,
+    merge_mode: str = "cow",
+    mor_compact_files: int = 0,
+    chunks: int = 0,
+    compact: bool = False,
+):
     """Write the derived log, replay it through DataLoadManager, return the
     visible table. ``split=True`` loads the head as a full refresh then the
     tail incrementally (watermark skips the head) — the engine invariant is
     that both routes land on the SAME final state, so both entries share one
     oracle shape. ``maintain=True`` additionally runs BOTH table services
     (tombstone expiry past the log's max lsn, then sort-compaction) before
-    reading — maintenance must change layout, never content."""
+    reading — maintenance must change layout, never content.
+
+    ``merge_mode``/``mor_compact_files`` flow into the spec (merge-on-read
+    replays); ``chunks`` sizes batch_size so the incremental tail splits
+    into ~that many lsn-bounded epochs at ANY sf; ``compact=True`` runs
+    ``compact_deltas()`` before the read (content-neutral by contract)."""
     import shutil
 
     from relational_data_loader_spark.plans.manager import DataLoadManager
@@ -2718,10 +2733,20 @@ def _run_engine_replay(spark, sf, tag: str, split: bool, maintain: bool = False)
     shutil.rmtree(base, ignore_errors=True)
     log_dir = os.path.join(base, "log")
     log = _derived_changelog(spark, sf)
-    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    kw = dict(
+        source=f"parquet://{log_dir}",
+        target_buckets=8,
+        merge_mode=merge_mode,
+        mor_compact_files=mor_compact_files,
+    )
+    hi = log.agg(F.max("lsn")).first()[0] if (split or chunks) else None
+    if chunks:
+        # the incremental tail spans ~half the lsn range
+        kw["batch_size"] = max(int(hi) // (2 * chunks), 1)
+    spec = transcripts_spec(**kw)
     mgr = DataLoadManager(spark, os.path.join(base, "wh"))
     if split:
-        cut = log.agg(F.max("lsn")).first()[0] // 2
+        cut = int(hi) // 2
         log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
         mgr.run(spec)
         log.write.mode("overwrite").parquet(log_dir)
@@ -2734,6 +2759,8 @@ def _run_engine_replay(spark, sf, tag: str, split: bool, maintain: bool = False)
         hi = log.agg(F.max("lsn")).first()[0]
         tbl.expire_tombstones(below_lsn=hi)
         tbl.optimize()
+    if compact:
+        mgr.table(spec).compact_deltas()
     return mgr.table(spec).read()
 
 
@@ -2748,6 +2775,39 @@ def q_cdc_incremental_merge_state(spark, sf):
     (C1/C2 decision + watermark + MERGE/delete apply end to end). Must equal
     the full-refresh oracle state exactly — replay-route invariance."""
     return _run_engine_replay(spark, sf, "incr", split=True)
+
+
+def q_cdc_mor_merge_state(spark, sf):
+    """MERGE-ON-READ engine replay: head full refresh, then the tail applied
+    as ~3 lsn-chunked epochs of O(batch) delta appends (no base read — the
+    write cost argument in sinks/snapshot.py's module docstring), and the
+    final read assembles state by folding base ∪ pending deltas with the
+    same LWW window the CoW merge uses. Must hash-equal the CoW replay's
+    oracle exactly — the merge STRATEGY must be invisible to readers, out
+    of order, tombstones and all."""
+    return _run_engine_replay(
+        spark, sf, "mor", split=True, merge_mode="mor", chunks=3
+    )
+
+
+def q_cdc_mor_compaction_state(spark, sf):
+    """MoR replay under the FULL production cadence: ~4 delta epochs with an
+    auto-compaction threshold (mor_compact_files=2) firing mid-backlog, then
+    a manual ``compact_deltas()`` folding the remaining debt before the
+    read. Compaction is content-neutral by contract — the folded table must
+    still hash-equal the same LWW oracle, tombstone guards and audit
+    semantics intact, while the read path now takes the zero-fold fast
+    path (no delta-bearing buckets left)."""
+    return _run_engine_replay(
+        spark,
+        sf,
+        "mor_c",
+        split=True,
+        merge_mode="mor",
+        mor_compact_files=2,
+        chunks=4,
+        compact=True,
+    )
 
 
 def q_cdc_streaming_state(spark, sf):
@@ -6450,6 +6510,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_full_refresh_state": (q_cdc_full_refresh_state, SQL_ENGINE_FINAL_STATE),
     "cdc_incremental_merge_state": (
         q_cdc_incremental_merge_state,
+        SQL_ENGINE_FINAL_STATE,
+    ),
+    "cdc_mor_merge_state": (q_cdc_mor_merge_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_mor_compaction_state": (
+        q_cdc_mor_compaction_state,
         SQL_ENGINE_FINAL_STATE,
     ),
     "cdc_schema_evolution_state": (

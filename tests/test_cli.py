@@ -294,3 +294,39 @@ def test_wap_branch_stage_publish_cycle(setup, capsys, spark):
         ["--warehouse", wh, "--specs", specdir, "--drop-branch", "stale"]
     ) == 0
     assert main_tbl.list_branches() == []
+
+
+def test_maintenance_compact_deltas_flag(setup, capsys, tmp_path):
+    """A MoR spec accumulates delta debt through the CLI batch path; the
+    --compact-deltas verb folds it and the table stays oracle-equal."""
+    import json as _json
+
+    log, logdir, specdir, wh, _ = setup
+    spec = transcripts_spec(
+        source=f"parquet://{logdir}", target_buckets=8, merge_mode="mor"
+    )
+    (tmp_path / "specs" / "transcripts.json").write_text(spec.to_json())
+    cut = pc.max(log["lsn"]).as_py() // 2
+    write_log(log, logdir, lsn_upto=cut)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    write_log(log, logdir, lsn_from=cut)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    t = mgr.table(spec)
+    assert t.current_manifest()["kind"] == "merge_mor"
+    assert t.current_manifest().get("deltas")
+
+    rc = main(["--warehouse", wh, "--specs", specdir, "--compact-deltas"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert doc["spec"] == "transcripts" and doc["delta_files_compacted"] > 0
+    m = t.current_manifest()
+    assert m["kind"] == "compact_deltas" and not m.get("deltas")
+    got = spark_sorted_pdf(t.read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
