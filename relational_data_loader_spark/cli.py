@@ -75,6 +75,23 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "so a concurrent writer's in-flight commit is never collected",
     )
     p.add_argument(
+        "--publish-group",
+        default=None,
+        metavar="NAME",
+        help="maintenance: atomically publish branch NAME across EVERY spec "
+        "that has it staged — one cross-table transaction (group journal + "
+        "consistent-cut record; plans/txn.py), unlike --publish-branch "
+        "which moves each table independently. Exit 1 on conflict "
+        "(compensated) — re-stage and retry.",
+    )
+    p.add_argument(
+        "--recover-groups",
+        action="store_true",
+        help="maintenance: settle crashed cross-table publishes from their "
+        "group journals (roll forward iff the first participant landed, "
+        "else abort leaving branches staged), then exit",
+    )
+    p.add_argument(
         "--compact-deltas",
         action="store_true",
         help="maintenance: fold every pending merge-on-read delta file back "
@@ -218,8 +235,66 @@ def main(argv: list[str] | None = None) -> int:
         or args.rollback_to is not None
         or args.maintenance_report
         or args.publish_branch is not None
+        or args.publish_group is not None
+        or args.recover_groups
         or args.drop_branch is not None
     ):
+        if args.publish_group is not None or args.recover_groups:
+            # cross-table passes run over the whole spec set at once,
+            # before the per-spec loop below
+            from relational_data_loader_spark.plans.txn import (
+                GroupPublishConflict,
+                publish_group,
+                recover_groups,
+            )
+
+            specs = []
+            for f in spec_files:
+                with open(f) as fh:
+                    specs.append(IngestSpec.from_json(fh.read()))
+            if args.recover_groups:
+                settled = recover_groups(mgr, specs)
+                print(
+                    json.dumps(
+                        {
+                            "recovered_groups": [
+                                {"txid": j["txid"], "status": j["status"]}
+                                for j in settled
+                            ]
+                        }
+                    )
+                )
+            if args.publish_group is not None:
+                members = [
+                    (s, args.publish_group)
+                    for s in specs
+                    if hasattr(mgr.table(s), "list_branches")
+                    and args.publish_group in mgr.table(s).list_branches()
+                ]
+                if not members:
+                    print(
+                        f"[rdl-spark] no spec has branch "
+                        f"{args.publish_group!r} staged",
+                        file=sys.stderr,
+                    )
+                    return 1
+                try:
+                    j = publish_group(mgr, members)
+                    print(
+                        json.dumps(
+                            {
+                                "published_group": args.publish_group,
+                                "txid": j["txid"],
+                                "tables": {
+                                    p["table"]: p["target_main_version"]
+                                    for p in j["participants"]
+                                },
+                            }
+                        )
+                    )
+                except GroupPublishConflict as e:
+                    print(f"[rdl-spark] group publish conflict: {e}", file=sys.stderr)
+                    return 1
         # maintenance mode: no load — run the requested janitorial pass per
         # spec (the reference has no analog; Iceberg deployments run these
         # as table services, the snapshot sink ships its own)

@@ -3598,6 +3598,111 @@ FROM canon GROUP BY 1
 """
 
 
+def q_cdc_txn_publish_state(spark, sf):
+    """CROSS-TABLE transactional publish replay (plans/txn.py): transcripts
+    + a conv_registry dimension loaded from the same derived change log onto
+    WAP branches, group-published with an INJECTED CRASH between the two
+    fast-forwards, recovered through the fsync'd group journal (roll
+    forward — the first participant's publish landed), then read
+    FK-consistently through the pinned consistent-cut record. The proof
+    row carries both tables' cardinalities, the orphan count (turns whose
+    conv_id is missing from the registry — 0 iff the cut is consistent),
+    and the transcripts content checksum, all of which the oracle derives
+    independently from the raw events."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.plans.txn import (
+        publish_group,
+        read_cut,
+        recover_groups,
+    )
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec, transcripts_spec
+
+    base = _state_workdir(sf, "txn")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    reg_dir = os.path.join(base, "reg")
+    log = _derived_changelog(spark, sf)
+    log.write.parquet(log_dir)
+    # registry envelope stream: one upsert per EVENT (never deletes — a
+    # conversation that ever existed keeps its registry row), LWW keeps
+    # the latest event's role per conv
+    log.select(
+        "lsn",
+        F.lit("U").alias("op"),
+        "conv_id",
+        F.coalesce(F.col("role"), F.lit("tombstone")).alias("last_role"),
+    ).write.parquet(reg_dir)
+
+    spec_a = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    spec_b = IngestSpec(
+        name="conv_registry",
+        source=f"parquet://{reg_dir}",
+        columns=[
+            ColumnSpec("conv_id", "conv_id", "string", primary_key=True, nullable=False),
+            ColumnSpec("last_role", "last_role", "string"),
+        ],
+        target_buckets=8,
+    )
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec_a, branch="wap")
+    mgr.run(spec_b, branch="wap")
+    try:
+        publish_group(mgr, [(spec_a, "wap"), (spec_b, "wap")], _fail_after=1)
+        raise AssertionError("fault injection did not fire")
+    except RuntimeError as e:
+        if "injected crash" not in str(e):
+            raise
+    (journal,) = recover_groups(mgr, [spec_a, spec_b])
+    views = read_cut(mgr, [spec_a, spec_b], journal["txid"])
+    turns, reg = views["transcripts"], views["conv_registry"]
+
+    from relational_data_loader_spark.operators.reconcile import _canonical, _md5_56
+
+    a_agg = turns.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            _md5_56(_canonical(["conv_id", "turn_idx", "text"])).cast(
+                "decimal(38,0)"
+            )
+        ).alias("_chk"),
+    )
+    b_agg = reg.agg(F.count(F.lit(1)).alias("n_convs"))
+    o_agg = turns.join(reg, "conv_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphan_turns")
+    )
+    # three 1-row frames → one proof row (broadcast-trivial crossJoins)
+    return (
+        a_agg.crossJoin(b_agg)
+        .crossJoin(o_agg)
+        .select(
+            "n_turns",
+            "n_convs",
+            "n_orphan_turns",
+            F.col("_chk").cast("string").alias("turns_chk"),
+        )
+    )
+
+
+SQL_TXN_PUBLISH = f"""
+WITH final AS ({SQL_ENGINE_FINAL_STATE}),
+reg AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS conv_id FROM events),
+chk AS (
+  SELECT CAST(concat('0x', substr(md5(
+           concat_ws('|', coalesce(CAST(conv_id AS VARCHAR), '␀'),
+                          coalesce(CAST(turn_idx AS VARCHAR), '␀'),
+                          coalesce(CAST(text AS VARCHAR), '␀'))
+         ), 1, 14)) AS BIGINT) AS h
+  FROM final)
+SELECT (SELECT count(*) FROM final) AS n_turns,
+       (SELECT count(*) FROM reg) AS n_convs,
+       CAST(0 AS BIGINT) AS n_orphan_turns,
+       CAST((SELECT sum(CAST(h AS DECIMAL(38,0))) FROM chk) AS VARCHAR)
+         AS turns_chk
+"""
+
+
 def q_tfidf_top_terms(spark, sf):
     """Keyword extraction (operators/index.tfidf_top_terms): top-3 terms
     per document by tf·ln(N/df). tf/df both aggregate REDUCED tables (the
@@ -6543,6 +6648,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_rank_stats": (q_window_rank_stats, SQL_WINDOW_RANK),
     "label_centroid_cohesion": (q_label_centroid_cohesion, SQL_CENTROID_COHESION),
     "cdc_reconciliation_state": (q_cdc_reconciliation_state, SQL_RECONCILIATION),
+    "cdc_txn_publish_state": (q_cdc_txn_publish_state, SQL_TXN_PUBLISH),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),
     "pivot_user_event_matrix": (q_pivot_user_event_matrix, SQL_PIVOT_MATRIX),

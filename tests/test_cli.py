@@ -330,3 +330,62 @@ def test_maintenance_compact_deltas_flag(setup, capsys, tmp_path):
     assert m["kind"] == "compact_deltas" and not m.get("deltas")
     got = spark_sorted_pdf(t.read())
     assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_publish_group_flag_atomic_across_specs(setup, capsys, tmp_path):
+    """Two specs staged with --branch, then --publish-group commits them as
+    ONE cross-table transaction (journal + cut record); --recover-groups
+    afterwards settles nothing (terminal journal)."""
+    import json as _json
+
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir)
+    regdir = str(tmp_path / "reg")
+    import duckdb
+    import pyarrow.parquet as pq
+
+    reg = duckdb.sql(
+        f"SELECT lsn, 'U' AS op, conv_id, coalesce(role,'t') AS last_role "
+        f"FROM read_parquet('{logdir}/*.parquet')"
+    ).arrow()
+    import os as _os
+
+    _os.makedirs(regdir, exist_ok=True)
+    pq.write_table(reg, f"{regdir}/reg.parquet")
+    reg_spec = IngestSpec(
+        name="conv_registry",
+        source=f"parquet://{regdir}",
+        columns=[
+            ColumnSpec("conv_id", "conv_id", "string", primary_key=True, nullable=False),
+            ColumnSpec("last_role", "last_role", "string"),
+        ],
+        target_buckets=4,
+    )
+    (tmp_path / "specs" / "conv_registry.json").write_text(reg_spec.to_json())
+
+    assert main(["--warehouse", wh, "--specs", specdir, "--branch", "wap"]) == 0
+    capsys.readouterr()
+    rc = main(["--warehouse", wh, "--specs", specdir, "--publish-group", "wap"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = next(_json.loads(l) for l in out if "published_group" in l)
+    assert set(doc["tables"]) == {"transcripts", "conv_registry"}
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.plans.txn import list_cuts, read_cut
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+    (cut,) = list_cuts(wh)
+    views = read_cut(mgr, [spec, reg_spec], cut["txid"])
+    assert views["conv_registry"].count() > 0
+
+    rc = main(["--warehouse", wh, "--specs", specdir, "--recover-groups"])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = next(_json.loads(l) for l in out if "recovered_groups" in l)
+    assert doc["recovered_groups"] == []

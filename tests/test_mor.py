@@ -359,3 +359,34 @@ def test_manager_mor_replay_matches_oracle(spark, warehouse, tmp_path):
     # third run: nothing new → skip; watermark intact through compaction
     res3 = mgr.run(spec)
     assert res3.skipped and res3.watermark == max_lsn
+
+
+# ---- streaming × MoR --------------------------------------------------------
+
+
+def test_streaming_ingest_mor_matches_oracle(spark, warehouse, tmp_path):
+    """Structured Streaming micro-batches through the foreachBatch MERGE
+    path with merge_mode="mor": every micro-batch is an O(batch) delta
+    append, and the drained table (pending deltas folded at read) must
+    equal the DuckDB LWW oracle — streaming epochs and batch epochs share
+    one delta-seq lineage."""
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    log_tbl = generate_change_log(n_events=3000, n_convs=60, seed=23)
+    logdir = str(tmp_path / "log")
+    write_log(log_tbl, logdir, n_files=8)
+    spec = transcripts_spec(
+        source=f"parquet://{logdir}", target_buckets=8, merge_mode="mor"
+    )
+    mgr = DataLoadManager(spark, warehouse)
+    ing = StreamingIngest(mgr, spec, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    ing.run_until_caught_up()
+
+    tbl = mgr.table(spec)
+    m = tbl.current_manifest()
+    assert m["kind"] == "merge_mor" and m.get("deltas")
+    got = spark_sorted_pdf(tbl.read())
+    want = duck_final_state(f"{logdir}/*.parquet")
+    assert_tables_equal(got, want)
+    tbl.compact_deltas()
+    assert_tables_equal(spark_sorted_pdf(tbl.read()), want)
