@@ -689,18 +689,32 @@ class SnapshotTable:
         hot_delta = [p for fs in deltas.values() for p in fs]
         return self._fold(hot_base, hot_delta).unionByName(self._read_files(cold))
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, read_optimized: bool = False
+    ) -> DataFrame:
         """User-visible table state: tombstones filtered, internals dropped.
         ``version`` time-travels to an earlier committed manifest (within
         vacuum's retention window) — the manifest pins the exact file list
         AND its pending delta set, so an old version reads byte-identically
         even after later merges or compactions (which never rewrite old
         commit dirs; vacuum is what expires them).
-        """
+
+        ``read_optimized=True`` is Hudi's read-optimized (_ro) query on a
+        MoR table: serve BASE files only, skipping the delta fold entirely
+        — zero read tax, in exchange for bounded staleness (uncompacted
+        epochs are invisible; the bound is the compaction cadence, which
+        ``mor_compact_files`` pins). On a CoW table or a compacted MoR
+        table it is a no-op. Never mix the two views in one job that
+        expects a consistent snapshot."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         if m is None:
             return self.spark.createDataFrame([], self.spec.destination_schema())
-        df = self._assembled(m)
+        if read_optimized:
+            df = self._read_files(
+                [p for fs in m.get("buckets", {}).values() for p in fs]
+            )
+        else:
+            df = self._assembled(m)
         visible = [f.name for f in self.spec.destination_schema().fields]
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(*visible)
 
@@ -1396,11 +1410,11 @@ class SnapshotTable:
             self.compact_deltas()
         return stats
 
-    def compact_deltas(self) -> int:
-        """Fold every pending MoR delta file back into its bucket's base
-        files (Hudi's compaction service / Iceberg's
+    def compact_deltas(self, max_buckets: int | None = None) -> int:
+        """Fold pending MoR delta files back into their buckets' base files
+        (Hudi's compaction service / Iceberg's
         rewrite_position_delete_files analog): ONE bucket-clustered shuffle
-        over base ∪ deltas of the delta-bearing buckets — the same fused
+        over base ∪ deltas of the selected buckets — the same fused
         window+write plan the CoW merge uses — then a manifest that
         references the folded files and clears those buckets' delta lists.
         Logical content is bit-identical (the fold IS the read path's
@@ -1408,14 +1422,28 @@ class SnapshotTable:
         ride through, so time travel to pre-compaction versions keeps
         folding the old deltas and ``expire_tombstones`` stays a separate,
         explicitly-gated decision. Buckets without deltas are carried by
-        reference — compaction cost is O(delta-bearing buckets), not
-        O(table). Returns the number of delta files folded (0 = no debt)."""
+        reference — compaction cost is O(selected buckets), not O(table).
+
+        ``max_buckets`` bounds one compaction run to the N WORST buckets
+        (most delta files = highest read amplification), leaving the rest
+        pending — the incremental-compaction shape a 10^10-row table
+        needs: debt spanning thousands of buckets folds across scheduled
+        runs of bounded cost instead of one table-sized job, and every
+        run is independently committed/resumable because per-bucket folds
+        never interact. Returns the number of delta files folded."""
         m = self.current_manifest()
         if m is None:
             return 0
-        deltas: dict[str, list[str]] = m.get("deltas") or {}
-        if not deltas:
+        all_deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not all_deltas:
             return 0
+        if max_buckets is not None and max_buckets < len(all_deltas):
+            worst = sorted(
+                all_deltas, key=lambda b: len(all_deltas[b]), reverse=True
+            )[: max(max_buckets, 1)]
+            deltas = {b: all_deltas[b] for b in worst}
+        else:
+            deltas = all_deltas
         layout = int(m.get("n_buckets", self.n_buckets))
         base_rels = [p for b in deltas for p in m["buckets"].get(b, [])]
         delta_rels = [p for fs in deltas.values() for p in fs]
@@ -1442,9 +1470,13 @@ class SnapshotTable:
             b: fs for b, fs in m["buckets"].items() if b not in deltas
         }
         buckets.update(new_buckets)
+        remaining = {b: fs for b, fs in all_deltas.items() if b not in deltas}
         manifest = dict(m)
         manifest["buckets"] = buckets
-        manifest.pop("deltas", None)
+        if remaining:
+            manifest["deltas"] = remaining
+        else:
+            manifest.pop("deltas", None)
         manifest["kind"] = "compact_deltas"
         self._commit(manifest)
         return len(delta_rels)

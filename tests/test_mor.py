@@ -390,3 +390,40 @@ def test_streaming_ingest_mor_matches_oracle(spark, warehouse, tmp_path):
     assert_tables_equal(got, want)
     tbl.compact_deltas()
     assert_tables_equal(spark_sorted_pdf(tbl.read()), want)
+
+
+# ---- incremental compaction & read-optimized view ---------------------------
+
+
+def test_incremental_compaction_worst_buckets_first(spark, tmp_path):
+    """max_buckets bounds one run to the highest-debt buckets; the rest
+    stay pending and fold on the next run — every intermediate state reads
+    identically."""
+    t = replay(spark, str(tmp_path), "mor", "t", [EPOCH1, EPOCH2, EPOCH3])
+    want = visible(t)
+    all_deltas = t.current_manifest()["deltas"]
+    assert len(all_deltas) >= 2
+    worst = max(all_deltas, key=lambda b: len(all_deltas[b]))
+    folded1 = t.compact_deltas(max_buckets=1)
+    m = t.current_manifest()
+    assert folded1 == len(all_deltas[worst])
+    assert worst not in (m.get("deltas") or {})
+    assert len(m["deltas"]) == len(all_deltas) - 1
+    assert visible(t) == want
+    # second run drains the rest
+    folded2 = t.compact_deltas()
+    assert folded2 == sum(len(v) for b, v in all_deltas.items() if b != worst)
+    assert not (t.current_manifest().get("deltas") or {})
+    assert visible(t) == want
+
+
+def test_read_optimized_serves_base_only(spark, tmp_path):
+    t = replay(spark, str(tmp_path), "mor", "t", [EPOCH1])
+    # _ro view: pre-merge state (base only), no fold
+    ro = sorted(tuple(r) for r in t.read(read_optimized=True).collect())
+    base_only = visible(replay(spark, str(tmp_path), "mor", "ref", []))
+    assert ro == base_only
+    assert visible(t) != ro  # the real-time view sees the delta epoch
+    # after compaction the two views converge
+    t.compact_deltas()
+    assert sorted(tuple(r) for r in t.read(read_optimized=True).collect()) == visible(t)
