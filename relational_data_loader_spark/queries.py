@@ -2711,6 +2711,7 @@ def _run_engine_replay(
     mor_compact_files: int = 0,
     chunks: int = 0,
     compact: bool = False,
+    read_optimized: bool = False,
 ):
     """Write the derived log, replay it through DataLoadManager, return the
     visible table. ``split=True`` loads the head as a full refresh then the
@@ -2761,7 +2762,7 @@ def _run_engine_replay(
         tbl.optimize()
     if compact:
         mgr.table(spec).compact_deltas()
-    return mgr.table(spec).read()
+    return mgr.table(spec).read(read_optimized=read_optimized)
 
 
 def q_cdc_full_refresh_state(spark, sf):
@@ -3701,6 +3702,25 @@ SELECT (SELECT count(*) FROM final) AS n_turns,
        CAST((SELECT sum(CAST(h AS DECIMAL(38,0))) FROM chk) AS VARCHAR)
          AS turns_chk
 """
+
+
+def q_cdc_mor_read_optimized(spark, sf):
+    """Hudi's read-optimized (_ro) query on an UNCOMPACTED MoR table: the
+    head half loads as the base (full refresh), the tail accumulates as
+    pending delta epochs, and ``read(read_optimized=True)`` serves BASE
+    FILES ONLY — so the visible state is exactly the head-refresh state,
+    which is the same oracle the rollback entry pins (lsn ≤ max//2 LWW).
+    The staleness contract made checkable: _ro sees precisely what
+    compaction has folded, nothing newer."""
+    return _run_engine_replay(
+        spark,
+        sf,
+        "mor_ro",
+        split=True,
+        merge_mode="mor",
+        chunks=3,
+        read_optimized=True,
+    )
 
 
 def q_tfidf_top_terms(spark, sf):
@@ -6618,6 +6638,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_ENGINE_FINAL_STATE,
     ),
     "cdc_mor_merge_state": (q_cdc_mor_merge_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_mor_read_optimized": (q_cdc_mor_read_optimized, SQL_ROLLBACK_STATE),
     "cdc_mor_compaction_state": (
         q_cdc_mor_compaction_state,
         SQL_ENGINE_FINAL_STATE,

@@ -110,3 +110,56 @@ def test_replay_equals_pandas_oracle(spark, tmp_path_factory, events, split_frac
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want, check_dtype=False
     )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(_event, min_size=1, max_size=60),
+    split_frac=st.floats(0.1, 0.9),
+    compact_mid=st.booleans(),
+    partial=st.booleans(),
+)
+def test_mor_replay_equals_pandas_oracle(
+    spark, tmp_path_factory, events, split_frac, compact_mid, partial
+):
+    """The same property, through the merge-on-read write path — and with a
+    (possibly partial, worst-buckets-first) compaction injected between the
+    two engine runs on half the examples: ANY interleaving of delta-append
+    epochs and compactions must land on the pandas oracle's state."""
+    tmp = tmp_path_factory.mktemp("prop_mor")
+    logdir = str(tmp / "log")
+    tbl = _to_table(events)
+    cut = max(int(len(events) * split_frac), 1)
+
+    write_log(tbl, logdir, n_files=2, lsn_upto=cut)
+    spec = transcripts_spec(
+        source=f"parquet://{logdir}", target_buckets=4, merge_mode="mor",
+        batch_size=7,  # tiny chunks → several delta epochs per run
+    )
+    mgr = DataLoadManager(spark, str(tmp / "wh"))
+    mgr.run(spec)
+    if cut < len(events):
+        write_log(tbl, logdir, n_files=2, lsn_from=cut)
+        mgr.run(spec)
+        if compact_mid:
+            mgr.table(spec).compact_deltas(max_buckets=1 if partial else None)
+        # a second, fully-redundant run must skip and change nothing
+        res = mgr.run(spec)
+        assert res.skipped
+
+    got = (
+        mgr.table(spec)
+        .read()
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+    )
+    want = _pandas_oracle(events)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
