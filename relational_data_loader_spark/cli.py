@@ -92,6 +92,22 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "else abort leaving branches staged), then exit",
     )
     p.add_argument(
+        "--clone-to",
+        default=None,
+        metavar="DIR",
+        help="maintenance: clone each spec's table into DIR/<name> "
+        "(snapshot sink only), then exit. Shallow by default — zero-copy "
+        "metadata referencing the source's files (see --clone-mode)",
+    )
+    p.add_argument(
+        "--clone-mode",
+        default="shallow",
+        choices=("shallow", "deep"),
+        help="with --clone-to: shallow = zero-copy references (source "
+        "vacuum retention must outlive the clone); deep = byte-copied, "
+        "fully isolated",
+    )
+    p.add_argument(
         "--compact-deltas",
         action="store_true",
         help="maintenance: fold every pending merge-on-read delta file back "
@@ -237,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.publish_branch is not None
         or args.publish_group is not None
         or args.recover_groups
+        or args.clone_to is not None
         or args.drop_branch is not None
     ):
         if args.publish_group is not None or args.recover_groups:
@@ -363,6 +380,20 @@ def main(argv: list[str] | None = None) -> int:
                         f"[rdl-spark] {spec.name}: --rebucket is snapshot-"
                         "sink only (Iceberg evolves partition specs via "
                         "REPLACE PARTITION FIELD), skipping",
+                        file=sys.stderr,
+                    )
+            if args.clone_to is not None:
+                if hasattr(table, "clone_to"):
+                    dest = os.path.join(args.clone_to, spec.name)
+                    cm = table.clone_to(dest, mode=args.clone_mode)
+                    out["cloned_to"] = dest
+                    out["clone_mode"] = args.clone_mode
+                    out["clone_of_version"] = cm["clone_of"]["version"]
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --clone-to is snapshot-"
+                        "sink only (Iceberg: CREATE TABLE ... LIKE + "
+                        "snapshot ref), skipping",
                         file=sys.stderr,
                     )
             if args.compact_deltas:

@@ -3723,6 +3723,38 @@ def q_cdc_mor_read_optimized(spark, sf):
     )
 
 
+def q_cdc_clone_state(spark, sf):
+    """Zero-copy clone replay (SnapshotTable.clone_to — the Delta CLONE
+    analog): production loads the HEAD half of the log, a shallow clone
+    (metadata-only, absolute-path file references) is taken into a second
+    warehouse, and the TAIL is ingested on the CLONE — the carried
+    watermark/epochs make it apply exactly what production had not. The
+    clone's final read must equal the full LWW oracle while production is
+    pinned at the head (pytest asserts that half; the driver hashes the
+    clone's state). Dev-replay-from-production at 10^10 rows without
+    copying a byte."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "clone")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    hi = log.agg(F.max("lsn")).first()[0]
+    cut = int(hi) // 2
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    prod = DataLoadManager(spark, os.path.join(base, "prod"))
+    prod.run(spec)
+    prod.table(spec).clone_to(os.path.join(base, "dev", spec.name))
+    log.write.mode("overwrite").parquet(log_dir)
+    dev = DataLoadManager(spark, os.path.join(base, "dev"))
+    dev.run(spec)
+    return dev.table(spec).read()
+
+
 def q_tfidf_top_terms(spark, sf):
     """Keyword extraction (operators/index.tfidf_top_terms): top-3 terms
     per document by tf·ln(N/df). tf/df both aggregate REDUCED tables (the
@@ -6639,6 +6671,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "cdc_mor_merge_state": (q_cdc_mor_merge_state, SQL_ENGINE_FINAL_STATE),
     "cdc_mor_read_optimized": (q_cdc_mor_read_optimized, SQL_ROLLBACK_STATE),
+    "cdc_clone_state": (q_cdc_clone_state, SQL_ENGINE_FINAL_STATE),
     "cdc_mor_compaction_state": (
         q_cdc_mor_compaction_state,
         SQL_ENGINE_FINAL_STATE,

@@ -1481,6 +1481,97 @@ class SnapshotTable:
         self._commit(manifest)
         return len(delta_rels)
 
+    # ---- clones ----------------------------------------------------------------
+
+    def clone_to(
+        self, dest_path: str, mode: str = "shallow", version: int | None = None
+    ) -> dict[str, Any]:
+        """Clone this table (at ``version``, default head) into a NEW table
+        at ``dest_path`` — Delta/Iceberg ``CLONE``:
+
+        - ``shallow``: metadata-only and O(1) data bytes — the clone's v1
+          manifest references the source's data files by ABSOLUTE path
+          (``_read_files`` resolves them unchanged: joining an absolute
+          path ignores the table root), while everything the clone writes
+          afterwards lands under its own root as usual. Divergence is
+          free-and-isolated in both directions: merges into the clone
+          rewrite only the buckets they touch (absolute refs drop away as
+          buckets rewrite), and the clone's ``vacuum`` can NEVER reclaim
+          source bytes (it only globs the clone's own data dir). The one
+          liability is Delta's too: the SOURCE's vacuum does not know
+          about clone references, so a source vacuum expiring the cloned
+          version strands the clone (``fsck`` detects it; deep-clone or
+          re-clone to repair). Pin retention accordingly.
+        - ``deep``: byte-copy every referenced data file under the clone's
+          root (file copies, no Spark job — footer stats carry over), fully
+          isolating it from source retention. Cost O(table bytes).
+
+        The clone carries ``applied_epochs``/watermark/spec, so it can
+        CONTINUE INGESTING the same change log independently — the
+        zero-copy dev-replay-from-production workflow at 10^10 rows.
+        Pending MoR deltas clone with the table (both modes). Returns the
+        clone's committed manifest."""
+        if mode not in ("shallow", "deep"):
+            raise ValueError(f"clone mode must be 'shallow' or 'deep', got {mode!r}")
+        m = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        if m is None:
+            raise RuntimeError("clone_to: source table has no committed snapshot")
+        if os.path.abspath(dest_path) == os.path.abspath(self.path):
+            raise ValueError("clone_to: destination is the source table")
+        dest = SnapshotTable(self.spark, dest_path, self.spec)
+        if dest.exists():
+            raise RuntimeError(f"clone_to: {dest_path!r} already has a table")
+
+        def _remap_shallow(files: list[str]) -> list[str]:
+            # already-absolute refs (clone of a clone) pass through
+            return [
+                p if os.path.isabs(p) else os.path.join(self.path, p)
+                for p in files
+            ]
+
+        if mode == "shallow":
+            remap = _remap_shallow
+        else:
+            import shutil
+
+            copy_dir = os.path.join(dest_path, "data", uuid.uuid4().hex)
+
+            def remap(files: list[str]) -> list[str]:
+                out = []
+                for p in files:
+                    src = p if os.path.isabs(p) else os.path.join(self.path, p)
+                    b = os.path.basename(os.path.dirname(src))  # _bucket=N
+                    d = os.path.join(copy_dir, b)
+                    os.makedirs(d, exist_ok=True)
+                    dst = os.path.join(d, os.path.basename(src))
+                    shutil.copyfile(src, dst)
+                    out.append(os.path.relpath(dst, dest_path))
+                return out
+
+        manifest = {
+            "buckets": {b: remap(fs) for b, fs in m["buckets"].items()},
+            "n_buckets": int(m.get("n_buckets", self.n_buckets)),
+            "applied_epochs": sorted(_normalize_epoch_keys(m["applied_epochs"])),
+            "watermark": int(m["watermark"]),
+            "baseline_watermark": int(
+                m.get("baseline_watermark", m.get("watermark", -1))
+            ),
+            "spec_checksum": m.get("spec_checksum", self.spec.checksum()),
+            "spec_json": m.get("spec_json", self.spec.to_json()),
+            "schema": m["schema"],
+            "kind": f"clone_{mode}",
+            "clone_of": {"path": self.path, "version": int(m["version"])},
+        }
+        deltas = m.get("deltas") or {}
+        if deltas:
+            manifest["deltas"] = {b: remap(fs) for b, fs in deltas.items()}
+            manifest["next_delta_seq"] = int(m.get("next_delta_seq", 1))
+        return dest._commit(manifest)
+
     # ---- maintenance -----------------------------------------------------------
 
     def vacuum(

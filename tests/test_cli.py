@@ -389,3 +389,25 @@ def test_publish_group_flag_atomic_across_specs(setup, capsys, tmp_path):
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     doc = next(_json.loads(l) for l in out if "recovered_groups" in l)
     assert doc["recovered_groups"] == []
+
+
+def test_clone_to_flag(setup, capsys, tmp_path):
+    import json as _json
+
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+    dest = str(tmp_path / "devwh")
+    rc = main(["--warehouse", wh, "--specs", specdir, "--clone-to", dest])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert doc["cloned_to"].endswith("transcripts") and doc["clone_mode"] == "shallow"
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    dev = DataLoadManager(get_spark("rdl-tests"), dest)
+    got = spark_sorted_pdf(dev.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
