@@ -256,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
         or args.clone_to is not None
         or args.drop_branch is not None
     ):
+        # one parse for every maintenance pass (the per-spec loop below
+        # reuses it rather than re-reading each file)
+        specs = []
+        for f in spec_files:
+            with open(f) as fh:
+                specs.append(IngestSpec.from_json(fh.read()))
         if args.publish_group is not None or args.recover_groups:
             # cross-table passes run over the whole spec set at once,
             # before the per-spec loop below
@@ -265,10 +271,6 @@ def main(argv: list[str] | None = None) -> int:
                 recover_groups,
             )
 
-            specs = []
-            for f in spec_files:
-                with open(f) as fh:
-                    specs.append(IngestSpec.from_json(fh.read()))
             if args.recover_groups:
                 settled = recover_groups(mgr, specs)
                 print(
@@ -282,12 +284,14 @@ def main(argv: list[str] | None = None) -> int:
                     )
                 )
             if args.publish_group is not None:
-                members = [
-                    (s, args.publish_group)
-                    for s in specs
-                    if hasattr(mgr.table(s), "list_branches")
-                    and args.publish_group in mgr.table(s).list_branches()
-                ]
+                members = []
+                for s in specs:
+                    t = mgr.table(s)
+                    if (
+                        hasattr(t, "list_branches")
+                        and args.publish_group in t.list_branches()
+                    ):
+                        members.append((s, args.publish_group))
                 if not members:
                     print(
                         f"[rdl-spark] no spec has branch "
@@ -316,9 +320,7 @@ def main(argv: list[str] | None = None) -> int:
         # spec (the reference has no analog; Iceberg deployments run these
         # as table services, the snapshot sink ships its own)
         fsck_failed = False
-        for f in spec_files:
-            with open(f) as fh:
-                spec = IngestSpec.from_json(fh.read())
+        for spec in specs:
             table = mgr.table(spec)
             if not table.exists():
                 print(f"[rdl-spark] {spec.name}: no table, skipping maintenance")

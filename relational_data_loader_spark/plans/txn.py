@@ -192,7 +192,12 @@ def _commit_prepared(
                 t.drop_branch(part["branch"])
             published.append(part)
             continue
-        if _main_version(t) != part["expected_main_version"]:
+        head_drifted = (
+            part["branch"] in t.list_branches()
+            and _branch_head(t, part["branch"])["version"]
+            != part["branch_head_version"]
+        )
+        if head_drifted or _main_version(t) != part["expected_main_version"]:
             # rival writer won the version we prepared for: compensate.
             # Roll back ONLY participants we are still the head of — if a
             # rival has since built on top of a published participant,
@@ -201,25 +206,37 @@ def _commit_prepared(
             rolled, stuck = [], []
             for done in published:
                 td = by_name[done["table"]]
-                if _main_version(td) == done["target_main_version"]:
+                if _main_version(td) != done["target_main_version"]:
+                    # a rival built ON TOP of the published state — reverting
+                    # would erase the rival's committed work
+                    stuck.append(done["table"])
+                elif done["expected_main_version"] == 0:
+                    # the publish was the table's FIRST-EVER commit: there
+                    # is no pre-group version to restore (history is
+                    # append-only, v0 does not exist) — report, don't crash
+                    stuck.append(done["table"])
+                else:
                     td.rollback(done["expected_main_version"])
                     rolled.append(done["table"])
-                else:
-                    stuck.append(done["table"])
             journal["status"] = "aborted_conflict"
             journal["aborted_at"] = time.time()
             journal["rolled_back"] = rolled
             journal["unrecovered"] = stuck
             _write_json_atomic(journal_path, journal)
+            reason = (
+                f"branch {part['branch']!r} head moved after prepare"
+                if head_drifted
+                else f"main advanced past v{part['expected_main_version']}"
+            )
             msg = (
-                f"table {part['table']!r} advanced past "
-                f"v{part['expected_main_version']} after prepare; "
+                f"table {part['table']!r}: {reason}; "
                 f"rolled back {rolled or 'nothing'}"
             )
             if stuck:
                 msg += (
                     f"; COULD NOT roll back {stuck} (rival commits built on "
-                    "the published state — resolve manually via rollback())"
+                    "the published state, or the publish was the table's "
+                    "first-ever commit — resolve manually via rollback())"
                 )
             raise GroupPublishConflict(msg)
         t.publish_branch(part["branch"])
@@ -251,7 +268,12 @@ def recover_groups(mgr, specs: list) -> list[dict[str, Any]]:
     """Replay every non-terminal group journal after a crash (module
     docstring rule: roll FORWARD iff the first participant's publish
     landed, else abort and leave the branches staged). Idempotent — safe
-    to run on every manager start. Returns the journals it settled."""
+    to run on every manager start. A journal whose roll-forward hits a
+    rival conflict is compensated and stamped ``aborted_conflict`` like
+    the live path, then recovery CONTINUES to later journals — one stuck
+    group must not block the rest. Returns the journals it settled (check
+    each ``status``; ``aborted_conflict`` entries carry
+    ``rolled_back``/``unrecovered``)."""
     by_name = {s.name: mgr.table(s) for s in specs}
     settled = []
     for path in sorted(glob(os.path.join(_txn_dir(mgr.warehouse), "*.json"))):
@@ -259,15 +281,27 @@ def recover_groups(mgr, specs: list) -> list[dict[str, Any]]:
             journal = json.load(f)
         if journal.get("status") != "prepared":
             continue
-        first = journal["participants"][0]
-        t0 = by_name.get(first["table"])
-        if t0 is None:
+        # validate EVERY participant's spec before touching anything — a
+        # missing spec mid-roll-forward would strand a half-settled group
+        missing = [
+            p["table"]
+            for p in journal["participants"]
+            if p["table"] not in by_name
+        ]
+        if missing:
             raise ValueError(
                 f"recover_groups: journal {journal['txid']} references "
-                f"unknown table {first['table']!r} — pass its spec"
+                f"table(s) {missing} with no spec passed — provide them"
             )
-        if _published_our_version(t0, first):
-            journal = _commit_prepared(mgr, path, journal, by_name)
+        first = journal["participants"][0]
+        if _published_our_version(by_name[first["table"]], first):
+            try:
+                journal = _commit_prepared(mgr, path, journal, by_name)
+            except GroupPublishConflict:
+                # journal already stamped aborted_conflict by the
+                # compensation path; reload it for the report and move on
+                with open(path) as f:
+                    journal = json.load(f)
         else:
             journal["status"] = "aborted_crash"
             journal["aborted_at"] = time.time()

@@ -224,7 +224,14 @@ class SnapshotTable:
         not O(table). This is what ``fsck`` later verifies against — the
         detection half of Iceberg's manifest-entry stats."""
         prev = self.current_manifest() or {}
-        known: dict[str, Any] = prev.get("file_stats", {})
+        # stats the caller pre-seeded on the manifest are trusted alongside
+        # the previous commit's (clone_to carries the source's so a shallow
+        # clone stays metadata-only; rollback/publish carry theirs the same
+        # way) — files covered by neither still get a one-time footer read
+        known: dict[str, Any] = {
+            **prev.get("file_stats", {}),
+            **(manifest.get("file_stats") or {}),
+        }
         stats: dict[str, Any] = {}
         referenced = list(manifest["buckets"].values()) + list(
             (manifest.get("deltas") or {}).values()
@@ -1437,10 +1444,14 @@ class SnapshotTable:
         all_deltas: dict[str, list[str]] = m.get("deltas") or {}
         if not all_deltas:
             return 0
+        if max_buckets is not None and max_buckets <= 0:
+            # an exhausted scheduler budget means NO work this cycle — not
+            # a silent one-bucket shuffle
+            return 0
         if max_buckets is not None and max_buckets < len(all_deltas):
             worst = sorted(
                 all_deltas, key=lambda b: len(all_deltas[b]), reverse=True
-            )[: max(max_buckets, 1)]
+            )[:max_buckets]
             deltas = {b: all_deltas[b] for b in worst}
         else:
             deltas = all_deltas
@@ -1552,8 +1563,33 @@ class SnapshotTable:
                     out.append(os.path.relpath(dst, dest_path))
                 return out
 
+        # carry the source's per-file stats under the remapped keys so the
+        # clone commit is truly metadata-only (zero footer reads; _commit's
+        # _file_stats trusts pre-seeded entries) — shallow references and
+        # deep byte-copies are both stat-identical to their source files
+        src_stats = m.get("file_stats", {})
+
+        def _remap_stats(olds: list[str], news: list[str]) -> dict[str, Any]:
+            return {
+                new: src_stats[old]
+                for old, new in zip(olds, news)
+                if old in src_stats
+            }
+
+        buckets_new: dict[str, list[str]] = {}
+        deltas_src = m.get("deltas") or {}
+        deltas_new: dict[str, list[str]] = {}
+        stats_new: dict[str, Any] = {}
+        for b, fs in m["buckets"].items():
+            buckets_new[b] = remap(fs)
+            stats_new.update(_remap_stats(fs, buckets_new[b]))
+        for b, fs in deltas_src.items():
+            deltas_new[b] = remap(fs)
+            stats_new.update(_remap_stats(fs, deltas_new[b]))
+
         manifest = {
-            "buckets": {b: remap(fs) for b, fs in m["buckets"].items()},
+            "buckets": buckets_new,
+            "file_stats": stats_new,
             "n_buckets": int(m.get("n_buckets", self.n_buckets)),
             "applied_epochs": sorted(_normalize_epoch_keys(m["applied_epochs"])),
             "watermark": int(m["watermark"]),
@@ -1566,9 +1602,8 @@ class SnapshotTable:
             "kind": f"clone_{mode}",
             "clone_of": {"path": self.path, "version": int(m["version"])},
         }
-        deltas = m.get("deltas") or {}
-        if deltas:
-            manifest["deltas"] = {b: remap(fs) for b, fs in deltas.items()}
+        if deltas_new:
+            manifest["deltas"] = deltas_new
             manifest["next_delta_seq"] = int(m.get("next_delta_seq", 1))
         return dest._commit(manifest)
 

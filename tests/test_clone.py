@@ -166,3 +166,25 @@ def test_clone_validations(spark, tmp_path):
     src.clone_to(str(tmp_path / "x"))
     with pytest.raises(RuntimeError, match="already has a table"):
         src.clone_to(str(tmp_path / "x"))
+
+
+def test_shallow_clone_commit_is_metadata_only(spark, tmp_path, monkeypatch):
+    """The clone commit must not open a single parquet footer: the source's
+    per-file stats carry over under the remapped keys (zone maps included,
+    so read_range prunes on the clone immediately)."""
+    import pyarrow.parquet as pq_mod
+
+    src = seed(spark, mk(spark, str(tmp_path / "src")))
+    src_stats = src.current_manifest()["file_stats"]
+
+    def bomb(*a, **kw):
+        raise AssertionError("clone commit opened a parquet footer")
+
+    monkeypatch.setattr(pq_mod, "ParquetFile", bomb)
+    m = src.clone_to(str(tmp_path / "dev"), mode="shallow")
+    monkeypatch.undo()
+    assert len(m["file_stats"]) == len(src_stats)
+    # stats values identical to the source's, keyed by the absolute refs
+    got = {os.path.basename(k): v for k, v in m["file_stats"].items()}
+    want = {os.path.basename(k): v for k, v in src_stats.items()}
+    assert got == want

@@ -160,14 +160,18 @@ def test_rival_conflict_compensates_published_participants(pair, spark, warehous
     tb.merge(
         spark.createDataFrame([(21, "U", "c7", "tool")], REG_SCHEMA), epoch_id=7
     )
-    with pytest.raises(GroupPublishConflict, match="rolled back"):
-        recover_groups(mgr, [spec_a, spec_b])
+    # recovery settles the conflict (compensates + stamps) and CONTINUES —
+    # it reports the outcome instead of raising, so one stuck group can
+    # never block later journals or crash the CLI verb
+    (settled,) = recover_groups(mgr, [spec_a, spec_b])
+    assert settled["status"] == "aborted_conflict"
+    assert settled["rolled_back"] == ["transcripts"] and not settled["unrecovered"]
     # A's publish was compensated: main reads its pre-group state again
     assert sorted(tuple(r) for r in ta.read().collect()) == pre_a
-    j = [d for d in _journals(warehouse) if d["status"] == "aborted_conflict"]
-    assert j and j[0]["rolled_back"] == ["transcripts"] and not j[0]["unrecovered"]
     # rival's write survives untouched
     assert "c7" in _convs(tb)
+    # idempotent: the journal is terminal now
+    assert recover_groups(mgr, [spec_a, spec_b]) == []
 
 
 def test_compensation_hazard_guard(pair, spark, warehouse):
@@ -187,10 +191,9 @@ def test_compensation_hazard_guard(pair, spark, warehouse):
     tb.merge(
         spark.createDataFrame([(21, "U", "c7", "tool")], REG_SCHEMA), epoch_id=7
     )
-    with pytest.raises(GroupPublishConflict, match="COULD NOT roll back"):
-        recover_groups(mgr, [spec_a, spec_b])
-    j = [d for d in _journals(warehouse) if d["status"] == "aborted_conflict"]
-    assert j and j[0]["unrecovered"] == ["transcripts"]
+    (settled,) = recover_groups(mgr, [spec_a, spec_b])
+    assert settled["status"] == "aborted_conflict"
+    assert settled["unrecovered"] == ["transcripts"]
     # the rival's row is intact — compensation never reverted it
     texts = {r["text"] for r in ta.read().collect()}
     assert "rival" in texts
@@ -217,3 +220,68 @@ def test_publish_group_validates_input(pair):
         publish_group(mgr, [])
     with pytest.raises(ValueError, match="no staged commits"):
         publish_group(mgr, [(spec_a, "nonexistent")])
+
+
+def test_live_path_conflict_raises_and_compensates(pair, spark, warehouse, monkeypatch):
+    """Rival lands between participant publishes WITHIN one publish_group
+    call: the live path compensates and raises the typed conflict."""
+    mgr, spec_a, spec_b, ta, tb = pair
+    pre_a = sorted(tuple(r) for r in ta.read().collect())
+    orig = SnapshotTable.publish_branch
+
+    def sneaky(self, name, require_fast_forward=True):
+        out = orig(self, name, require_fast_forward)
+        if self.spec.name == "transcripts":
+            # immediately after A's fast-forward, a rival advances B's main
+            tb.merge(
+                spark.createDataFrame([(21, "U", "c7", "tool")], REG_SCHEMA),
+                epoch_id=7,
+            )
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "publish_branch", sneaky)
+    with pytest.raises(GroupPublishConflict, match="main advanced"):
+        publish_group(mgr, [(spec_a, "wap"), (spec_b, "wap")])
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in ta.read().collect()) == pre_a
+    j = [d for d in _journals(warehouse) if d["status"] == "aborted_conflict"]
+    assert j and j[0]["rolled_back"] == ["transcripts"]
+
+
+def test_first_ever_commit_conflict_reports_unrecovered(spark, warehouse, tmp_path):
+    """Compensating a participant whose publish was the table's FIRST-EVER
+    commit: there is no pre-group version to restore (v0 does not exist),
+    so the journal must report it unrecovered — stamped, no crash, no
+    permanently-stuck 'prepared' journal."""
+    mgr = DataLoadManager(spark, warehouse)
+    spec_a = transcripts_spec(source="parquet:///dev/null", target_buckets=4)
+    spec_b = registry_spec(target_buckets=4)
+    # both tables are born ON the branch: main has no commits at all
+    mgr.table(spec_a).branch("wap").full_refresh_from_envelopes(
+        spark.createDataFrame(
+            [(1, "U", "c1", 0, "user", "x", None, TS)], ENV_SCHEMA
+        ),
+        epoch_id=0,
+        watermark=1,
+    )
+    mgr.table(spec_b).branch("wap").full_refresh_from_envelopes(
+        spark.createDataFrame([(1, "U", "c1", "user")], REG_SCHEMA),
+        epoch_id=0,
+        watermark=1,
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_group(mgr, [(spec_a, "wap"), (spec_b, "wap")], _fail_after=1)
+    # rival takes B's prepared version before recovery
+    mgr.table(spec_b).full_refresh_from_envelopes(
+        spark.createDataFrame([(2, "U", "c2", "tool")], REG_SCHEMA),
+        epoch_id=1,
+        watermark=2,
+    )
+    (settled,) = recover_groups(mgr, [spec_a, spec_b])
+    assert settled["status"] == "aborted_conflict"
+    assert settled["unrecovered"] == ["transcripts"]
+    assert settled["rolled_back"] == []
+    # A stays readable (its v1 stands; manual resolution is the operator's
+    # documented call), and recovery is terminal
+    assert mgr.table(spec_a).read().count() == 1
+    assert recover_groups(mgr, [spec_a, spec_b]) == []
