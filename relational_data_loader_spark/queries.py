@@ -6590,6 +6590,169 @@ def q_cdc_vacuum_state(spark, sf):
     return tbl.read()
 
 
+# agent-trajectory turn table: _turns_with_roles plus the ts and tool
+# columns the input_hint schema carries (tool = the event type, but only on
+# tool-role turns; %17 wins over %13 so the tool predicate must repeat both)
+def _agent_turns(spark, sf):
+    ev = _t(spark, sf, "events")
+    role = (
+        F.when(F.pmod(F.col("event_id"), F.lit(17)) == 0, F.lit("system"))
+        .when(F.pmod(F.col("event_id"), F.lit(13)) == 0, F.lit("tool"))
+        .when(F.pmod(F.col("event_id"), F.lit(2)) == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        role.alias("role"),
+        F.col("event_type").alias("etype"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("txt"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.when(role == "tool", F.col("event_type")).alias("tool"),
+    )
+
+
+_SQL_AGENT_TURNS = """
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 17 = 0 THEN 'system'
+              WHEN event_id % 13 = 0 THEN 'tool'
+              WHEN event_id % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         event_type AS etype,
+         event_type || ' ' || props AS txt,
+         ts,
+         CASE WHEN event_id % 17 <> 0 AND event_id % 13 = 0
+              THEN event_type END AS tool
+  FROM events
+"""
+
+
+def q_tool_call_stats(spark, sf):
+    """Per-tool usage accounting (operators/agent.py tool_call_stats):
+    call volume, conversation reach, un-responded trailing calls, and the
+    exact summed + mean wall-clock gap to the next turn — the first
+    dashboard over an agent-transcript corpus."""
+    from relational_data_loader_spark.operators.agent import tool_call_stats
+
+    return tool_call_stats(
+        _agent_turns(spark, sf), "user_id", "event_id", "role", "tool", "ts"
+    )
+
+
+SQL_TOOL_CALL_STATS = f"""
+WITH t AS ({_SQL_AGENT_TURNS}),
+l AS (SELECT user_id, role, tool, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+               AS next_ts
+      FROM t),
+c AS (SELECT * FROM l WHERE role = 'tool' AND tool IS NOT NULL)
+SELECT tool,
+       count(*) AS n_calls,
+       count(DISTINCT user_id) AS n_convs,
+       CAST(sum(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_trailing,
+       CAST(sum(CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_answered,
+       CAST(coalesce(sum(CASE WHEN next_ts IS NOT NULL
+                              THEN epoch_us(next_ts) - epoch_us(ts) END), 0)
+            AS BIGINT) AS total_gap_us,
+       CASE WHEN sum(CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN CAST(coalesce(sum(CASE WHEN next_ts IS NOT NULL
+                                        THEN epoch_us(next_ts) - epoch_us(ts)
+                                   END), 0) AS DOUBLE)
+                 / CAST(sum(CASE WHEN next_ts IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+       END AS avg_gap_us
+FROM c GROUP BY tool
+"""
+
+
+def q_agent_loop_audit(spark, sf):
+    """Degenerate-loop detection (operators/agent.py agent_loop_audit):
+    conversations with runs of >= 2 consecutive same-tool calls among
+    their tool turns — the stuck-agent signature a curriculum filter
+    drops before SFT assembly."""
+    from relational_data_loader_spark.operators.agent import agent_loop_audit
+
+    return agent_loop_audit(
+        _agent_turns(spark, sf), "user_id", "event_id", "role", ["tool"],
+        min_run=2,
+    )
+
+
+SQL_AGENT_LOOP_AUDIT = f"""
+WITH t AS ({_SQL_AGENT_TURNS}),
+c AS (SELECT user_id, event_id, tool FROM t WHERE role = 'tool'),
+l AS (SELECT user_id, event_id, tool,
+             CASE WHEN tool IS DISTINCT FROM
+                       lag(tool) OVER (PARTITION BY user_id ORDER BY event_id)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM c),
+r AS (SELECT user_id, tool,
+             sum(new_run) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM l),
+g AS (SELECT user_id, run_id, count(*) AS run_len
+      FROM r GROUP BY user_id, run_id HAVING count(*) >= 2)
+SELECT user_id,
+       count(*) AS n_loop_runs,
+       max(run_len) AS max_run_len,
+       CAST(sum(run_len) AS BIGINT) AS n_looped_turns
+FROM g GROUP BY user_id
+"""
+
+
+def q_preference_pairs(spark, sf):
+    """Preference-pair mining (operators/agent.py preference_pairs):
+    conversations sharing the first turn's normalized text (event type)
+    but diverging at the second turn yield chosen/rejected pairs at
+    distinct-response granularity; winner = longest response, lexical
+    tie-break — the deterministic stand-in for a reward-model score."""
+    from relational_data_loader_spark.operators.agent import preference_pairs
+
+    return preference_pairs(
+        _agent_turns(spark, sf), "user_id", "event_id", "etype", "txt",
+        prefix_k=1,
+    )
+
+
+SQL_PREFERENCE_PAIRS = f"""
+WITH t AS ({_SQL_AGENT_TURNS}),
+rk AS (SELECT user_id, etype, txt,
+              row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                AS rn
+       FROM t QUALIFY rn <= 2),
+pc AS (SELECT user_id,
+              md5(string_agg(CASE WHEN rn <= 1 THEN etype END, chr(31)
+                             ORDER BY rn)) AS prefix_fp,
+              max(CASE WHEN rn = 2 THEN txt END) AS resp
+       FROM rk GROUP BY user_id
+       HAVING sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) = 1
+          AND max(CASE WHEN rn = 2 THEN txt END) IS NOT NULL),
+br AS (SELECT prefix_fp, resp, min(user_id) AS rep_conv, count(*) AS n
+       FROM pc GROUP BY prefix_fp, resp),
+sc AS (SELECT prefix_fp, resp, rep_conv,
+              CAST(sum(n) OVER (PARTITION BY prefix_fp) AS BIGINT)
+                AS n_convs,
+              row_number() OVER (PARTITION BY prefix_fp
+                                 ORDER BY length(resp) DESC, resp DESC)
+                AS w
+       FROM br),
+ch AS (SELECT prefix_fp, resp AS chosen_resp, rep_conv AS chosen_conv
+       FROM sc WHERE w = 1)
+SELECT sc.prefix_fp,
+       sc.n_convs,
+       ch.chosen_conv,
+       sc.rep_conv AS rejected_conv,
+       md5(ch.chosen_resp) AS chosen_fp,
+       md5(sc.resp) AS rejected_fp,
+       CAST(length(ch.chosen_resp) AS BIGINT) AS chosen_len,
+       CAST(length(sc.resp) AS BIGINT) AS rejected_len
+FROM sc JOIN ch USING (prefix_fp)
+WHERE sc.resp <> ch.chosen_resp
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -6774,4 +6937,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "cdc_commit_retry_state": (q_cdc_commit_retry_state, SQL_ENGINE_FINAL_STATE),
     "cdc_vacuum_state": (q_cdc_vacuum_state, SQL_ENGINE_FINAL_STATE),
+    "tool_call_stats": (q_tool_call_stats, SQL_TOOL_CALL_STATS),
+    "agent_loop_audit": (q_agent_loop_audit, SQL_AGENT_LOOP_AUDIT),
+    "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
 }
