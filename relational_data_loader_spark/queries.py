@@ -6590,6 +6590,185 @@ def q_cdc_vacuum_state(spark, sf):
     return tbl.read()
 
 
+# column-sparse changelog derivation (events → partial-update envelopes,
+# deterministic in both engines): op D on 'error' events, I every 7th id
+# (full image), else U patches that set role/text/tool only when the id
+# hits the column's modulus — the MongoDB/Cassandra-CDC wire shape.
+_NEG_INF = -(2**62)
+
+
+def _derived_sparse_changelog(spark, sf, lsn_from: int | None = None):
+    ev = _t(spark, sf, "events")
+    if lsn_from is not None:
+        ev = ev.filter(F.col("event_id") > F.lit(int(lsn_from)))
+    is_del = F.col("event_type") == DELETE_OP
+    is_ins = ~is_del & (F.col("event_id") % 7 == 0)
+    eid = F.col("event_id")
+
+    def _set(modulus, value):
+        return F.when(~is_del & (is_ins | (eid % modulus == 0)), value)
+
+    return ev.select(
+        eid.alias("lsn"),
+        F.when(is_del, F.lit("D"))
+        .when(is_ins, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (eid % 37).cast("int").alias("turn_idx"),
+        _set(3, F.col("event_type")).alias("role"),
+        _set(2, F.concat_ws(":", F.col("event_type"), F.col("props"))).alias(
+            "text"
+        ),
+        _set(5, F.substring("props", 1, 8)).alias("tool"),
+        F.when(~is_del, F.col("ts")).alias("ts"),
+    )
+
+
+_SQL_SPARSE_LOG_BODY = f"""
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = '{DELETE_OP}' THEN 'D'
+              WHEN event_id % 7 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0 OR event_id % 3 = 0)
+              THEN event_type END AS role,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0 OR event_id % 2 = 0)
+              THEN event_type || ':' || props END AS text,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0 OR event_id % 5 = 0)
+              THEN substr(props, 1, 8) END AS tool,
+         CASE WHEN event_type <> '{DELETE_OP}' THEN ts END AS ts
+  FROM events
+"""
+
+# column-level LWW fold over an envelope stream `env(lsn, op, conv_id,
+# turn_idx, role, text, tool, ts)`: a full image (I) anchors the key —
+# patches below it are superseded; the latest D kills the key unless a
+# later I resurrects it; each column takes its highest-lsn setter at or
+# above the anchor. Mirrors operators/sparse.py:fold_sparse_envelopes.
+def _sparse_fold_sql(env_cte: str) -> str:
+    col = (
+        "arg_max({c}, lsn) FILTER (WHERE op <> 'D' AND {c} IS NOT NULL "
+        f"AND lsn >= coalesce(anchor, {_NEG_INF})) AS {{c}}"
+    )
+    cols = ",\n       ".join(col.format(c=c) for c in ["role", "text", "tool", "ts"])
+    return f"""
+WITH env AS ({env_cte}),
+a AS (SELECT conv_id, turn_idx,
+             max(CASE WHEN op = 'I' THEN lsn END) AS anchor,
+             max(CASE WHEN op = 'D' THEN lsn END) AS dead
+      FROM env GROUP BY conv_id, turn_idx),
+j AS (SELECT e.*, a.anchor, a.dead
+      FROM env e JOIN a USING (conv_id, turn_idx))
+SELECT conv_id, turn_idx,
+       {cols},
+       max(lsn) AS lsn
+FROM j
+GROUP BY conv_id, turn_idx, anchor, dead
+HAVING dead IS NULL OR coalesce(anchor, {_NEG_INF}) > dead
+"""
+
+
+def q_sparse_envelope_fold(spark, sf):
+    """Column-sparse envelope fold (operators/sparse.py
+    fold_sparse_envelopes): MongoDB/Cassandra-CDC-style partial-update
+    feeds folded to final state with column-granular LWW — full images
+    reset, tombstones kill unless a later insert resurrects, each column
+    takes its highest-lsn setter. One window + one groupBy on the PK,
+    single exchange."""
+    from relational_data_loader_spark.operators.sparse import (
+        fold_sparse_envelopes,
+    )
+
+    return fold_sparse_envelopes(
+        _derived_sparse_changelog(spark, sf),
+        ["conv_id", "turn_idx"],
+        "lsn",
+        "op",
+        ["role", "text", "tool", "ts"],
+    )
+
+
+SQL_SPARSE_FOLD = _sparse_fold_sql(_SQL_SPARSE_LOG_BODY)
+
+
+def q_cdc_sparse_merge_state(spark, sf):
+    """Engine replay with a column-sparse tail (operators/sparse.py
+    densify_sparse_batch): full refresh from the dense head of the log,
+    then ONE sparse patch epoch densified against the committed table
+    (bucket-pruned stored-row read, per-column coalesce) and applied
+    through the standard full-row merge. Final state must equal the
+    column-level fold oracle — proving the densify bridge composes with
+    the sink's LWW/tombstone semantics."""
+    import shutil
+
+    from relational_data_loader_spark.operators.sparse import (
+        densify_sparse_batch,
+    )
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "sparse")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    dense = _derived_changelog(spark, sf)
+    hi = dense.agg(F.max("lsn")).first()[0]
+    cut = hi // 2
+    dense.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    patch = densify_sparse_batch(
+        tbl,
+        _derived_sparse_changelog(spark, sf, lsn_from=cut),
+        ["conv_id", "turn_idx"],
+        "lsn",
+        "op",
+        ["role", "text", "tool", "ts"],
+    )
+    tbl.merge(patch, epoch_id=hi)
+    return tbl.read()
+
+
+# oracle: the dense head folds to full rows (standard LWW), which re-enter
+# the envelope algebra as I rows at their winning lsn; the sparse tail
+# stacks on top under the same column-level fold the operator implements.
+# The outer projection drops the fold's lsn — table.read() exposes the
+# destination schema only (watermarks live in manifests, not rows).
+_SQL_SPARSE_MERGE_FOLD = _sparse_fold_sql(
+    f"""
+  SELECT lsn, 'I' AS op, conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 37 AS INT) AS turn_idx,
+           event_type AS role,
+           event_type || ':' || props AS text,
+           substr(props, 1, 8) AS tool,
+           ts,
+           event_id AS lsn,
+           event_type = '{DELETE_OP}' AS is_del,
+           row_number() OVER (PARTITION BY user_id, event_id % 37
+                              ORDER BY event_id DESC) AS rn
+    FROM events
+    WHERE event_id <= (SELECT max(event_id) // 2 FROM events)) h
+  WHERE rn = 1 AND NOT is_del
+  UNION ALL
+  SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts FROM (
+{_SQL_SPARSE_LOG_BODY.replace("FROM events", "FROM events WHERE event_id > (SELECT max(event_id) // 2 FROM events)")}
+  ) s
+"""
+)
+
+SQL_SPARSE_MERGE_STATE = f"""
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ({_SQL_SPARSE_MERGE_FOLD})
+"""
+
+
 # agent-trajectory turn table: _turns_with_roles plus the ts and tool
 # columns the input_hint schema carries (tool = the event type, but only on
 # tool-role turns; %17 wins over %13 so the tool predicate must repeat both)
@@ -6940,4 +7119,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tool_call_stats": (q_tool_call_stats, SQL_TOOL_CALL_STATS),
     "agent_loop_audit": (q_agent_loop_audit, SQL_AGENT_LOOP_AUDIT),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
+    "sparse_envelope_fold": (q_sparse_envelope_fold, SQL_SPARSE_FOLD),
+    "cdc_sparse_merge_state": (q_cdc_sparse_merge_state, SQL_SPARSE_MERGE_STATE),
 }
