@@ -115,6 +115,43 @@ def fold_sparse_envelopes(
     return folded.filter(alive).drop("_anchor", "_dead")
 
 
+def _stored_rows(table, live: DataFrame, spark) -> DataFrame:
+    """Current visible rows for the densify join. SnapshotTable gets the
+    bucket-pruned path (distinct bucket ids of the live keys — at most
+    n_buckets ints collected — select a sub-manifest exactly like
+    ``read_keys``); sinks without manifest internals (Iceberg — its MERGE
+    reads the table anyway) fall back to ``table.read()``, whose scan the
+    join's key predicate still prunes at the source."""
+    if not hasattr(table, "_assembled"):
+        return table.read()
+    from relational_data_loader_spark.sinks.snapshot import (
+        DELETED_COL,
+        bucket_expr,
+    )
+
+    m = table.current_manifest()
+    if m is None:
+        return spark.createDataFrame([], table.spec.destination_schema())
+    layout = int(m.get("n_buckets", table.n_buckets))
+    bucket_ids = {
+        str(r["b"])
+        for r in live.select(
+            bucket_expr(table.bucket_key, layout).alias("b")
+        ).distinct().collect()
+    }
+    deltas = m.get("deltas") or {}
+    sub = {
+        "buckets": {b: m["buckets"].get(b, []) for b in sorted(bucket_ids)},
+        "deltas": {b: deltas[b] for b in sorted(bucket_ids) if b in deltas},
+    }
+    visible = [f.name for f in table.spec.destination_schema().fields]
+    return (
+        table._assembled(sub)
+        .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        .select(*visible)
+    )
+
+
 def densify_sparse_batch(
     table,
     batch: DataFrame,
@@ -159,11 +196,6 @@ def densify_sparse_batch(
     cannot be repaired post-hoc by any full-row engine — the first applied
     epoch's densified image wins whole-row on lsn.
     """
-    from relational_data_loader_spark.sinks.snapshot import (
-        DELETED_COL,
-        bucket_expr,
-    )
-
     folded = fold_sparse_envelopes(
         batch, pk_cols, lsn_col, op_col, payload_cols, keep_meta=True
     )
@@ -180,29 +212,7 @@ def densify_sparse_batch(
         *[F.lit(None).cast(batch.schema[c].dataType).alias(c) for c in payload_cols],
     )
     live = folded.filter(~F.col("_is_dead"))
-
-    m = table.current_manifest()
-    if m is None:
-        stored = table.spark.createDataFrame([], table.spec.destination_schema())
-    else:
-        layout = int(m.get("n_buckets", table.n_buckets))
-        bucket_ids = {
-            str(r["b"])
-            for r in live.select(
-                bucket_expr(table.bucket_key, layout).alias("b")
-            ).distinct().collect()
-        }
-        deltas = m.get("deltas") or {}
-        sub = {
-            "buckets": {b: m["buckets"].get(b, []) for b in sorted(bucket_ids)},
-            "deltas": {b: deltas[b] for b in sorted(bucket_ids) if b in deltas},
-        }
-        visible = [f.name for f in table.spec.destination_schema().fields]
-        stored = (
-            table._assembled(sub)
-            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .select(*visible)
-        )
+    stored = _stored_rows(table, live, batch.sparkSession)
     s = stored.select(
         *[F.col(c) for c in pk_cols],
         *[F.col(c).alias(f"_st_{c}") for c in payload_cols],

@@ -255,7 +255,32 @@ class DataLoadManager:
             epoch_id = cti.current_version
             wm = max(cti.current_version, 0)
             dq = self._dq_gate(spec, log)
-            if hasattr(table, "full_refresh_from_envelopes") and not spec.salt_buckets:
+            if spec.envelope == "sparse":
+                # sparse wire format: fold column-wise (operators/sparse.py)
+                # — LWW netting would stamp every untouched column NULL
+                from pyspark.sql import Observation
+
+                from relational_data_loader_spark.operators.sparse import (
+                    fold_sparse_envelopes,
+                )
+
+                payload = [
+                    c.destination for c in spec.columns if not c.primary_key
+                ]
+                folded = fold_sparse_envelopes(
+                    self.project(spec, log),
+                    spec.primary_keys,
+                    spec.lsn_column,
+                    spec.op_column,
+                    payload,
+                )
+                obs = Observation()
+                df = folded.select(
+                    *[c.destination for c in spec.columns]
+                ).observe(obs, F.count(F.lit(1)).alias("n"))
+                table.full_refresh(df, epoch_id=epoch_id, watermark=wm)
+                n = int(obs.get["n"])
+            elif hasattr(table, "full_refresh_from_envelopes") and not spec.salt_buckets:
                 # fused initial load: net + drop-deletes + bucketed write on
                 # one exchange, survivor count observed during the write
                 # (sinks/snapshot.py). A salt_buckets pin falls through to
@@ -351,12 +376,32 @@ class DataLoadManager:
                 dq_total = {
                     k: (dq_total or {}).get(k, 0) + v for k, v in dq.items()
                 }
-            prepared = (
-                self.prepare_batch(spec, chunk, salt)
-                if needs_unique
-                else self.merge_batch(spec, chunk, salt)
-            )
-            stats = table.merge(prepared, hi, netted=needs_unique)
+            if spec.envelope == "sparse":
+                # densify the patch chunk against the committed table, then
+                # the standard full-row merge applies it (netted: densify
+                # emits exactly one envelope per key). The lsn-ordered chunk
+                # loop guarantees the per-key in-order delivery column-level
+                # LWW needs across epochs (operators/sparse.py caveat).
+                from relational_data_loader_spark.operators.sparse import (
+                    densify_sparse_batch,
+                )
+
+                prepared = densify_sparse_batch(
+                    table,
+                    self.project(spec, chunk),
+                    spec.primary_keys,
+                    spec.lsn_column,
+                    spec.op_column,
+                    [c.destination for c in spec.columns if not c.primary_key],
+                )
+                stats = table.merge(prepared, hi, netted=True)
+            else:
+                prepared = (
+                    self.prepare_batch(spec, chunk, salt)
+                    if needs_unique
+                    else self.merge_batch(spec, chunk, salt)
+                )
+                stats = table.merge(prepared, hi, netted=needs_unique)
             if not stats.skipped:
                 applied_any = True
                 self.state.append(

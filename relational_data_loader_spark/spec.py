@@ -132,6 +132,20 @@ class IngestSpec:
     # MERGE INTO path is engine-side CoW here; real Iceberg v2 runtimes
     # flip the same trade via write.merge.mode table properties.
     merge_mode: str = "cow"
+    # Change-envelope convention of the SOURCE feed (reference S2
+    # generalized): "full" — every U carries the complete after-image
+    # (MySQL binlog, SQL Server CT, Debezium default); "sparse" — U rows
+    # set only changed columns, NULL means unchanged (MongoDB change
+    # streams, Cassandra CDC, outbox patch feeds). Sparse batches fold
+    # column-wise and densify against the committed table before the
+    # standard full-row merge (operators/sparse.py). NOT part of
+    # checksum(): it describes the wire format, not the destination
+    # schema — committed rows are full images under either convention, so
+    # flipping it must not force a refresh. Batch manager only: streaming
+    # rejects sparse specs because permuted micro-batch segments (which
+    # the stream path tolerates for full envelopes) would silently lose
+    # column-level writes — the lsn-chunked batch loop applies in order.
+    envelope: str = "full"
     # Auto-compaction trigger for merge_mode="mor": when any bucket holds
     # >= this many delta files after a merge, the sink runs compact_deltas()
     # before returning (0 = manual compaction only). Per-bucket delta file
@@ -176,6 +190,11 @@ class IngestSpec:
             raise ValueError(
                 f"spec {self.name!r}: merge_mode must be 'cow' or 'mor', "
                 f"got {self.merge_mode!r}"
+            )
+        if self.envelope not in ("full", "sparse"):
+            raise ValueError(
+                f"spec {self.name!r}: envelope must be 'full' or 'sparse', "
+                f"got {self.envelope!r}"
             )
         if self.mor_compact_files < 0:
             raise ValueError(
@@ -310,6 +329,7 @@ class IngestSpec:
             "target_buckets": self.target_buckets,
             "salt_buckets": self.salt_buckets,
             "merge_mode": self.merge_mode,
+            "envelope": self.envelope,
             "mor_compact_files": self.mor_compact_files,
             "audit_columns": self.audit_columns,
             "transforms": self.transforms,
@@ -345,6 +365,7 @@ class IngestSpec:
             target_buckets=doc.get("target_buckets", 16),
             salt_buckets=doc.get("salt_buckets", 0),
             merge_mode=doc.get("merge_mode", "cow"),
+            envelope=doc.get("envelope", "full"),
             mor_compact_files=doc.get("mor_compact_files", 0),
             audit_columns=doc.get("audit_columns", False),
             transforms=doc.get("transforms", {}),

@@ -44,6 +44,18 @@ class StreamingIngest:
         stateful_dedup: bool = False,
         state_ttl_minutes: int | None = None,
     ):
+        if spec.envelope != "full":
+            # the stream path tolerates PERMUTED micro-batch segments (file
+            # source orders by mtime, not lsn — see apply_batch); that is
+            # safe for full after-images (version-guarded merge) but loses
+            # column-level writes on sparse patches: the first-applied
+            # segment's densified image would win whole-row over a
+            # lower-lsn patch to a DIFFERENT column. The batch manager's
+            # lsn-chunked loop applies in order — use that for sparse feeds.
+            raise ValueError(
+                f"spec {spec.name!r}: envelope='sparse' is batch-only; "
+                "streaming segment permutation breaks column-level LWW"
+            )
         self.mgr = manager
         self.spec = spec
         self.checkpoint_dir = checkpoint_dir

@@ -207,6 +207,111 @@ def test_densify_is_idempotent_via_epoch_guard(spark, warehouse, tmp_path):
     assert row["role"] == "RX"
 
 
+def _python_fold(envs):
+    """Independent oracle: column-level LWW fold in plain python."""
+    by_key = {}
+    for e in sorted(envs, key=lambda e: e[0]):
+        lsn, op, cid, tidx, role, text, tool, ts = e
+        k = (cid, tidx)
+        st = by_key.setdefault(k, {"anchor": None, "dead": None, "cols": {}})
+        if op == "D":
+            st["dead"] = lsn
+        elif op == "I":
+            st["anchor"] = lsn
+            st["cols"] = {"role": role, "text": text, "tool": tool, "ts": ts}
+        else:
+            for c, v in zip(["role", "text", "tool", "ts"], [role, text, tool, ts]):
+                if v is not None:
+                    st["cols"][c] = v
+    out = {}
+    for k, st in by_key.items():
+        if st["dead"] is not None and (st["anchor"] or -1) <= st["dead"]:
+            continue
+        out[k] = {c: st["cols"].get(c) for c in ["role", "text", "tool", "ts"]}
+    return out
+
+
+def test_manager_runs_sparse_spec_end_to_end(spark, warehouse, tmp_path):
+    """envelope='sparse' through the whole engine: full refresh folds the
+    sparse head, the incremental tail densifies+merges; final state equals
+    an independent python fold of the entire envelope stream. NOTE the
+    python oracle replays ops in lsn order WITHOUT the anchor-reset rule
+    (patches below a later full image are applied then overwritten), which
+    coincides with the fold exactly when application is in-order — the
+    equivalence this test pins."""
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    envs = [
+        (1, "I", "c1", 0, "user", "t0", None, dt.datetime(2024, 1, 1)),
+        (2, "U", "c1", 0, None, "t1", None, None),          # patch text
+        (3, "U", "c1", 0, "assistant", None, None, None),   # patch role
+        (4, "I", "c2", 0, "user", "x0", "tl", dt.datetime(2024, 1, 2)),
+        (5, "D", "c2", 0, None, None, None, None),          # delete c2
+        (6, "U", "c3", 0, None, "orphan", None, None),      # patch-only key
+        # --- tail (incremental epoch) ---
+        (7, "U", "c1", 0, None, None, "tool7", None),       # patch tool
+        (8, "I", "c2", 0, "user", "resurrected", None, None),  # resurrect
+        (9, "D", "c3", 0, None, None, None, None),          # kill c3
+    ]
+    schema = (
+        "lsn bigint, op string, conv_id string, turn_idx int, "
+        "role string, text string, tool string, ts timestamp"
+    )
+    logdir = str(tmp_path / "slog")
+    spark.createDataFrame([e for e in envs if e[0] <= 6], schema).write.mode(
+        "overwrite"
+    ).parquet(logdir)
+    spec = transcripts_spec(
+        source=f"parquet://{logdir}", target_buckets=4, envelope="sparse"
+    )
+    mgr = DataLoadManager(spark, warehouse)
+    r1 = mgr.run(spec)
+    assert r1.decision.kind == "full_refresh" and r1.rows_upserted == 2
+
+    spark.createDataFrame(envs, schema).write.mode("overwrite").parquet(logdir)
+    r2 = mgr.run(spec)
+    assert r2.decision.kind == "incremental" and not r2.skipped
+    r3 = mgr.run(spec)
+    assert r3.skipped  # watermark idempotence holds for sparse specs too
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): {
+            c: r[c] for c in ["role", "text", "tool", "ts"]
+        }
+        for r in mgr.table(spec).read().collect()
+    }
+    assert got == _python_fold(envs)
+    # spot-check the column composition across the epoch boundary
+    assert got[("c1", 0)] == {
+        "role": "assistant", "text": "t1", "tool": "tool7",
+        "ts": dt.datetime(2024, 1, 1),
+    }
+
+
+def test_sparse_spec_json_roundtrip_and_validation(spark):
+    from relational_data_loader_spark.spec import IngestSpec, transcripts_spec
+
+    spec = transcripts_spec(source="parquet:///x", envelope="sparse")
+    again = IngestSpec.from_json(spec.to_json())
+    assert again.envelope == "sparse"
+    # envelope is wire format, not schema: flipping it must not refresh
+    assert again.checksum() == transcripts_spec(source="parquet:///x").checksum()
+    with pytest.raises(ValueError):
+        transcripts_spec(source="parquet:///x", envelope="bogus")
+
+
+def test_streaming_rejects_sparse_specs(spark, warehouse, tmp_path):
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    spec = transcripts_spec(source="parquet:///x", envelope="sparse")
+    mgr = DataLoadManager(spark, warehouse)
+    with pytest.raises(ValueError, match="batch-only"):
+        StreamingIngest(mgr, spec, str(tmp_path / "ck"))
+
+
 def test_densify_new_key_pure_patch_inserts_partial_row(spark, warehouse, tmp_path):
     tbl, max_lsn = _seed_table(spark, warehouse, tmp_path)
     batch = spark.createDataFrame(
