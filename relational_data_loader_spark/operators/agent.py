@@ -131,7 +131,6 @@ def agent_loop_audit(
     """
     if not key_cols:
         raise ValueError("agent_loop_audit needs at least one key column")
-    w = Window.partitionBy(conv_col).orderBy(turn_col)
     key = F.struct(*[F.col(c) for c in key_cols])
     tool_turns = df.filter(F.col(role_col) == tool_role).select(
         F.col(conv_col).alias("_conv"), F.col(turn_col).alias("_turn"),
