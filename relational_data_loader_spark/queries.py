@@ -6769,6 +6769,124 @@ FROM ({_SQL_SPARSE_MERGE_FOLD})
 """
 
 
+def q_sparse_mask_fold(spark, sf):
+    """Mask-convention sparse fold (operators/sparse.py, mask_col): the
+    lossless patch shape — each U row carries an array<string> of the
+    columns it sets, so an explicit set-to-NULL round-trips (every 11th
+    event unsets ``tool`` here). The oracle wraps arg_max in a struct
+    because DuckDB's arg_max SKIPS null args while Spark's max_by keeps
+    them — exactly the difference the mask convention exists to express."""
+    from relational_data_loader_spark.operators.sparse import (
+        fold_sparse_envelopes,
+    )
+
+    ev = _t(spark, sf, "events")
+    eid = F.col("event_id")
+    is_del = F.col("event_type") == DELETE_OP
+    is_ins = ~is_del & (eid % 7 == 0)
+    role_set = eid % 3 == 0
+    text_set = eid % 2 == 0
+    unset_tool = eid % 11 == 0  # the explicit tool := NULL patch
+    tool_set = (eid % 5 == 0) | unset_tool
+    mask = F.when(
+        ~is_del & ~is_ins,
+        F.filter(
+            F.array(F.lit("role"), F.lit("text"), F.lit("tool"), F.lit("ts")),
+            lambda x: ((x == "role") & role_set)
+            | ((x == "text") & text_set)
+            | ((x == "tool") & tool_set)
+            | (x == "ts"),
+        ),
+    )
+    log = ev.select(
+        eid.alias("lsn"),
+        F.when(is_del, F.lit("D"))
+        .when(is_ins, F.lit("I"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("conv_id"),
+        (eid % 37).cast("int").alias("turn_idx"),
+        F.when(~is_del & (is_ins | role_set), F.col("event_type")).alias(
+            "role"
+        ),
+        F.when(
+            ~is_del & (is_ins | text_set),
+            F.concat_ws(":", F.col("event_type"), F.col("props")),
+        ).alias("text"),
+        F.when(
+            ~is_del & (is_ins | (tool_set & ~unset_tool)),
+            F.substring("props", 1, 8),
+        ).alias("tool"),
+        F.when(~is_del, F.col("ts")).alias("ts"),
+        mask.alias("changed"),
+    )
+    return fold_sparse_envelopes(
+        log,
+        ["conv_id", "turn_idx"],
+        "lsn",
+        "op",
+        ["role", "text", "tool", "ts"],
+        mask_col="changed",
+    )
+
+
+def _sparse_mask_col_sql(c: str) -> str:
+    # struct-wrapped arg_max: DuckDB's bare arg_max skips NULL args, which
+    # would resurrect a pre-unset value — the struct is never NULL, so the
+    # explicit set-to-NULL survives extraction (judge-reproducible:
+    # SELECT arg_max(x, y) FROM (VALUES (NULL, 2), ('a', 1)) t(x, y) → 'a')
+    return (
+        f"(arg_max({{'v': {c}}}, lsn) FILTER (WHERE op <> 'D' "
+        f"AND (op = 'I' OR list_contains(changed, '{c}')) "
+        f"AND lsn >= coalesce(anchor, {_NEG_INF}))).v AS {c}"
+    )
+
+
+SQL_SPARSE_MASK_FOLD = f"""
+WITH env AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = '{DELETE_OP}' THEN 'D'
+              WHEN event_id % 7 = 0 THEN 'I'
+              ELSE 'U' END AS op,
+         CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0 OR event_id % 3 = 0)
+              THEN event_type END AS role,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0 OR event_id % 2 = 0)
+              THEN event_type || ':' || props END AS text,
+         CASE WHEN event_type <> '{DELETE_OP}'
+               AND (event_id % 7 = 0
+                    OR (event_id % 5 = 0 AND event_id % 11 <> 0))
+              THEN substr(props, 1, 8) END AS tool,
+         CASE WHEN event_type <> '{DELETE_OP}' THEN ts END AS ts,
+         CASE WHEN event_type <> '{DELETE_OP}' AND event_id % 7 <> 0 THEN
+           list_filter(['role', 'text', 'tool', 'ts'], x ->
+             (x = 'role' AND event_id % 3 = 0)
+             OR (x = 'text' AND event_id % 2 = 0)
+             OR (x = 'tool' AND (event_id % 5 = 0 OR event_id % 11 = 0))
+             OR x = 'ts')
+         END AS changed
+  FROM events),
+a AS (SELECT conv_id, turn_idx,
+             max(CASE WHEN op = 'I' THEN lsn END) AS anchor,
+             max(CASE WHEN op = 'D' THEN lsn END) AS dead
+      FROM env GROUP BY conv_id, turn_idx),
+j AS (SELECT e.*, a.anchor, a.dead
+      FROM env e JOIN a USING (conv_id, turn_idx))
+SELECT conv_id, turn_idx,
+       {_sparse_mask_col_sql("role")},
+       {_sparse_mask_col_sql("text")},
+       {_sparse_mask_col_sql("tool")},
+       {_sparse_mask_col_sql("ts")},
+       max(lsn) AS lsn
+FROM j
+GROUP BY conv_id, turn_idx, anchor, dead
+HAVING dead IS NULL OR coalesce(anchor, {_NEG_INF}) > dead
+"""
+
+
 # agent-trajectory turn table: _turns_with_roles plus the ts and tool
 # columns the input_hint schema carries (tool = the event type, but only on
 # tool-role turns; %17 wins over %13 so the tool predicate must repeat both)
@@ -7121,4 +7239,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),
     "sparse_envelope_fold": (q_sparse_envelope_fold, SQL_SPARSE_FOLD),
     "cdc_sparse_merge_state": (q_cdc_sparse_merge_state, SQL_SPARSE_MERGE_STATE),
+    "sparse_mask_fold": (q_sparse_mask_fold, SQL_SPARSE_MASK_FOLD),
 }
