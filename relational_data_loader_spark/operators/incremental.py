@@ -76,8 +76,14 @@ def apply_delta_rollup(
             F.count(F.lit(1)).alias("_sn"),
         )
         zz = F.lit(0).cast(_DEC)
-        delta = adds.join(subs, "grp", "full_outer").select(
-            "grp",
+        # eqNullSafe, not bare column equality: a LEFT enrichment view has
+        # NULL groups (facts whose dim row is missing/deleted), and a plain
+        # equi-join would keep the NULL-group add and sub rows apart,
+        # duplicating the NULL group in the output.
+        delta = adds.join(
+            subs, adds["grp"].eqNullSafe(subs["grp"]), "full_outer"
+        ).select(
+            F.coalesce(adds["grp"], subs["grp"]).alias("grp"),
             (F.coalesce(F.col("_asum"), zz) - F.coalesce(F.col("_ssum"), zz)).alias(
                 "_dsum"
             ),
@@ -101,8 +107,10 @@ def apply_delta_rollup(
             F.sum(dn).alias("_dn"),
         )
     z = F.lit(0).cast(_DEC)
-    merged = prev.join(delta, "grp", "full_outer").select(
-        "grp",
+    merged = prev.join(
+        delta, prev["grp"].eqNullSafe(delta["grp"]), "full_outer"
+    ).select(
+        F.coalesce(prev["grp"], delta["grp"]).alias("grp"),
         (F.coalesce(F.col("_sum"), z) + F.coalesce(F.col("_dsum"), z)).alias("_sum"),
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
@@ -227,3 +235,112 @@ def apply_delta_join_view(
         for a in dim_attrs
     ]
     return step1.join(dim_delta, fk, "left").select(*fact_cols, *patched)
+
+
+def join_view_change_feed(
+    prev: DataFrame,
+    fact_changes: DataFrame,
+    dim_changes: DataFrame,
+    dim_old: DataFrame,
+    fact_pk: list[str],
+    fk: str,
+    dim_key: str,
+    dim_attrs: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the enrichment VIEW's own I/U/D change feed from the base
+    tables' feeds — the composition primitive that lets IVM cascade
+    (DBSP-style): base deltas → view delta → rollup delta, no stage ever
+    rescanning its input's base.
+
+    ``apply_delta_join_view`` patches the view in place but tells
+    downstream consumers nothing; a rollup over the view would have to be
+    recomputed. This operator instead emits one netted envelope row per
+    affected view row (the view's PK is the fact PK, LEFT-join view):
+
+    - fact I → view I (new row enriched against the POST-epoch dim state),
+    - fact U → view U (new as above; old = the previous view row, so a U
+      that moved the fk carries both the old and the new group),
+    - fact D → view D (old = the previous view row, new columns NULL),
+    - dim I/U/D on key k → view U for every untouched prev fact row with
+      fk=k (old = prev row; new = same fact columns, attrs patched — NULL
+      when the dim row was deleted, the LEFT view keeps the fact).
+
+    Envelope shape: ``fact_pk`` + every view column (NEW values, NULL on D)
+    + ``<col>_old`` for every non-PK view column (OLD values, NULL on I) +
+    ``op`` — exactly what ``apply_delta_rollup(..., old_value_col=...,
+    old_group=...)`` consumes, including group drift from fk moves and dim
+    attribute rewrites.
+
+    Contract: feeds are NETTED (one row per fact PK / dim key — the
+    engine's CDF shape, operators/lww.py net_changes) and consistent with
+    ``prev`` (a U's PK exists in prev, an I's does not). Scale: the
+    fact-driven pass joins |Δfact| against the post-epoch dim (equi-join,
+    broadcast when the dim is small) and against prev on the fact PK
+    (partition-local under the sink's PK bucketing); the dim-driven pass is
+    one equi-join of prev against |Δdim| on the fk plus an anti-join on
+    touched PKs. Everything is drift-proportional on the build side;
+    nothing rescans the fact base."""
+    op = F.col(op_col)
+    fact_cols = [c for c in prev.columns if c not in dim_attrs]
+    non_pk = [c for c in prev.columns if c not in fact_pk]
+
+    # Post-epoch dim state (dim_old with this epoch's deltas applied): the
+    # correct enrichment source for fact-side I/U rows — enriching against
+    # dim_old would hand a brand-new fact stale attributes whenever its
+    # dim row changed in the same epoch.
+    changed_dim = dim_changes.select(dim_key).distinct()
+    dim_new = dim_old.join(changed_dim, dim_key, "left_anti").unionByName(
+        dim_changes.filter(op.isin("I", "U")).select(dim_key, *dim_attrs)
+    )
+
+    prev_old = prev.select(
+        *fact_pk, *[F.col(c).alias(f"{c}_old") for c in non_pk]
+    )
+
+    # Fact-driven rows: one per Δfact PK. D rows get NULL new columns from
+    # the left join; I rows get NULL old columns.
+    new_side = join_view(
+        fact_changes.filter(op.isin("I", "U")).select(*fact_cols),
+        dim_new,
+        fk,
+        dim_key,
+        dim_attrs,
+    )
+    fact_driven = (
+        fact_changes.select(*fact_pk, op.alias("_op"))
+        .join(new_side, fact_pk, "left")
+        .join(prev_old, fact_pk, "left")
+    )
+
+    # Dim-driven rows: untouched prev facts pointing at a changed dim key
+    # become view UPDATEs (attrs patched, fact columns carried over).
+    touched = fact_changes.select(*fact_pk).distinct()
+    dim_delta = dim_changes.select(
+        F.col(dim_key).alias(fk),
+        op.alias("_dim_op"),
+        *[F.col(a).alias(f"_new_{a}") for a in dim_attrs],
+    )
+    patched = [
+        F.when(F.col("_dim_op") == "D", F.lit(None))
+        .otherwise(F.col(f"_new_{a}"))
+        .alias(a)
+        for a in dim_attrs
+    ]
+    dim_driven = (
+        prev.join(touched, fact_pk, "left_anti")
+        .join(dim_delta, fk, "inner")
+        .select(
+            *fact_pk,
+            *[F.col(c) for c in fact_cols if c not in fact_pk],
+            *patched,
+            *[F.col(c).alias(f"{c}_old") for c in non_pk],
+            F.lit("U").alias("_op"),
+        )
+    )
+    cols = [*fact_pk, *non_pk, *[f"{c}_old" for c in non_pk], "_op"]
+    return (
+        fact_driven.select(*cols)
+        .unionByName(dim_driven.select(*cols))
+        .withColumnRenamed("_op", op_col)
+    )

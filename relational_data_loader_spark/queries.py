@@ -6144,6 +6144,120 @@ LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 11 <> 5) c
 """
 
 
+def q_ivm_cascade_rollup(spark, sf):
+    """IVM CASCADE (operators/incremental.py join_view_change_feed →
+    apply_delta_rollup): base-table change feeds are composed into the
+    enrichment VIEW's own I/U/D feed, which then drives the algebraic
+    rollup delta — two IVM stages chained, neither rescanning its input's
+    base, the DBSP-style composition a materialized-view hierarchy needs.
+    Same deterministic churn as cdc_join_view_ivm (fact I/U-with-fk-move/
+    U-measure/D on orders keyed by %13; dim I/U/D on customer keyed by
+    %11), so the post-epoch base states are exactly ``orders`` and
+    ``customer WHERE c_custkey%11<>5``. The rollup groups by a DIM
+    attribute (c_mktsegment), so every drift mode is exercised: fk moves
+    change the group, dim rewrites change the group of untouched facts,
+    and dim deletes flip surviving facts into the NULL group (which the
+    null-safe group merge must keep as ONE group). The oracle is the full
+    recompute over the new base states — "cascade equals recompute" is
+    the whole contract."""
+    from relational_data_loader_spark.operators.incremental import (
+        apply_delta_rollup,
+        finalize_rollup,
+        group_rollup,
+        join_view,
+        join_view_change_feed,
+    )
+
+    attrs = ["c_name", "c_mktsegment"]
+    orders = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    cust = _t(spark, sf, "customer").select("c_custkey", *attrs)
+    m13 = F.pmod(F.col("o_orderkey"), F.lit(13))
+    m11 = F.pmod(F.col("c_custkey"), F.lit(11))
+
+    dim_old = cust.filter(m11 != 0).withColumn(
+        "c_mktsegment",
+        F.when(
+            m11 == 1, F.concat(F.lit("OLD-"), F.col("c_mktsegment"))
+        ).otherwise(F.col("c_mktsegment")),
+    )
+    fact_old = (
+        orders.filter(m13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(m13 == 1, F.col("o_custkey") + 17)
+            .otherwise(F.col("o_custkey"))
+            .alias("o_custkey"),
+            "o_orderstatus",
+            F.when(m13 == 2, F.col("o_totalprice") + 100.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(m13 == 3).select(
+                (F.col("o_orderkey") + F.lit(1_000_000_000)).alias(
+                    "o_orderkey"
+                ),
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    fact_changes = orders.filter(m13.isin(0, 1, 2)).withColumn(
+        "op", F.when(m13 == 0, F.lit("I")).otherwise(F.lit("U"))
+    ).unionByName(
+        orders.filter(m13 == 3).select(
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("D").alias("op"),
+        )
+    )
+    dim_changes = cust.filter(m11.isin(0, 1)).withColumn(
+        "op", F.when(m11 == 0, F.lit("I")).otherwise(F.lit("U"))
+    ).unionByName(cust.filter(m11 == 5).withColumn("op", F.lit("D")))
+
+    prev = join_view(fact_old, dim_old, "o_custkey", "c_custkey", attrs)
+    feed = join_view_change_feed(
+        prev,
+        fact_changes,
+        dim_changes,
+        dim_old,
+        ["o_orderkey"],
+        "o_custkey",
+        "c_custkey",
+        attrs,
+    )
+    prev_rollup = group_rollup(prev, F.col("c_mktsegment"), "o_totalprice")
+    return finalize_rollup(
+        apply_delta_rollup(
+            prev_rollup,
+            feed,
+            F.col("c_mktsegment"),
+            "o_totalprice",
+            "o_totalprice_old",
+            old_group=F.col("c_mktsegment_old"),
+        )
+    )
+
+
+SQL_IVM_CASCADE_ROLLUP = """
+WITH v AS (
+  SELECT o.o_totalprice, c.c_mktsegment
+  FROM orders o
+  LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 11 <> 5) c
+    ON o.o_custkey = c.c_custkey)
+SELECT c_mktsegment AS grp,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,6))), 2) AS DOUBLE)
+         AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM v GROUP BY 1
+"""
+
+
 def q_boilerplate_turn_scrub(spark, sf):
     """Turn-granular boilerplate removal (operators/transcript.py
     drop_boilerplate_turns): drop every turn whose exact text occurs in
@@ -7223,6 +7337,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contrastive_negatives": (q_contrastive_negatives, SQL_CONTRASTIVE_NEGATIVES),
     "source_length_ks": (q_source_length_ks, SQL_SOURCE_LENGTH_KS),
     "cdc_join_view_ivm": (q_cdc_join_view_ivm, SQL_JOIN_VIEW_IVM),
+    "ivm_cascade_rollup": (q_ivm_cascade_rollup, SQL_IVM_CASCADE_ROLLUP),
     "boilerplate_turn_scrub": (q_boilerplate_turn_scrub, SQL_BOILERPLATE_SCRUB),
     "transcript_role_audit": (q_transcript_role_audit, SQL_TRANSCRIPT_ROLE_AUDIT),
     "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
