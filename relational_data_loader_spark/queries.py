@@ -6258,6 +6258,104 @@ FROM v GROUP BY 1
 """
 
 
+def _branching_turns(spark, sf):
+    """Deterministic branching forest over events: conv = user_id, node =
+    per-conv turn index (row_number by event_id), parent = previous turn
+    except every 3rd turn branches from its grandparent (a regeneration
+    sibling) — both engines derive the identical forest."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = ev.select(
+        F.col("user_id").alias("conv"),
+        F.row_number().over(w).alias("node"),
+    )
+    return t.withColumn(
+        "parent",
+        F.when(F.col("node") == 1, F.lit(None).cast("int"))
+        .when(F.pmod(F.col("node"), F.lit(3)) == 0, F.col("node") - 2)
+        .otherwise(F.col("node") - 1),
+    )
+
+
+def q_conversation_tree_paths(spark, sf):
+    """Branching-transcript linearization (operators/tree.py tree_paths):
+    every root→leaf path of the per-conversation turn forest, extracted by
+    pointer-doubling list ranking — O(log depth) self-joins instead of a
+    depth-sequential walk, the shape that holds when one pathological
+    conversation is 10^4 regenerated turns deep. The oracle is DuckDB's
+    recursive CTE over the identical forest."""
+    from relational_data_loader_spark.operators.tree import tree_paths
+
+    t = _branching_turns(spark, sf)
+    p = tree_paths(t, "conv", "node", "parent")
+    return p.select(
+        F.col("conv").alias("conv_id"),
+        F.col("node").alias("leaf"),
+        "depth",
+        F.concat_ws(">", F.col("path").cast("array<string>")).alias("path"),
+    )
+
+
+def q_tree_canonical_path(spark, sf):
+    """Per-conversation canonical path (operators/tree.py canonical_paths):
+    the deepest leaf's root→leaf path, ties to the largest leaf id — the
+    'what the chat UI shows' convention for a branching transcript."""
+    from relational_data_loader_spark.operators.tree import canonical_paths
+
+    t = _branching_turns(spark, sf)
+    p = canonical_paths(t, "conv", "node", "parent")
+    return p.select(
+        F.col("conv").alias("conv_id"),
+        F.col("node").alias("leaf"),
+        "depth",
+        F.concat_ws(">", F.col("path").cast("array<string>")).alias("path"),
+    )
+
+
+_SQL_TREE_BASE = """
+WITH RECURSIVE t AS (
+  SELECT user_id AS conv,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS INTEGER) AS node
+  FROM events),
+tt AS (
+  SELECT conv, node,
+         CASE WHEN node = 1 THEN NULL
+              WHEN node % 3 = 0 THEN node - 2
+              ELSE node - 1 END AS parent
+  FROM t),
+paths AS (
+  SELECT conv, node, CAST(node AS VARCHAR) AS path, 1 AS depth
+  FROM tt WHERE parent IS NULL
+  UNION ALL
+  SELECT tt.conv, tt.node, p.path || '>' || CAST(tt.node AS VARCHAR),
+         p.depth + 1
+  FROM tt JOIN paths p ON tt.conv = p.conv AND tt.parent = p.node),
+leaf_paths AS (
+  SELECT p.conv, p.node, p.depth, p.path
+  FROM paths p
+  LEFT JOIN (SELECT DISTINCT conv, parent FROM tt
+             WHERE parent IS NOT NULL) x
+    ON p.conv = x.conv AND p.node = x.parent
+  WHERE x.parent IS NULL)
+"""
+
+SQL_TREE_PATHS = _SQL_TREE_BASE + """
+SELECT conv AS conv_id, node AS leaf, depth, path FROM leaf_paths
+"""
+
+SQL_TREE_CANONICAL = _SQL_TREE_BASE + """
+SELECT conv AS conv_id, node AS leaf, depth, path
+FROM (SELECT conv, node, depth, path,
+             row_number() OVER (PARTITION BY conv
+                                ORDER BY depth DESC, node DESC) AS rk
+      FROM leaf_paths)
+WHERE rk = 1
+"""
+
+
 def q_boilerplate_turn_scrub(spark, sf):
     """Turn-granular boilerplate removal (operators/transcript.py
     drop_boilerplate_turns): drop every turn whose exact text occurs in
@@ -7338,6 +7436,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "source_length_ks": (q_source_length_ks, SQL_SOURCE_LENGTH_KS),
     "cdc_join_view_ivm": (q_cdc_join_view_ivm, SQL_JOIN_VIEW_IVM),
     "ivm_cascade_rollup": (q_ivm_cascade_rollup, SQL_IVM_CASCADE_ROLLUP),
+    "conversation_tree_paths": (q_conversation_tree_paths, SQL_TREE_PATHS),
+    "tree_canonical_path": (q_tree_canonical_path, SQL_TREE_CANONICAL),
     "boilerplate_turn_scrub": (q_boilerplate_turn_scrub, SQL_BOILERPLATE_SCRUB),
     "transcript_role_audit": (q_transcript_role_audit, SQL_TRANSCRIPT_ROLE_AUDIT),
     "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
