@@ -147,6 +147,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "missing or corrupt files (snapshot sink only)",
     )
     p.add_argument(
+        "--replay-dlq",
+        action="store_true",
+        help="maintenance: re-admit dead-lettered rows (lossy casts "
+        "quarantined under on_cast_error='quarantine') through the "
+        "version-guarded merge under the CURRENT spec — run after a "
+        "widen/transform fix; rows that still fail stay retained",
+    )
+    p.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -247,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.compact_deltas
         or args.optimize
         or args.rebucket is not None
+        or args.replay_dlq
         or args.fsck
         or args.rollback_to is not None
         or args.maintenance_report
@@ -429,6 +438,10 @@ def main(argv: list[str] | None = None) -> int:
                     else:
                         table.compact(sort_order=", ".join(spec.primary_keys))
                     out["compacted"] = True
+            if args.replay_dlq:
+                r = mgr.replay_dlq(spec)
+                out["dlq_replayed"] = r.rows_upserted + r.rows_deleted
+                out["dlq_replay_skipped"] = r.skipped
             if args.vacuum:
                 if hasattr(table, "vacuum"):
                     out["files_vacuumed"] = table.vacuum()

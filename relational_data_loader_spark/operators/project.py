@@ -80,3 +80,31 @@ def project_cast_quarantine(
     )
     bad = flagged.filter(F.size(QUARANTINE_ERRORS_COL) > 0)
     return project_cast(good, spec, include_envelope), bad
+
+
+def flag_lossy_casts(df: DataFrame, spec: IngestSpec) -> DataFrame:
+    """Envelope-aware lossy-cast flags for the manager's dead-letter split
+    (``spec.on_cast_error = "quarantine"``): adds ``_rdl_errors`` naming
+    each destination column whose declared cast is LOSSY on this row.
+
+    Differs from ``project_cast_quarantine``'s raw split in one envelope
+    rule: DELETE rows are exempt on NON-PK columns — a delete applies by
+    key alone (its payload is NULL-or-garbage by CT/CDC envelope contract,
+    SURVEY §2 S2), so a poison payload must not quarantine the delete and
+    resurrect the row. A lossy PK cast flags on every op: a row whose key
+    cannot be decoded cannot be addressed at all. Cost: one codegen
+    projection of try_cast null-checks, no shuffle, filter-pushable.
+    """
+    is_del = F.col(spec.op_column) == F.lit(spec.delete_op)
+    fails = []
+    for c in spec.columns:
+        lossy = (
+            F.col(c.source).isNotNull()
+            & F.col(c.source).try_cast(c.spark_type).isNull()
+        )
+        if not c.primary_key:
+            lossy = lossy & ~is_del
+        fails.append(F.when(lossy, F.lit(c.destination)))
+    return df.withColumn(
+        QUARANTINE_ERRORS_COL, F.array_compact(F.array(*fails))
+    )

@@ -47,6 +47,9 @@ class RunResult:
     # chunks; None when the spec declares no expectations). Enforce mode
     # never reaches a RunResult — it raises ExpectationFailedError instead.
     dq_violations: dict[str, int] | None = None
+    # rows detoured to the dead-letter table this run (lossy casts under
+    # spec.on_cast_error="quarantine"); 0 in "fail" mode
+    rows_quarantined: int = 0
 
 
 class DataLoadManager:
@@ -135,6 +138,155 @@ class DataLoadManager:
         )
 
     # -- entry point -----------------------------------------------------------
+
+    def _dlq_path(self, spec: IngestSpec) -> str:
+        return os.path.join(self.warehouse, f"{spec.name}_dlq")
+
+    @staticmethod
+    def _null_delete_payloads(spec: IngestSpec, df: DataFrame) -> DataFrame:
+        """Null the non-PK source columns of DELETE envelopes (quarantine
+        mode only). A delete applies by key alone, so its payload bytes are
+        contractually meaningless — but a garbage payload on the raw wire
+        would still explode the projection's ANSI cast downstream. The
+        engine's own derived feeds already null them; a real CT/CDC source
+        does not promise to."""
+        is_del = F.col(spec.op_column) == F.lit(spec.delete_op)
+        out = df
+        for c in spec.columns:
+            if not c.primary_key:
+                out = out.withColumn(
+                    c.source,
+                    F.when(is_del, F.lit(None)).otherwise(F.col(c.source)),
+                )
+        return out
+
+    def _quarantine_split(
+        self, spec: IngestSpec, changes: DataFrame, epoch_hi: int
+    ) -> tuple[DataFrame, int]:
+        """Dead-letter split of one epoch's RAW envelopes (spec.on_cast_error
+        = "quarantine"): rows with lossy declared casts (operators/project.py
+        flag_lossy_casts — deletes exempt on non-PK columns) are written to
+        ``<warehouse>/<name>_dlq/e<epoch_hi>`` with their error list, and
+        the clean remainder proceeds to the normal pipeline.
+
+        Idempotence: the DLQ directory is keyed by the epoch's upper bound
+        and written with overwrite — a crash-replayed chunk rewrites the
+        identical poison set instead of duplicating it (the same argument
+        as the chunk loop's epoch keys). Cost: quarantine mode reads the
+        chunk twice (poison write + clean path), both scans
+        pruned/filter-pushed; "fail" mode pays nothing.
+        """
+        if spec.on_cast_error != "quarantine":
+            return changes, 0
+        import shutil
+
+        from pyspark.sql import Observation
+
+        from relational_data_loader_spark.operators.project import (
+            QUARANTINE_ERRORS_COL,
+            flag_lossy_casts,
+        )
+
+        flagged = flag_lossy_casts(changes, spec)
+        bad = flagged.filter(F.size(QUARANTINE_ERRORS_COL) > 0)
+        dest = os.path.join(self._dlq_path(spec), f"e{int(epoch_hi)}")
+        obs = Observation()
+        bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        n_bad = int(obs.get["n"])
+        if n_bad == 0:
+            shutil.rmtree(dest, ignore_errors=True)  # keep the DLQ readable
+            return changes, 0
+        good = flagged.filter(F.size(QUARANTINE_ERRORS_COL) == 0).drop(
+            QUARANTINE_ERRORS_COL
+        )
+        return self._null_delete_payloads(spec, good), n_bad
+
+    def replay_dlq(self, spec: IngestSpec) -> RunResult:
+        """Re-admit quarantined rows after a spec fix (widen / transform).
+
+        Reads every dead-letter directory, re-flags the RAW envelopes under
+        the CURRENT spec, and merges the now-clean rows through the sink's
+        normal version-guarded LWW merge — a replayed event applies only
+        where its lsn still wins, so the final state converges to the
+        full-replay-under-fixed-spec oracle, and the table watermark never
+        moves (replayed lsns are ≤ it by construction). Rows that still
+        fail are RETAINED.
+
+        Exactly-once: the merge's epoch key is ``dlq:<seq>`` with ``seq`` =
+        1 + the largest retained-marker sequence on disk. The retained set
+        is written to ``r<seq>`` BEFORE the consumed directories are
+        removed, so a crash anywhere in the sequence loses nothing: rows
+        may transiently exist in both an old ``e*`` dir and ``r<seq>``
+        (duplicates are harmless — the replay pre-nets by PK+lsn and the
+        merge is LWW), and a rerun either skips on the epoch key (crash
+        before cleanup, same seq) or replays a superset that nets to the
+        same state. The latest ``r<seq>`` marker is always kept, even
+        empty: it is the monotone sequence floor that stops a future
+        replay from reusing an already-applied ``dlq:<n>`` key.
+        """
+        import shutil
+
+        t0 = time.time()
+        from relational_data_loader_spark.operators.project import (
+            QUARANTINE_ERRORS_COL,
+            flag_lossy_casts,
+        )
+
+        table = self.table(spec)
+        dlq = self._dlq_path(spec)
+        entries = sorted(os.listdir(dlq)) if os.path.isdir(dlq) else []
+        dirs = [
+            os.path.join(dlq, d)
+            for d in entries
+            if os.path.isdir(os.path.join(dlq, d))
+        ]
+        decision = LoadDecision(
+            kind="dlq_replay", reasons=[f"{len(dirs)} dead-letter dirs"]
+        )
+        seq = 1 + max(
+            (int(d[1:]) for d in entries if d.startswith("r") and d[1:].isdigit()),
+            default=0,
+        )
+        if not dirs:
+            return RunResult(
+                decision, 0, 0,
+                table.watermark() if table.exists() else -1,
+                0, True, int((time.time() - t0) * 1000),
+            )
+        raw = self.spark.read.parquet(*dirs).drop(QUARANTINE_ERRORS_COL)
+        flagged = flag_lossy_casts(raw, spec)
+        good = flagged.filter(F.size(QUARANTINE_ERRORS_COL) == 0).drop(
+            QUARANTINE_ERRORS_COL
+        )
+        still_bad = flagged.filter(F.size(QUARANTINE_ERRORS_COL) > 0)
+
+        prepared = self.prepare_batch(
+            spec, self._null_delete_payloads(spec, good)
+        )
+        stats = table.merge(prepared, seq, namespace="dlq", netted=True)
+
+        retained = os.path.join(dlq, f"r{seq}")
+        still_bad.write.mode("overwrite").parquet(retained)
+        for d in dirs:
+            if d != retained:
+                shutil.rmtree(d, ignore_errors=True)
+
+        wall = int((time.time() - t0) * 1000)
+        if not stats.skipped:
+            self.state.append(
+                spec.name, seq, stats.bucket_stats or [], wall, kind="dlq_replay"
+            )
+        return RunResult(
+            decision,
+            stats.rows_upserted,
+            stats.rows_deleted,
+            table.watermark(),
+            seq,
+            stats.skipped,
+            wall,
+        )
 
     def _dq_gate(self, spec: IngestSpec, changes) -> dict[str, int] | None:
         """Admission gate (spec.expectations): evaluate the violation
@@ -254,6 +406,7 @@ class DataLoadManager:
         if decision.kind == "full_refresh":
             epoch_id = cti.current_version
             wm = max(cti.current_version, 0)
+            log, n_quar = self._quarantine_split(spec, log, epoch_id)
             dq = self._dq_gate(spec, log)
             if spec.envelope == "sparse":
                 # sparse wire format: fold column-wise (operators/sparse.py)
@@ -280,13 +433,25 @@ class DataLoadManager:
                 ).observe(obs, F.count(F.lit(1)).alias("n"))
                 table.full_refresh(df, epoch_id=epoch_id, watermark=wm)
                 n = int(obs.get["n"])
-            elif hasattr(table, "full_refresh_from_envelopes") and not spec.salt_buckets:
+            elif hasattr(table, "full_refresh_from_envelopes") and (
+                not spec.salt_buckets or spec.on_cast_error == "quarantine"
+            ):
                 # fused initial load: net + drop-deletes + bucketed write on
                 # one exchange, survivor count observed during the write
                 # (sinks/snapshot.py). A salt_buckets pin falls through to
-                # the unfused path so the salted pre-net is honored.
+                # the unfused path so the salted pre-net is honored — except
+                # in quarantine mode, which REQUIRES the envelope path (the
+                # snapshot must keep per-row lsns + tombstones or replay_dlq
+                # cannot LWW against it); there the salted pre-net runs
+                # first and feeds the envelope write.
+                env = self.project(spec, log)
+                if spec.salt_buckets:
+                    env = net_changes(
+                        env, spec.primary_keys, spec.lsn_column,
+                        spec.op_column, salt_buckets=spec.salt_buckets,
+                    )
                 n = table.full_refresh_from_envelopes(
-                    self.project(spec, log), epoch_id=epoch_id, watermark=wm
+                    env, epoch_id=epoch_id, watermark=wm
                 )
             else:
                 # row count observed during the write itself — no second pass
@@ -315,7 +480,7 @@ class DataLoadManager:
             )
             return RunResult(
                 decision, n, 0, table.watermark(), epoch_id, False, wall,
-                dq_violations=dq,
+                dq_violations=dq, rows_quarantined=n_quar,
             )
 
         # incremental: only events past the committed watermark (each chunk
@@ -357,7 +522,7 @@ class DataLoadManager:
                 min(last + i * step, cti.current_version) for i in range(1, k + 1)
             ]
 
-        total_up = total_del = 0
+        total_up = total_del = total_quar = 0
         applied_any = False
         chunks_run = 0
         lo = last
@@ -371,6 +536,8 @@ class DataLoadManager:
                 continue
             chunks_run += 1
             chunk = log.filter((F.col(lsn) > F.lit(lo)) & (F.col(lsn) <= F.lit(hi)))
+            chunk, n_quar = self._quarantine_split(spec, chunk, hi)
+            total_quar += n_quar
             dq = self._dq_gate(spec, chunk)
             if dq is not None:
                 dq_total = {
@@ -421,4 +588,5 @@ class DataLoadManager:
             n_chunks=max(chunks_run, 1),
             salt_buckets=salt,
             dq_violations=dq_total,
+            rows_quarantined=total_quar,
         )

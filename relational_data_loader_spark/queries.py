@@ -6775,6 +6775,78 @@ def q_cdc_commit_retry_state(spark, sf):
     return mgr.table(spec).read()
 
 
+def q_cdc_dlq_replay_state(spark, sf):
+    """Engine replay through the DEAD-LETTER lifecycle (plans/manager.py
+    _quarantine_split / replay_dlq): the change log carries poison values
+    (every event_id%11==0 upsert writes 9999999999, which overflows the
+    v1 spec's int column), on_cast_error='quarantine' detours them to the
+    DLQ while the batch commits and the watermark advances past them; the
+    spec is then FIXED by widening val int→bigint (evolve_widened, not a
+    refresh) and replay_dlq re-admits the dead letters through the
+    version-guarded merge. The visible state must equal the straight
+    full-replay-under-fixed-spec oracle — including keys whose LAST event
+    was quarantined (the replayed lsn must win), keys with a newer clean
+    event (the replayed lsn must lose), and quarantined inserts for keys
+    deleted later (the tombstone kept by the quarantine-mode full refresh
+    must block resurrection)."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import ColumnSpec, IngestSpec
+
+    base = _state_workdir(sf, "dlq")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    ev = _t(spark, sf, "events")
+    is_del = F.col("event_type") == DELETE_OP
+    log = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("id"),
+        F.when(is_del, F.lit(None))
+        .otherwise(
+            F.when(
+                F.pmod(F.col("event_id"), F.lit(11)) == 0,
+                F.lit("9999999999"),
+            ).otherwise(F.pmod(F.col("event_id"), F.lit(1000)).cast("string"))
+        )
+        .alias("val"),
+    )
+    log.write.mode("overwrite").parquet(log_dir)
+
+    def mkspec(val_type):
+        return IngestSpec(
+            name="dlqfacts",
+            source=f"parquet://{log_dir}",
+            columns=[
+                ColumnSpec("id", "id", "bigint", primary_key=True),
+                ColumnSpec("val", "val", val_type),
+            ],
+            target_buckets=8,
+            on_cast_error="quarantine",
+        )
+
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(mkspec("int"))  # poison rows detour to the DLQ, load commits
+    fixed = mkspec("bigint")
+    mgr.run(fixed)  # evolve_widened, no refresh
+    mgr.replay_dlq(fixed)
+    return mgr.table(fixed).read().select("id", "val")
+
+
+SQL_DLQ_REPLAY_STATE = f"""
+SELECT id, val FROM (
+  SELECT CAST(user_id AS BIGINT) AS id,
+         CAST(CASE WHEN event_id % 11 = 0 THEN 9999999999
+                   ELSE event_id % 1000 END AS BIGINT) AS val,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 AND NOT is_del
+"""
+
+
 def q_cdc_vacuum_state(spark, sf):
     """Engine replay in two slices, then snapshot expiry + orphan GC
     (sinks/snapshot.py vacuum, keep_manifests=1, orphan gate 0): the sweep
@@ -7449,6 +7521,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "cdc_commit_retry_state": (q_cdc_commit_retry_state, SQL_ENGINE_FINAL_STATE),
     "cdc_vacuum_state": (q_cdc_vacuum_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_dlq_replay_state": (q_cdc_dlq_replay_state, SQL_DLQ_REPLAY_STATE),
     "tool_call_stats": (q_tool_call_stats, SQL_TOOL_CALL_STATS),
     "agent_loop_audit": (q_agent_loop_audit, SQL_AGENT_LOOP_AUDIT),
     "preference_pairs": (q_preference_pairs, SQL_PREFERENCE_PAIRS),

@@ -120,8 +120,11 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def epoch_key(epoch_id: int, namespace: str) -> str:
-    """Namespaced idempotence key for the applied-epochs set."""
-    if namespace not in ("batch", "stream"):
+    """Namespaced idempotence key for the applied-epochs set. ``batch``
+    epochs are log positions, ``stream`` epochs micro-batch ids, ``dlq``
+    epochs dead-letter replay sequence numbers (plans/manager.py
+    replay_dlq) — three independent counters that must never collide."""
+    if namespace not in ("batch", "stream", "dlq"):
         raise ValueError(f"unknown epoch namespace {namespace!r}")
     return f"{namespace}:{int(epoch_id)}"
 
@@ -579,23 +582,52 @@ class SnapshotTable:
         w = Window.partitionBy(_BUCKET_COL, *spec.primary_keys).orderBy(
             F.desc(lsn_col)
         )
-        survivors = (
-            clustered.withColumn("_rdl_rn", F.row_number().over(w))
-            .filter(F.col("_rdl_rn") == 1)
-            .filter(F.col(op_col) != spec.delete_op)
-        )
+        survivors = clustered.withColumn(
+            "_rdl_rn", F.row_number().over(w)
+        ).filter(F.col("_rdl_rn") == 1)
+        # Quarantine mode breaks the baseline premise "this snapshot
+        # subsumes every event ≤ watermark": the dead-lettered events are
+        # excluded by construction, and replay_dlq must later be able to
+        # LWW them against the snapshot. Two consequences, both gated on
+        # the spec so every other deployment keeps byte-identical output:
+        # rows carry their TRUE per-key max lsn (a baseline literal would
+        # make every sub-watermark replay lose unconditionally), and
+        # delete winners persist as tombstones (a dropped delete would let
+        # a replayed older update resurrect the key).
+        quarantine = spec.on_cast_error == "quarantine"
+        if not quarantine:
+            survivors = survivors.filter(F.col(op_col) != spec.delete_op)
         obs = Observation()
         stamped = (
             self._with_audit(
-                survivors.select(*self._dest_cols(), _BUCKET_COL), epoch_id
+                survivors.select(
+                    *self._dest_cols(), _BUCKET_COL, lsn_col, op_col
+                ),
+                epoch_id,
             )
-            .withColumn(LSN_COL, F.lit(int(watermark)).cast("long"))
-            .withColumn(DELETED_COL, F.lit(False))
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                LSN_COL,
+                F.col(lsn_col).cast("long")
+                if quarantine
+                else F.lit(int(watermark)).cast("long"),
+            )
+            .withColumn(
+                DELETED_COL,
+                (F.col(op_col) == F.lit(spec.delete_op))
+                if quarantine
+                else F.lit(False),
+            )
+            .drop(lsn_col, op_col)
+            .observe(
+                obs,
+                F.sum(
+                    F.when(~F.col(DELETED_COL), 1).otherwise(0)
+                ).alias("n"),
+            )
         )
         buckets = self._write_buckets(stamped, pre_clustered=True)
         self._commit_full_manifest(buckets, epoch_id, watermark, namespace)
-        return int(obs.get["n"])
+        return int(obs.get["n"] or 0)
 
     def _commit_full_manifest(
         self, buckets: dict[str, list[str]], epoch_id: int, watermark: int,

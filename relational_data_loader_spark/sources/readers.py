@@ -209,7 +209,19 @@ def read_change_log(spark: SparkSession, spec: IngestSpec) -> DataFrame:
         # schema comes from the database; spec supplies the range-partition
         # column (the lsn) for the parallel read
         return read_jdbc(spark, spec.source, spec)
-    return read_source(spark, spec.source, spec.change_schema(), spec)
+    schema = spec.change_schema()
+    if spec.on_cast_error == "quarantine":
+        # quarantine mode defers typing to the engine: the scan must
+        # surface RAW wire values for the try_cast flags (a typed scan
+        # fails — or silently coerces — exactly the rows the dead-letter
+        # split exists to catch). Parquet is self-describing; text
+        # sources read the payload as strings.
+        schema = (
+            None
+            if spec.source.startswith("parquet://")
+            else spec.untyped_change_schema()
+        )
+    return read_source(spark, spec.source, schema, spec)
 
 
 @dataclass

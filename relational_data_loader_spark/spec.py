@@ -177,6 +177,22 @@ class IngestSpec:
     expectations: dict[str, str] = field(default_factory=dict)
     expectations_mode: str = "enforce"  # "enforce" | "audit"
 
+    # Poison-row policy for LOSSY CASTS (source value present, declared
+    # cast yields NULL). "fail" keeps the historical behavior: the bad
+    # value surfaces wherever the cast runs (ANSI error, or a NULL the DQ
+    # gate catches). "quarantine" detours the RAW envelopes of failing
+    # rows to an append-only dead-letter table (<warehouse>/<name>_dlq)
+    # BEFORE projection, per epoch, and the batch commits without them —
+    # a resident 10^10-event pipeline cannot abort on one bad byte.
+    # ``DataLoadManager.replay_dlq`` re-admits them after a spec fix
+    # (widen/transform) through the normal version-guarded merge, so the
+    # final state converges to the full-replay-under-fixed-spec oracle.
+    # Operational policy, deliberately NOT part of checksum(): flipping it
+    # must never force a refresh. Deletes are exempt on non-PK columns
+    # (only their key applies); a lossy PK cast always quarantines — the
+    # row cannot even be addressed.
+    on_cast_error: str = "fail"  # "fail" | "quarantine"
+
     # Load-order dependencies (plans/dag.py): names of specs whose tables
     # must commit BEFORE this one loads in a multi-spec batch run — the
     # FK parents. The CLI derives topological waves from these and skips
@@ -200,6 +216,17 @@ class IngestSpec:
             raise ValueError(
                 f"spec {self.name!r}: mor_compact_files must be >= 0, "
                 f"got {self.mor_compact_files}"
+            )
+        if self.on_cast_error not in ("fail", "quarantine"):
+            raise ValueError(
+                f"spec {self.name!r}: on_cast_error must be 'fail' or "
+                f"'quarantine', got {self.on_cast_error!r}"
+            )
+        if self.on_cast_error == "quarantine" and self.envelope != "full":
+            raise ValueError(
+                f"spec {self.name!r}: on_cast_error='quarantine' requires "
+                "envelope='full' — a sparse patch quarantined on one "
+                "column has no full-row image to replay"
             )
 
     # ---- derived --------------------------------------------------------
@@ -255,6 +282,20 @@ class IngestSpec:
             fields.append(
                 T.StructField(c.source, c.spark_type, not c.primary_key or c.nullable)
             )
+        return T.StructType(fields)
+
+    def untyped_change_schema(self) -> T.StructType:
+        """Wire schema for quarantine-mode TEXT sources (csv): lsn/op keep
+        their envelope types, every spec column reads as STRING so lossy
+        values reach ``flag_lossy_casts`` instead of failing the scan.
+        Parquet sources don't use this — they are self-describing, so
+        quarantine mode reads them schema-less (sources/readers.py)."""
+        fields = [
+            T.StructField(self.lsn_column, T.LongType(), False),
+            T.StructField(self.op_column, T.StringType(), False),
+        ]
+        for c in self.columns:
+            fields.append(T.StructField(c.source, T.StringType(), True))
         return T.StructType(fields)
 
     # ---- checksum & evolution -------------------------------------------
@@ -335,6 +376,7 @@ class IngestSpec:
             "transforms": self.transforms,
             "expectations": self.expectations,
             "expectations_mode": self.expectations_mode,
+            "on_cast_error": self.on_cast_error,
             "depends_on": list(self.depends_on),
             "columns": [
                 {
@@ -371,6 +413,7 @@ class IngestSpec:
             transforms=doc.get("transforms", {}),
             expectations=doc.get("expectations", {}),
             expectations_mode=doc.get("expectations_mode", "enforce"),
+            on_cast_error=doc.get("on_cast_error", "fail"),
             depends_on=tuple(doc.get("depends_on", ())),
         )
 
