@@ -161,7 +161,11 @@ class DataLoadManager:
         return out
 
     def _quarantine_split(
-        self, spec: IngestSpec, changes: DataFrame, epoch_hi: int
+        self,
+        spec: IngestSpec,
+        changes: DataFrame,
+        epoch_hi: int,
+        prefix: str = "e",
     ) -> tuple[DataFrame, int]:
         """Dead-letter split of one epoch's RAW envelopes (spec.on_cast_error
         = "quarantine"): rows with lossy declared casts (operators/project.py
@@ -189,7 +193,10 @@ class DataLoadManager:
 
         flagged = flag_lossy_casts(changes, spec)
         bad = flagged.filter(F.size(QUARANTINE_ERRORS_COL) > 0)
-        dest = os.path.join(self._dlq_path(spec), f"e{int(epoch_hi)}")
+        # "e<lsn-hi>" for batch chunks, "s<batchId>" for streaming
+        # micro-batches — two independent epoch counters, like the sink's
+        # batch/stream namespaces
+        dest = os.path.join(self._dlq_path(spec), f"{prefix}{int(epoch_hi)}")
         obs = Observation()
         bad.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"

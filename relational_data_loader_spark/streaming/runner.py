@@ -56,6 +56,20 @@ class StreamingIngest:
                 f"spec {spec.name!r}: envelope='sparse' is batch-only; "
                 "streaming segment permutation breaks column-level LWW"
             )
+        if spec.on_cast_error == "quarantine" and not spec.source.startswith(
+            "csv://"
+        ):
+            # readStream demands a schema for file sources, so only a TEXT
+            # wire can be read untyped for the lossy-cast flags: a parquet
+            # stream with mistyped physical columns fails the scan before
+            # any flag runs, and the debezium parser types inside from_json
+            # (malformed fields null silently, the raw value is gone). The
+            # batch manager reads parquet schema-less — route those there.
+            raise ValueError(
+                f"spec {spec.name!r}: on_cast_error='quarantine' streams "
+                "only over csv:// sources; parquet/debezium poison "
+                "handling needs the batch manager's raw scan"
+            )
         self.mgr = manager
         self.spec = spec
         self.checkpoint_dir = checkpoint_dir
@@ -111,6 +125,15 @@ class StreamingIngest:
         batch_df = batch_df.filter(
             F.col(self.spec.lsn_column) > F.lit(table.baseline_watermark())
         )
+        # dead-letter split per micro-batch ("s<batchId>" DLQ dirs): the
+        # foreachBatch epoch_id is Structured Streaming's batchId, which is
+        # stable across a checkpoint-replayed micro-batch — the overwrite
+        # is idempotent exactly like the batch path's lsn-keyed dirs
+        n_quar = 0
+        if self.spec.on_cast_error == "quarantine":
+            batch_df, n_quar = self.mgr._quarantine_split(
+                self.spec, batch_df, int(epoch_id), prefix="s"
+            )
         batch = self.mgr.merge_batch(self.spec, batch_df, self.spec.salt_buckets)
         # "stream" namespace: Structured Streaming batchIds count 0,1,2,…
         # while batch-manager epochs are log positions — an un-namespaced
@@ -188,8 +211,16 @@ class StreamingIngest:
             )
             stream = parse_debezium(raw, self.spec)
         else:
+            # quarantine mode tails the text wire untyped so lossy values
+            # reach the flags instead of failing/nulling in the scan
+            # (csv-only — the __init__ gate rejects the other schemes)
+            stream_schema = (
+                self.spec.untyped_change_schema()
+                if self.spec.on_cast_error == "quarantine"
+                else self.spec.change_schema()
+            )
             reader = (
-                self.mgr.spark.readStream.schema(self.spec.change_schema())
+                self.mgr.spark.readStream.schema(stream_schema)
                 .option("maxFilesPerTrigger", self.max_files_per_trigger)
                 .option("latestFirst", "false")
             )

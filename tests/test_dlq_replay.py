@@ -138,3 +138,56 @@ def test_incremental_chunks_quarantine_per_epoch(spark, tmp_path):
     mgr.run(wide)
     mgr.replay_dlq(wide)
     assert _state(mgr, wide) == {1: 9999999999, 2: 21, 3: 31}
+
+
+def test_streaming_csv_quarantine_and_replay(spark, tmp_path):
+    """The streaming twin: a csv:// micro-batch tail under quarantine mode
+    detours poison rows to s<batchId> DLQ dirs, commits the rest, and the
+    same replay_dlq verb drains them after the widen fix."""
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    csvdir = str(tmp_path / "csvlog")
+    (
+        spark.createDataFrame(LOG, ["lsn", "op", "id", "val"])
+        .coalesce(1)
+        .write.option("header", "true")
+        .option("nullValue", "\\N")
+        .csv(csvdir)
+    )
+    mgr = DataLoadManager(spark, str(tmp_path / "wh"))
+
+    def _spec_csv(val_type):
+        s = _spec(tmp_path, val_type=val_type)
+        return IngestSpec(
+            **{
+                **{f: getattr(s, f) for f in (
+                    "name", "columns", "target_buckets", "on_cast_error",
+                )},
+                "source": f"csv://{csvdir}",
+            }
+        )
+
+    spec = _spec_csv("int")
+    StreamingIngest(
+        mgr, spec, str(tmp_path / "ckpt")
+    ).run_until_caught_up()
+    assert _state(mgr, spec) == {1: 10, 2: 21, 3: 31}
+    dlq = str(tmp_path / "wh" / "facts_dlq")
+    dirs = sorted(os.listdir(dlq))
+    assert dirs and all(d.startswith("s") for d in dirs)
+
+    wide = _spec_csv("bigint")
+    mgr.run(wide)  # batch evolve over the same csv source (widen in place)
+    mgr.replay_dlq(wide)
+    assert _state(mgr, wide) == {1: 9999999999, 2: 21, 3: 31}
+
+
+def test_streaming_quarantine_rejects_non_csv(spark, tmp_path):
+    import pytest as _pytest
+
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    spec = _spec(tmp_path)  # parquet:// source
+    with _pytest.raises(ValueError, match="csv"):
+        StreamingIngest(DataLoadManager(spark, str(tmp_path / "wh")), spec,
+                        str(tmp_path / "ckpt"))
