@@ -262,7 +262,17 @@ class DataLoadManager:
                 table.watermark() if table.exists() else -1,
                 0, True, int((time.time() - t0) * 1000),
             )
-        raw = self.spark.read.parquet(*dirs).drop(QUARANTINE_ERRORS_COL)
+        # mergeSchema + null-fill: DLQ dirs written before an additive spec
+        # evolution lack the new source columns; those rows replay with
+        # NULL there (exactly what the live table's old rows carry)
+        raw = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*dirs)
+            .drop(QUARANTINE_ERRORS_COL)
+        )
+        for c in spec.columns:
+            if c.source not in raw.columns:
+                raw = raw.withColumn(c.source, F.lit(None).cast("string"))
         flagged = flag_lossy_casts(raw, spec)
         good = flagged.filter(F.size(QUARANTINE_ERRORS_COL) == 0).drop(
             QUARANTINE_ERRORS_COL

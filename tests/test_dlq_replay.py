@@ -191,3 +191,35 @@ def test_streaming_quarantine_rejects_non_csv(spark, tmp_path):
     with _pytest.raises(ValueError, match="csv"):
         StreamingIngest(DataLoadManager(spark, str(tmp_path / "wh")), spec,
                         str(tmp_path / "ckpt"))
+
+
+def test_replay_tolerates_additive_spec_evolution(spark, tmp_path):
+    """DLQ rows written before a new column was added to the spec replay
+    with NULL in that column — exactly what the table's old rows carry."""
+    _write_log(spark, tmp_path, LOG)
+    mgr = DataLoadManager(spark, str(tmp_path / "wh"))
+    mgr.run(_spec(tmp_path))  # poison detours under the 2-column spec
+
+    wider = IngestSpec(
+        name="facts",
+        source=f"parquet://{tmp_path}/log",
+        columns=[
+            ColumnSpec("id", "id", "bigint", primary_key=True),
+            ColumnSpec("val", "val", "bigint"),
+            ColumnSpec("note", "note", "string"),  # additive: not in DLQ rows
+        ],
+        target_buckets=4,
+        on_cast_error="quarantine",
+    )
+    # the source log lacks 'note' too — evolve via a log rewrite with it
+    spark.createDataFrame(
+        [r + ("n",) for r in LOG], ["lsn", "op", "id", "val", "note"]
+    ).write.mode("overwrite").parquet(f"{tmp_path}/log")
+    mgr.run(wider)
+    r = mgr.replay_dlq(wider)
+    assert r.rows_upserted == 3
+    got = {
+        x.id: (x.val, x.note)
+        for x in mgr.table(wider).read().select("id", "val", "note").collect()
+    }
+    assert got[1] == (9999999999, None)  # replayed row: NULL in the new col
