@@ -232,6 +232,14 @@ class DataLoadManager:
         same state. The latest ``r<seq>`` marker is always kept, even
         empty: it is the monotone sequence floor that stops a future
         replay from reusing an already-applied ``dlq:<n>`` key.
+
+        Sink caveat: the SNAPSHOT sink's quarantine-mode full refresh
+        stamps per-row lsns and keeps tombstones precisely so this replay
+        can LWW against it (sinks/snapshot.py full_refresh_from_envelopes);
+        the jar-gated Iceberg sink has not had the equivalent treatment —
+        replaying into an Iceberg table whose INITIAL load ran as a full
+        refresh would lose sub-baseline events. Incremental-built Iceberg
+        tables carry true per-row lsns and replay correctly.
         """
         import shutil
 
