@@ -421,6 +421,66 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_cell: int = 100_000,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: vectors quantized to
+    the IVF coarse-quantizer cells (SemDeDup's k-means clusters), exact
+    pairwise cosine WITHIN each cell, thresholded. The cell restriction is
+    what makes semantic dedup tractable at corpus scale — pair cost is
+    Σ|cell|², never N², and with a refined quantizer
+    (``sample_centroids(kmeans_iters>0)``) cells track corpus density so
+    semantically-close docs co-locate.
+
+    Differs from ``embedding_near_dup_pairs`` (hyperplane LSH) in bucket
+    GEOMETRY: cells are Voronoi regions of the corpus itself, so a dense
+    near-dup family lands in one cell instead of spraying across
+    2^n_planes sign patterns; the trade is the cell boundary (a pair
+    straddling two cells is missed — exactly SemDeDup's documented
+    semantics, which dedups within clusters only). Compose the output
+    with ``operators.dedup.dedup_clusters`` (``a_col='id_a'``,
+    ``b_col='id_b'``) for the per-doc keep/drop verdict.
+
+    ``max_cell`` drops degenerate cells before the self-join (an all-zero
+    or duplicated centroid collapsing the corpus into one cell would emit
+    |cell|²/2 pairs on one shuffle key) — the same symmetric-cap
+    discipline as ``embedding_near_dup_pairs`` / ``lsh_candidate_pairs``,
+    so a dropped cell never emits a half-pruned pair.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).alias("emb"),
+        ivf_cell_expr(emb_col, centroids).alias("cell"),
+    )
+    sized = (
+        b.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cell)
+        .select("cell")
+    )
+    # ≤ len(centroids) surviving cells — broadcast so the size filter is
+    # map-side and only the self-join shuffles vectors (on the cell key)
+    b = b.join(F.broadcast(sized), "cell")
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "cell")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine_expr(F.col("x.emb"), F.col("y.emb")), 3)
+            .cast("double")
+            .alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -2313,6 +2313,91 @@ FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
 LEFT JOIN labels l ON l.doc_id = d.doc_id
 """
 
+_SEMDEDUP_TH = 0.35
+
+
+def q_semantic_dedup(spark, sf):
+    """SemDeDup (operators/similarity.py semantic_dedup_pairs +
+    operators/dedup.py dedup_clusters): embeddings quantized to the IVF
+    coarse cells, exact within-cell cosine at the threshold, components
+    collapsed to a keep/drop verdict per vector. The semantic twin of
+    dedup_clusters (which dedups on TEXT shingles) — same centroids and
+    tie rules as ivf_cosine_topk, so the oracle reuses that entry's
+    assignment CTEs verbatim."""
+    from relational_data_loader_spark.operators.dedup import dedup_clusters
+    from relational_data_loader_spark.operators.similarity import (
+        sample_centroids,
+        semantic_dedup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    centroids = sample_centroids(emb, _IVF_CENTROIDS)
+    pairs = semantic_dedup_pairs(emb, centroids, threshold=_SEMDEDUP_TH)
+    return dedup_clusters(
+        emb.select("vec_id"), pairs, "vec_id", a_col="id_a", b_col="id_b"
+    )
+
+
+def _semdedup_sql(dim: int = 64) -> str:
+    """DuckDB twin: same cen/assign CTEs as the IVF oracle (explicit
+    left-to-right term chains ⇒ bit-identical doubles; assignment ties
+    break LOW cell), within-cell pairs at the rounded threshold, then the
+    recursive transitive-closure labeling of SQL_DEDUP_CLUSTERS."""
+
+    def dot(a, b):
+        return " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1))
+
+    def norm(a):
+        return (
+            "sqrt("
+            + " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(1, dim + 1))
+            + ")"
+        )
+
+    return f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cen AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cemb
+        FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT {_IVF_CENTROIDS})),
+sims AS (
+  SELECT e.vec_id, cen.cell,
+         round(({dot('e.emb', 'cen.cemb')}) /
+               ({norm('e.emb')} * {norm('cen.cemb')}), 6) AS csim
+  FROM e CROSS JOIN cen),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell ASC) rn
+        FROM sims)
+  WHERE rn = 1),
+scored AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(({dot('xe.emb', 'ye.emb')}) /
+               ({norm('xe.emb')} * {norm('ye.emb')}), 3) AS sim
+  FROM assign x
+  JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN e xe ON xe.vec_id = x.vec_id
+  JOIN e ye ON ye.vec_id = y.vec_id),
+edges AS (
+  SELECT a AS s, b AS d FROM scored WHERE sim >= {_SEMDEDUP_TH}
+  UNION
+  SELECT b, a FROM scored WHERE sim >= {_SEMDEDUP_TH}),
+reach(n, m) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.n, e2.d FROM reach r JOIN edges e2 ON r.m = e2.s WHERE e2.d <> r.n),
+labels AS (
+  SELECT n AS doc_id, least(n, min(m)) AS cluster_id FROM reach GROUP BY n)
+SELECT d.vec_id AS doc_id,
+       coalesce(l.cluster_id, d.vec_id) AS cluster_id,
+       coalesce(l.cluster_id, d.vec_id) = d.vec_id AS keep
+FROM (SELECT vec_id FROM e) d
+LEFT JOIN labels l ON l.doc_id = d.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semdedup_sql()
+
 
 def q_cohort_retention(spark, sf):
     """Weekly cohort retention over the events stream
@@ -7395,6 +7480,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_length_histogram": (q_token_length_histogram, SQL_TOKEN_HISTOGRAM),
     "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "rolling_event_stats": (q_rolling_event_stats, SQL_ROLLING_EVENT_STATS),
     "group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

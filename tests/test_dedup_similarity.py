@@ -310,3 +310,55 @@ def test_kmeans_refined_centroids_improve_recall(spark):
     assert r_refined >= 0.9, (r_sampled, r_refined)
     # determinism: the refinement is a pure function of (data, init)
     assert refined == sample_centroids(vecs, 2, kmeans_iters=2)
+
+
+def test_semantic_dedup_pairs_within_cell_only(spark):
+    """SemDeDup semantics: pairs are emitted WITHIN a quantizer cell only
+    — two near-identical vectors in the same cell pair up; an equally
+    similar pair straddling the cell boundary is (by design) not emitted.
+    The keep/drop composition with dedup_clusters keeps the min id."""
+    import numpy as np
+
+    from relational_data_loader_spark.operators.dedup import dedup_clusters
+    from relational_data_loader_spark.operators.similarity import (
+        ivf_cell_assignments,
+        sample_centroids,
+        semantic_dedup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    a = np.array([1.0] + [0.0] * 7)
+    b = np.array([0.0, 1.0] + [0.0] * 6)
+    rows = []
+    for i in range(20):  # cluster A (low ids seed the quantizer)
+        rows.append((i, [float(x) for x in a + rng.normal(0, 0.05, 8)]))
+    for i in range(20, 40):  # cluster B
+        rows.append((i, [float(x) for x in b + rng.normal(0, 0.05, 8)]))
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    cents = sample_centroids(vecs, 2, kmeans_iters=2)
+
+    pairs = semantic_dedup_pairs(vecs, cents, threshold=0.9)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_cell_assignments(vecs, cents).collect()
+    }
+    got = pairs.collect()
+    assert got, "two tight planted clusters must yield within-cell pairs"
+    for r in got:
+        assert cells[r["id_a"]] == cells[r["id_b"]], "cross-cell pair leaked"
+        assert r["id_a"] < r["id_b"] and r["sim"] >= 0.9
+
+    verdict = dedup_clusters(
+        vecs.select("vec_id"), pairs, "vec_id", a_col="id_a", b_col="id_b"
+    )
+    rows_v = {r["doc_id"]: r for r in verdict.collect()}
+    assert len(rows_v) == 40  # one verdict per input vector
+    # every cluster's keeper is its min id, and cluster_id == keeper id
+    for r in rows_v.values():
+        assert r["keep"] == (r["cluster_id"] == r["doc_id"])
+        assert rows_v[r["cluster_id"]]["keep"]
+
+    # degenerate-cell cap: capping below the cell size suppresses that
+    # cell's pairs entirely (symmetric drop — no half-pruned pairs)
+    capped = semantic_dedup_pairs(vecs, cents, threshold=0.9, max_cell=10)
+    assert capped.count() == 0
