@@ -258,3 +258,81 @@ def contrastive_negative_pairs(
         .select("a_id", "j", "n_id", sim.alias("sim"))
         .filter(F.col("sim") < max_sim)
     )
+
+
+def dsir_logratio_topk(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 200,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023):
+    score every doc in the raw pool by the log-likelihood ratio between a
+    TARGET distribution (the docs matching ``is_target`` — the small
+    high-quality set the training mix should look like) and the SOURCE
+    distribution (the whole pool), under add-one-smoothed unigram LMs
+    estimated from the pool itself; keep the top-``k``.
+
+    score(d) = (1/|d|) · Σ_w tf_w(d) · ln( p_target(w) / p_source(w) )
+
+    with p(w) = (c(w)+1)/(N+V), V = pool vocabulary size — so a token the
+    target never uses contributes a finite negative pull instead of −∞,
+    and docs full of target-typical tokens rank first. The
+    length-normalisation (1/|d|) keeps scores comparable across doc sizes
+    (raw DSIR sums favour long docs).
+
+    Scale shape: one token explode → one (doc, tok) reduce, then every
+    join is against REDUCED frames — the two count tables are
+    vocabulary-sized, the totals are one broadcast row. This is the same
+    two-aggregate skeleton as tfidf/unigram_surprisal; nothing touches
+    the corpus twice. Production swap, documented: with an unbounded
+    vocabulary, hash tokens into 10^4–10^5 buckets first (DSIR's hashed
+    n-gram features) — counts then have a fixed size independent of the
+    corpus; the per-token form here keeps the oracle exact.
+
+    Output: (doc_id, n_tokens, logratio, rk) for the top-k by score,
+    ties broken by ``id_col`` — deterministic under replay.
+    """
+    from relational_data_loader_spark.functions.text import _one_to_one, tokens
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("_tgt"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    ).select("doc_id", "_tgt", F.explode("_toks").alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("_tgt").alias("_tgt")
+    )
+    cs = tf.groupBy("tok").agg(F.sum("tf").alias("c_s"))
+    ct = (
+        tf.filter(F.col("_tgt"))
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    tot = cs.agg(
+        F.sum("c_s").alias("n_s"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(ct.agg(F.sum("c_t").alias("n_t")))
+    ratio = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+        / (F.col("n_t") + F.col("v"))
+    ) - F.log((F.col("c_s") + 1) / (F.col("n_s") + F.col("v")))
+    scored = (
+        tf.join(cs, "tok")
+        .join(ct, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * ratio) / F.sum("tf"), 4).alias(
+                "logratio"
+            ),
+        )
+    )
+    # distributed top-k FIRST (TakeOrdered — per-partition heads, no
+    # single-partition exchange of the full scored frame), THEN the
+    # row_number window, which now only ever sees k rows
+    top = scored.orderBy(F.col("logratio").desc(), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.col("logratio").desc(), F.col("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w).cast("int"))

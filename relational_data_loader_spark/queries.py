@@ -4514,6 +4514,46 @@ GROUP BY 1
 """
 
 
+def q_dsir_selection(spark, sf):
+    """DSIR importance resampling (operators/sampling.py
+    dsir_logratio_topk): score the pool by target-vs-source smoothed
+    unigram log-likelihood ratio (target = the English docs — the
+    'looks like my high-quality set' distribution), keep the top-100.
+    The principled upgrade of quality_curriculum_sample's heuristic
+    gates: selection tracks an explicit target distribution."""
+    from relational_data_loader_spark.operators.sampling import (
+        dsir_logratio_topk,
+    )
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 1000)
+    return dsir_logratio_topk(docs, F.col("lang") == "en", k=100)
+
+
+SQL_DSIR = r"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         unnest(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < 1000),
+tf AS (SELECT doc_id, tok, count(*) AS tf, bool_or(tgt) AS tgt
+       FROM tok GROUP BY 1, 2),
+cs AS (SELECT tok, sum(tf) AS c_s FROM tf GROUP BY 1),
+ct AS (SELECT tok, sum(tf) AS c_t FROM tf WHERE tgt GROUP BY 1),
+tot AS (SELECT (SELECT sum(c_s) FROM cs) AS n_s,
+               (SELECT count(*) FROM cs) AS v,
+               (SELECT sum(c_t) FROM ct) AS n_t),
+scored AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(sum(tf * (ln((coalesce(c_t, 0) + 1) / (n_t + v))
+                       - ln((c_s + 1) / (n_s + v)))) / sum(tf), 4) AS logratio
+  FROM tf JOIN cs USING (tok) LEFT JOIN ct USING (tok), tot
+  GROUP BY 1)
+SELECT doc_id, n_tokens, logratio, CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (ORDER BY logratio DESC, doc_id) AS rk
+      FROM scored)
+WHERE rk <= 100
+"""
+
+
 def q_last_touch_attribution(spark, sf):
     """Last-touch attribution: every purchase attributed to the user's
     most recent preceding click/view within 3 days (else unattributed).
@@ -7550,6 +7590,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_gap_check": (q_cdc_gap_check, SQL_GAP_CHECK),
     "live_key_timeline": (q_live_key_timeline, SQL_LIVE_TIMELINE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
+    "dsir_selection": (q_dsir_selection, SQL_DSIR),
     "last_touch_attribution": (q_last_touch_attribution, SQL_ATTRIBUTION),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),

@@ -115,3 +115,36 @@ def test_contrastive_negatives_contract(spark):
     # at most k negatives per anchor
     from collections import Counter
     assert max(Counter(r["a_id"] for r in out).values()) <= 3
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """DSIR's defining property: the top of the ranking is ENRICHED in
+    docs drawn from the target distribution relative to the pool — here
+    two synthetic 'languages' with disjoint-ish vocabularies, target = A.
+    Also pins determinism (same frame twice → same ranking) and the
+    smoothing (a pool-only token never yields -inf/NULL scores)."""
+    from pyspark.sql import functions as F
+
+    from relational_data_loader_spark.operators.sampling import (
+        dsir_logratio_topk,
+    )
+
+    rows = []
+    for i in range(30):  # target-like: vocabulary alpha..delta
+        rows.append((i, "alpha beta gamma delta alpha beta", "A"))
+    for i in range(30, 90):  # source-only: vocabulary zeta..theta
+        rows.append((i, "zeta eta theta zeta eta theta iota", "B"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+    out = dsir_logratio_topk(docs, F.col("lang") == "A", k=40).collect()
+    assert len(out) == 40 and out[0]["rk"] == 1
+    top30 = {r["doc_id"] for r in out if r["rk"] <= 30}
+    assert top30 == set(range(30)), "target-vocabulary docs must rank first"
+    # rows 30+ share no tokens with the target: smoothing must still give
+    # them a finite negative score, never NULL
+    tail = [r for r in out if r["rk"] > 30]
+    assert tail and all(
+        r["logratio"] is not None and r["logratio"] < 0 for r in tail
+    )
+    again = dsir_logratio_topk(docs, F.col("lang") == "A", k=40).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
