@@ -3684,6 +3684,66 @@ FROM canon GROUP BY 1
 """
 
 
+def q_reconcile_drilldown(spark, sf):
+    """Merkle-descent reconciliation (operators/reconcile.py
+    reconcile_drilldown): source = documents; dest = the same table with
+    deterministic injected drift (every 101st key dropped, every 103rd
+    text altered, every 107th re-keyed out of range = a spurious extra).
+    The operator digests both sides, finds the mismatched buckets, and
+    row-diffs ONLY those — the oracle states the ground truth directly
+    (the full row diff), which the pruned path must reproduce exactly:
+    a bucket the digests cleared is provably drift-free, so skipping it
+    can never lose a repair row."""
+    from relational_data_loader_spark.operators.reconcile import (
+        reconcile_drilldown,
+    )
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = _t(spark, sf, "documents").select(*cols)
+    did = F.col("doc_id")
+    dest = (
+        docs.filter(did % 101 != 0)
+        .withColumn(
+            "text",
+            F.when(did % 103 == 0, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(did % 107 == 0).withColumn(
+                "doc_id", did + F.lit(1_000_000)
+            )
+        )
+    )
+    return reconcile_drilldown(docs, dest, ["doc_id"], cols, n_buckets=16)
+
+
+SQL_RECONCILE_DRILLDOWN = """
+WITH src AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+dst AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 103 = 0 THEN text || '!' ELSE text END AS text,
+         lang, source, n_chars
+  FROM src WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM src WHERE doc_id % 107 = 0)
+SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+       CASE WHEN d.doc_id IS NULL THEN 'missing_in_dest'
+            WHEN s.doc_id IS NULL THEN 'missing_in_source'
+            WHEN s.text IS DISTINCT FROM d.text
+              OR s.lang IS DISTINCT FROM d.lang
+              OR s.source IS DISTINCT FROM d.source
+              OR s.n_chars IS DISTINCT FROM d.n_chars THEN 'value_drift'
+       END AS status
+FROM src s FULL OUTER JOIN dst d ON s.doc_id = d.doc_id
+WHERE (d.doc_id IS NULL OR s.doc_id IS NULL
+       OR s.text IS DISTINCT FROM d.text
+       OR s.lang IS DISTINCT FROM d.lang
+       OR s.source IS DISTINCT FROM d.source
+       OR s.n_chars IS DISTINCT FROM d.n_chars)
+"""
+
+
 def q_cdc_txn_publish_state(spark, sf):
     """CROSS-TABLE transactional publish replay (plans/txn.py): transcripts
     + a conv_registry dimension loaded from the same derived change log onto
@@ -7572,6 +7632,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_rank_stats": (q_window_rank_stats, SQL_WINDOW_RANK),
     "label_centroid_cohesion": (q_label_centroid_cohesion, SQL_CENTROID_COHESION),
     "cdc_reconciliation_state": (q_cdc_reconciliation_state, SQL_RECONCILIATION),
+    "reconcile_drilldown": (q_reconcile_drilldown, SQL_RECONCILE_DRILLDOWN),
     "cdc_txn_publish_state": (q_cdc_txn_publish_state, SQL_TXN_PUBLISH),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF),
     "rollup_pricing": (q_rollup_pricing, SQL_ROLLUP_PRICING),

@@ -545,3 +545,43 @@ def test_live_key_timeline_transitions(spark):
         "2026-01-03": (-1, 1),
         "2026-01-05": (0, 1),
     }
+
+
+def test_reconcile_drilldown_prunes_and_repairs(spark):
+    """Merkle descent: the drill-down's verdict equals the plain row diff
+    (every injected drift found, correctly classified), zero drift yields
+    zero rows, and the row join is bucket-pruned through a broadcast of
+    the mismatched-bucket list (plan-gated)."""
+    from pyspark.sql import functions as F
+
+    from relational_data_loader_spark.operators.reconcile import (
+        reconcile_drilldown,
+    )
+
+    cols = ["doc_id", "text"]
+    src = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(200)], "doc_id int, text string"
+    )
+    dest = (
+        src.filter(F.col("doc_id") != 7)                       # one dropped
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") == 11, F.lit("drifted"))    # one altered
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.createDataFrame([(999, "extra")], "doc_id int, text string")
+        )                                                      # one spurious
+    )
+    out = reconcile_drilldown(src, dest, ["doc_id"], cols, n_buckets=8)
+    got = {(r["doc_id"], r["status"]) for r in out.collect()}
+    assert got == {
+        (7, "missing_in_dest"),
+        (11, "value_drift"),
+        (999, "missing_in_source"),
+    }
+    # pruning mechanism: the mismatched-bucket list joins broadcast
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+    clean = reconcile_drilldown(src, src, ["doc_id"], cols, n_buckets=8)
+    assert clean.count() == 0
