@@ -336,3 +336,57 @@ def dsir_logratio_topk(
     top = scored.orderBy(F.col("logratio").desc(), F.col("doc_id")).limit(k)
     w = Window.orderBy(F.col("logratio").desc(), F.col("doc_id"))
     return top.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source rebalancing — the p^α mix rule
+    multilingual / multi-source training recipes use (mT5's exponential
+    smoothing): stratum s gets sampling share q_s ∝ n_s^α, so α<1 flattens
+    head-source dominance (α=1 keeps natural proportions, α=0 makes every
+    stratum equal), scaled so the EXPECTED total kept fraction is
+    ``budget_frac``:
+
+        rate_s = min(1, budget_frac · (q_s · N) / n_s),
+        q_s    = n_s^α / Σ_t n_t^α
+
+    Unlike ``stratified_sample`` the rates are not caller-supplied — they
+    are derived from the corpus's own stratum counts, which is the actual
+    workflow (you know the α and the token budget, not 40 per-language
+    fractions). Head strata can saturate at rate 1 (min-clamp): the
+    realized total then undershoots budget_frac — the standard behavior,
+    documented rather than silently re-normalized.
+
+    Scale shape: one partial-agged count per stratum (|strata| rows), the
+    totals one more scalar agg, both broadcast back; the keep decision is
+    the same content-hash filter as every sampler here — deterministic
+    across retries, partitionings and engines. Rates round to 6 dp before
+    the compare so the float boundary is engine-portable.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    tot = counts.agg(
+        F.sum("_n_s").alias("_n"),
+        F.sum(F.pow("_n_s", F.lit(float(alpha)))).alias("_z"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_frac))
+                * F.pow("_n_s", F.lit(float(alpha)))
+                / F.col("_z")
+                * F.col("_n")
+                / F.col("_n_s"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        hash_uniform(F.col(key_col)) < F.col("rate")
+    )

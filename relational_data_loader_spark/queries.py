@@ -1612,6 +1612,47 @@ WHERE ({u32}) / {float(2**32)!r}
 """
 
 
+def q_temperature_mix(spark, sf):
+    """p^α temperature mix (operators/sampling.py temperature_mix): rates
+    DERIVED from the corpus's own per-language counts (α=0.3 flattens the
+    'en' head, budget 0.5), then the usual content-hash keep decision.
+    The oracle recomputes the rate arithmetic independently, so a green
+    row checks the derivation, not just the filter."""
+    from relational_data_loader_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return temperature_mix(
+        docs, "lang", key_col="doc_id", alpha=0.3, budget_frac=0.5
+    )
+
+
+def _temperature_mix_sql(alpha: float = 0.3, budget: float = 0.5) -> str:
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    u32 = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_s) AS n, sum(pow(n_s, {alpha!r})) AS z FROM counts),
+rates AS (
+  SELECT lang,
+         round(least(1.0,
+                     {budget!r} * pow(n_s, {alpha!r}) / z * n / n_s),
+               6) AS rate
+  FROM counts, tot)
+SELECT d.doc_id, d.lang, d.source, r.rate
+FROM documents d JOIN rates r USING (lang)
+WHERE ({u32}) / {float(2**32)!r} < r.rate
+"""
+
+
+SQL_TEMPERATURE_MIX = _temperature_mix_sql()
+
+
 # --------------------------------------------------------------------------
 # round-4 additions: transcript-native ops, snapshot diff / incremental
 # rollup (IVM), range join, contamination, PII scrub, corpus histograms
@@ -7652,6 +7693,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "live_key_timeline": (q_live_key_timeline, SQL_LIVE_TIMELINE),
     "unigram_surprisal": (q_unigram_surprisal, SQL_SURPRISAL),
     "dsir_selection": (q_dsir_selection, SQL_DSIR),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     "last_touch_attribution": (q_last_touch_attribution, SQL_ATTRIBUTION),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "big_spenders": (q_big_spenders, SQL_BIG_SPENDERS),

@@ -148,3 +148,40 @@ def test_dsir_selects_target_like_docs(spark):
     )
     again = dsir_logratio_topk(docs, F.col("lang") == "A", k=40).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_temperature_mix_flattens_head_stratum(spark):
+    """alpha<1 must raise the tail stratum's keep rate above the head's
+    (the p^alpha point), alpha=1 must keep NATURAL proportions (every
+    stratum the same rate = the budget), and rates clamp at 1."""
+    from pyspark.sql import functions as F
+
+    from relational_data_loader_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, "head") for i in range(900)] + [
+        (900 + i, "tail") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, lang string")
+
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.3, budget_frac=0.5)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.select("lang", "rate").distinct().collect()
+    }
+    assert rates["tail"] > rates["head"], rates
+    assert rates["tail"] == 1.0  # tail saturates under this skew: clamp
+
+    nat = temperature_mix(docs, "lang", "doc_id", alpha=1.0, budget_frac=0.5)
+    nat_rates = {
+        r["lang"]: r["rate"]
+        for r in nat.select("lang", "rate").distinct().collect()
+    }
+    assert nat_rates == {"head": 0.5, "tail": 0.5}
+
+    # determinism: the keep set is content-derived, not RNG
+    again = temperature_mix(docs, "lang", "doc_id", alpha=0.3, budget_frac=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
