@@ -155,6 +155,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "widen/transform fix; rows that still fail stay retained",
     )
     p.add_argument(
+        "--compact-log",
+        type=int,
+        default=None,
+        metavar="BELOW_LSN",
+        help="maintenance: compact each spec's SOURCE change log below the "
+        "given lsn to its netted winners (Kafka log-compaction analog — "
+        "delete tombstones kept, whole segments only, write-first crash "
+        "ordering; replay-equivalent under LWW), then exit "
+        "(parquet:// sources only)",
+    )
+    p.add_argument(
         "--rebucket",
         type=int,
         default=None,
@@ -256,6 +267,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.optimize
         or args.rebucket is not None
         or args.replay_dlq
+        or args.compact_log is not None
         or args.fsck
         or args.rollback_to is not None
         or args.maintenance_report
@@ -331,10 +343,42 @@ def main(argv: list[str] | None = None) -> int:
         fsck_failed = False
         for spec in specs:
             table = mgr.table(spec)
-            if not table.exists():
-                print(f"[rdl-spark] {spec.name}: no table, skipping maintenance")
-                continue
             out: dict = {"spec": spec.name}
+            if args.compact_log is not None:
+                # SOURCE-side pass: needs no destination table (compacting
+                # before the first bootstrap is the cheapest time to do it)
+                if spec.source.startswith("parquet://"):
+                    from relational_data_loader_spark.sources.compaction import (
+                        compact_change_log,
+                    )
+
+                    stats = compact_change_log(
+                        spark,
+                        spec.source[len("parquet://"):],
+                        args.compact_log,
+                        spec.primary_keys,
+                        spec.lsn_column,
+                        spec.op_column,
+                    )
+                    out["log_segments_compacted"] = stats["segments_consumed"]
+                    out["log_rows_netted_away"] = (
+                        stats["rows_in"] - stats["rows_out"]
+                    )
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --compact-log is "
+                        "parquet:// sources only (csv/debezium/kafka tails "
+                        "compact at the broker/collector), skipping",
+                        file=sys.stderr,
+                    )
+            if not table.exists():
+                if len(out) > 1:
+                    print(json.dumps(out))
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: no table, skipping maintenance"
+                    )
+                continue
             if args.publish_branch is not None:
                 # publish runs FIRST: later passes (optimize/fsck/vacuum)
                 # then operate on the just-published state

@@ -2896,6 +2896,42 @@ def _run_engine_replay(
     return mgr.table(spec).read(read_optimized=read_optimized)
 
 
+def q_cdc_log_compaction_state(spark, sf):
+    """CHANGE-LOG compaction replay (sources/compaction.py — the Kafka
+    log-compaction analog): the derived log lands as lsn-range segments,
+    the prefix below mid-lsn is compacted to its netted winners (DELETE
+    tombstones kept, original lsns preserved, whole segments only,
+    write-first crash ordering), and a FRESH engine bootstrap from the
+    compacted log must land on the SAME LWW final state the oracle
+    derives from the FULL original log — the replay-equivalence contract
+    that makes compaction safe to run on a live tail."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.sources.compaction import (
+        compact_change_log,
+    )
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "logcompact")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    hi = int(log.agg(F.max("lsn")).first()[0])
+    # lsn-RANGE segments (not hash parts): compaction consumes whole
+    # segments by footer max-lsn, so segments must partition the lsn axis
+    log.repartitionByRange(8, "lsn").write.mode("overwrite").parquet(log_dir)
+    stats = compact_change_log(
+        spark, log_dir, hi // 2, ["conv_id", "turn_idx"]
+    )
+    if stats["skipped"] or stats["rows_out"] >= stats["rows_in"]:
+        raise AssertionError(f"compaction did not shrink the prefix: {stats}")
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    return mgr.table(spec).read()
+
+
 def q_cdc_full_refresh_state(spark, sf):
     """Engine full-refresh replay → visible final table (W1-W4 end to end:
     stage write, atomic swap, tombstone filter, manifest read)."""
@@ -7641,6 +7677,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "session_window_rollup": (q_session_window_rollup, SQL_SESSION_WINDOW),
     "cdc_full_refresh_state": (q_cdc_full_refresh_state, SQL_ENGINE_FINAL_STATE),
+    "cdc_log_compaction_state": (q_cdc_log_compaction_state, SQL_ENGINE_FINAL_STATE),
     "cdc_incremental_merge_state": (
         q_cdc_incremental_merge_state,
         SQL_ENGINE_FINAL_STATE,

@@ -411,3 +411,26 @@ def test_clone_to_flag(setup, capsys, tmp_path):
     dev = DataLoadManager(get_spark("rdl-tests"), dest)
     got = spark_sorted_pdf(dev.table(spec).read())
     assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_compact_log_flag(setup, capsys):
+    """--compact-log nets each spec's parquet source below the lsn and
+    reports the fold; a subsequent batch run still lands on the oracle."""
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=6)
+    hi = pc.max(log["lsn"]).as_py()
+
+    assert main(
+        ["--warehouse", wh, "--specs", specdir, "--compact-log", str(hi // 2)]
+    ) == 0
+    (r,) = _out_lines(capsys)
+    assert r["log_segments_compacted"] >= 2
+    assert r["log_rows_netted_away"] > 0
+
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    got = spark_sorted_pdf(mgr.table(spec).read())
+    assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
