@@ -26,8 +26,10 @@ from tests.test_property_replay import _event, _pandas_oracle, _to_table
 from tests.util import write_log
 
 # one maintenance op per ingestion gap; "clone" switches the ACTIVE
-# warehouse to a shallow clone (dev-replay handoff) and later gaps act on it
-OPS = ["none", "compact", "vacuum", "rollback", "clone"]
+# warehouse to a shallow clone (dev-replay handoff) and later gaps act on
+# it; "logcompact" nets the SOURCE log below the already-ingested prefix
+# (sources/compaction.py) — the destination must not notice
+OPS = ["none", "compact", "vacuum", "rollback", "clone", "logcompact"]
 
 
 @settings(
@@ -75,6 +77,14 @@ def test_lifecycle_interleavings_land_on_oracle(
             t.clone_to(os.path.join(dev_wh, spec.name))
             src_mgr, src_prefix_hi = mgr, prev_hi
             mgr = DataLoadManager(spark, dev_wh)  # ingestion continues here
+        elif op == "logcompact":
+            from relational_data_loader_spark.sources.compaction import (
+                compact_change_log,
+            )
+
+            compact_change_log(
+                spark, logdir, prev_hi, ["conv_id", "turn_idx"]
+            )  # no-ops when <2 whole segments fit below the watermark
         assert mgr.table(spec).fsck()["ok"], f"fsck broken after {op}"
 
         pre_v = int(mgr.table(spec).current_manifest()["version"])
