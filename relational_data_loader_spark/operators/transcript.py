@@ -448,3 +448,78 @@ def sft_loss_mask_stats(
             4,
         ).alias("mask_ratio"),
     )
+
+
+def coalesce_role_runs(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Merge each maximal run of consecutive SAME-ROLE turns into one turn
+    (texts concatenated in turn order) and renumber the survivors densely
+    from 0 — the REPAIR dual of ``role_alternation_audit``: the audit
+    counts protocol violations, this produces the strictly-alternating
+    transcript chat templates and SFT tokenizers require. CDC replays of
+    agent loops legitimately land consecutive tool chunks and multi-part
+    system prompts; training wants them as one turn each, so the repair
+    merges EVERY same-role run (including the audit's exempt roles — the
+    exemptions exist so the audit doesn't flag legal transcripts, not
+    because a merged run would be wrong).
+
+    Gaps-and-islands without self-joins: within a conversation,
+    ``row_number() over (conv) − row_number() over (conv, role)`` is
+    constant exactly along a same-role run, so (conv, role, island) IS the
+    run key. One groupBy collapses each run (order restored by
+    ``array_sort`` on (turn, text) structs — no per-group sort shuffle);
+    a final (conv)-partitioned ``row_number`` over the runs' first turns
+    renumbers. Three exchanges, all on conv-prefixed keys, each over
+    strictly shrinking data; nothing global.
+
+    Output: ``conv_col``, ``turn_idx`` (new, dense, 0-based), ``role_col``,
+    ``text_col`` (merged), ``n_merged`` (turns folded into this one),
+    ``first_turn`` (the run's original first ``turn_col`` — the join-back
+    key for provenance).
+    """
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(conv_col).orderBy(turn_col)
+    w_role = Window.partitionBy(conv_col, role_col).orderBy(turn_col)
+    runs = (
+        df.select(
+            conv_col,
+            turn_col,
+            role_col,
+            F.col(text_col).alias("_txt"),
+            (
+                F.row_number().over(w_all) - F.row_number().over(w_role)
+            ).alias("_island"),
+        )
+        .groupBy(conv_col, role_col, "_island")
+        .agg(
+            F.min(turn_col).alias("first_turn"),
+            F.count(F.lit(1)).cast("int").alias("n_merged"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(turn_col).alias("t"), F.col("_txt"))
+                        )
+                    ),
+                    lambda s: s["_txt"],
+                ),
+            ).alias(text_col),
+        )
+    )
+    w_new = Window.partitionBy(conv_col).orderBy("first_turn")
+    return runs.select(
+        conv_col,
+        (F.row_number().over(w_new) - 1).cast("int").alias("turn_idx"),
+        role_col,
+        text_col,
+        "n_merged",
+        "first_turn",
+    )

@@ -6725,6 +6725,45 @@ def q_transcript_role_audit(spark, sf):
     )
 
 
+def q_transcript_role_repair(spark, sf):
+    """Role-run coalescing (operators/transcript.py coalesce_role_runs):
+    the REPAIR dual of the role audit — every maximal same-role run merges
+    to one turn (texts concatenated in order), survivors renumbered
+    densely from 0, the strictly-alternating shape chat templates need.
+    Gaps-and-islands via the rn−rn trick, no self-joins; the oracle states
+    the same islands with string_agg(ORDER BY)."""
+    from relational_data_loader_spark.operators.transcript import (
+        coalesce_role_runs,
+    )
+
+    return coalesce_role_runs(
+        _turns_with_roles(spark, sf), "user_id", "event_id", "role", "txt",
+        sep=" | ",
+    )
+
+
+SQL_TRANSCRIPT_ROLE_REPAIR = f"""
+WITH t AS ({_SQL_TURNS_WITH_ROLES}),
+isl AS (
+  SELECT user_id, event_id, role, txt,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, role ORDER BY event_id)
+           AS island
+  FROM t),
+runs AS (
+  SELECT user_id, role, island,
+         min(event_id) AS first_turn,
+         CAST(count(*) AS INT) AS n_merged,
+         string_agg(txt, ' | ' ORDER BY event_id) AS txt
+  FROM isl GROUP BY 1, 2, 3)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY first_turn) - 1
+            AS INT) AS turn_idx,
+       role, txt, n_merged, first_turn
+FROM runs
+"""
+
+
 SQL_TRANSCRIPT_ROLE_AUDIT = f"""
 WITH t AS ({_SQL_TURNS_WITH_ROLES}),
 l AS (SELECT user_id, event_id, role,
@@ -7784,6 +7823,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tree_canonical_path": (q_tree_canonical_path, SQL_TREE_CANONICAL),
     "boilerplate_turn_scrub": (q_boilerplate_turn_scrub, SQL_BOILERPLATE_SCRUB),
     "transcript_role_audit": (q_transcript_role_audit, SQL_TRANSCRIPT_ROLE_AUDIT),
+    "transcript_role_repair": (q_transcript_role_repair, SQL_TRANSCRIPT_ROLE_REPAIR),
     "transcript_token_trim": (q_transcript_token_trim, SQL_TRANSCRIPT_TOKEN_TRIM),
     "sft_mask_ratio": (q_sft_mask_ratio, SQL_SFT_MASK_RATIO),
     "stream_interval_join": (q_stream_interval_join, SQL_STREAM_INTERVAL_JOIN),

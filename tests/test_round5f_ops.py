@@ -445,3 +445,45 @@ def test_role_audit_system_prefix_not_a_repeat(spark):
     ).collect()
     assert r2["n_system_mid"] == 1 and r2["n_role_repeats"] == 0
     assert not r2["is_clean"]
+
+
+def test_coalesce_role_runs_repairs_to_clean_alternation(spark):
+    """Repair closes the audit's findings: a transcript with same-role
+    runs coalesces to one turn per run (texts joined in turn order, dense
+    renumbering), and the repaired transcript re-audits CLEAN with no
+    repeatable-role exemptions needed."""
+    from relational_data_loader_spark.operators.transcript import (
+        coalesce_role_runs,
+        role_alternation_audit,
+    )
+
+    rows = [
+        ("c1", 0, "system", "s0"),
+        ("c1", 2, "system", "s1"),      # system pair -> one turn
+        ("c1", 5, "user", "hi"),
+        ("c1", 7, "assistant", "a0"),
+        ("c1", 8, "tool", "t0"),
+        ("c1", 9, "tool", "t1"),        # tool run -> one turn
+        ("c1", 12, "assistant", "a1"),
+        ("c2", 1, "user", "only"),      # singleton conversation untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "conv string, turn int, role string, text string"
+    )
+    out = coalesce_role_runs(df, "conv", "turn", "role", "text", sep=" ")
+    got = {
+        (r["conv"], r["turn_idx"]): (r["role"], r["text"], r["n_merged"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("c1", 0): ("system", "s0 s1", 2),
+        ("c1", 1): ("user", "hi", 1),
+        ("c1", 2): ("assistant", "a0", 1),
+        ("c1", 3): ("tool", "t0 t1", 2),
+        ("c1", 4): ("assistant", "a1", 1),
+        ("c2", 0): ("user", "only", 1),
+    }
+    audit = role_alternation_audit(
+        out, "conv", "turn_idx", "role", repeatable_roles=()
+    )
+    assert all(r["is_clean"] for r in audit.collect())
