@@ -7640,6 +7640,157 @@ WHERE sc.resp <> ch.chosen_resp
 """
 
 
+def q_cdc_fast_count(spark, sf):
+    """Metadata-only ``count(*)`` (sinks/snapshot.py fast_count): split
+    replay (head full refresh + incremental tail, so the table carries
+    REAL tombstones whose per-file counts the manifest must have recorded
+    exactly), then the live-row count computed from manifest stats alone —
+    Σ(footer rows − tombstones), zero file opens, zero Spark jobs; the
+    scan-less count Iceberg answers from manifest-entry stats. The entry
+    HARD-FAILS if fast_count fell back to a scan (``source != manifest``):
+    a silent fallback would make this a test of ``read().count()``, not of
+    the manifest arithmetic. The single returned row must equal the
+    oracle's count over the replayed LWW final state."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "fastcount")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    cut = int(log.agg(F.max("lsn")).first()[0]) // 2
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)
+    fc = mgr.table(spec).fast_count()
+    if fc["source"] != "manifest":
+        raise AssertionError(f"fast_count fell back to a scan: {fc}")
+    return spark.createDataFrame(
+        [(int(fc["live_rows"]),)], "live_rows bigint"
+    )
+
+
+SQL_FAST_COUNT = f"""
+SELECT count(*) AS live_rows FROM ({SQL_ENGINE_FINAL_STATE})
+"""
+
+
+def q_bloom_pruned_lookup(spark, sf):
+    """Manifest bloom-filter point lookup, driver-checked end to end
+    (sinks/snapshot.py build_blooms/point_lookup): full replay, range-split
+    sort compaction (32 files), blooms built over ``text`` — the
+    high-cardinality VISIBLE column that neither bucket pruning (conv_id
+    is the bucket key, not text) nor zone maps (256-char stat cap + no
+    clustering) can serve — then an exact-text lookup of one
+    deterministically chosen conversation's opening turns. The probe is a
+    driver-side metadata test, so the files-to-open decision costs zero
+    file opens; the entry HARD-FAILS if the blooms pruned nothing, and
+    the returned rows must hash-equal the oracle's IN-subquery over the
+    replayed LWW state (false positives cost a pruned-in file that the
+    residual filter empties — never a wrong row)."""
+    import shutil
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "bloom")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    _derived_changelog(spark, sf).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    tbl.optimize(sort_cols=["turn_idx"], files_per_bucket=4)
+    tbl.build_blooms(["text"])
+    final = tbl.read()
+    # deterministic probe set: the lexicographically first conversation's
+    # turns ≤ 2 (control-plane collects: one 1-row agg + ≤3 probe rows)
+    first_conv = final.agg(F.min("conv_id")).first()[0]
+    probes = [
+        r["text"]
+        for r in final.filter(
+            (F.col("conv_id") == first_conv) & (F.col("turn_idx") <= 2)
+        )
+        .select("text")
+        .collect()
+        if r["text"] is not None
+    ]
+    rep = tbl.bloom_prune_report("text", probes)
+    if not rep["files_skipped"]:
+        raise AssertionError(f"blooms pruned no files: {rep}")
+    return tbl.point_lookup("text", probes)
+
+
+SQL_BLOOM_LOOKUP = f"""
+WITH final AS ({SQL_ENGINE_FINAL_STATE}),
+probe AS (
+  SELECT text FROM final
+  WHERE conv_id = (SELECT min(conv_id) FROM final)
+    AND turn_idx <= 2 AND text IS NOT NULL)
+SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts
+FROM final f
+WHERE f.text IN (SELECT text FROM probe)
+"""
+
+
+def q_bloom_join_filter(spark, sf):
+    """Runtime bloom semi-join pruning (operators/runtime_filter.py
+    bloom_semi_filter): a selective dim side (urgent 1995 orders) builds a
+    16 KB bloom in one partial-aggregated pass; the fact scan (lineitem)
+    is prefiltered by the whole-stage-codegen probe BEFORE its join
+    exchange, so non-joining rows never shuffle — the explicit form of
+    Spark's runtime bloom join, reusable across queries. The final join
+    drops any false positives, so the revenue rollup must hash-equal the
+    plain-join oracle exactly — the pruning is invisible to results by
+    construction, and that invariance is what this entry pins."""
+    from relational_data_loader_spark.operators.runtime_filter import (
+        bloom_semi_filter,
+    )
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    dim = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1995)
+    ).select("o_orderkey")
+    pruned, stats = bloom_semi_filter(
+        li, dim, "l_orderkey", "o_orderkey", m_bits=1 << 17, k=3
+    )
+    if not 0 < stats["fill"] < 0.5:
+        raise AssertionError(f"bloom fill out of range: {stats}")
+    return (
+        pruned.join(dim, pruned["l_orderkey"] == dim["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN (SELECT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND year(o_orderdate) = 1995) d
+  ON l_orderkey = d.o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -7840,4 +7991,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sparse_envelope_fold": (q_sparse_envelope_fold, SQL_SPARSE_FOLD),
     "cdc_sparse_merge_state": (q_cdc_sparse_merge_state, SQL_SPARSE_MERGE_STATE),
     "sparse_mask_fold": (q_sparse_mask_fold, SQL_SPARSE_MASK_FOLD),
+    "cdc_fast_count": (q_cdc_fast_count, SQL_FAST_COUNT),
+    "bloom_pruned_lookup": (q_bloom_pruned_lookup, SQL_BLOOM_LOOKUP),
+    "bloom_join_filter": (q_bloom_join_filter, SQL_BLOOM_JOIN),
 }

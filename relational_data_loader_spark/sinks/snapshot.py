@@ -241,19 +241,68 @@ class SnapshotTable:
         )
         for files in referenced:
             for rel in files:
-                if rel in known and "minmax" in known[rel]:
+                if (
+                    rel in known
+                    and "minmax" in known[rel]
+                    and "tombstones" in known[rel]
+                ):
                     stats[rel] = known[rel]
                     continue
-                # new file, or carried over from a pre-zone-map manifest
-                # (one-time lazy upgrade; still footer-only)
+                # new file, or carried over from a pre-zone-map /
+                # pre-tombstone-count manifest (one-time lazy upgrade)
                 full = os.path.join(self.path, rel)
                 pf = pq.ParquetFile(full)
-                stats[rel] = {
-                    "bytes": os.path.getsize(full),
-                    "rows": pf.metadata.num_rows,
-                    "minmax": self._footer_zone_maps(pf),
-                }
+                carried = dict(known.get(rel) or {})
+                carried.update(
+                    {
+                        "bytes": os.path.getsize(full),
+                        "rows": pf.metadata.num_rows,
+                        "minmax": self._footer_zone_maps(pf),
+                        "tombstones": self._file_tombstones(full, pf),
+                    }
+                )
+                stats[rel] = carried
         return stats
+
+    @staticmethod
+    def _file_tombstones(full: str, pf: pq.ParquetFile) -> int:
+        """Exact count of tombstone rows (``_rdl_deleted`` true) in one
+        data file — the stat that makes ``fast_count`` a metadata-only
+        read, the way Iceberg's delete-file row counts make its scan-less
+        ``count(*)`` possible. Decided from footer statistics alone when
+        every row group is homogeneous (bool min/max: ``max=false`` ⇒ 0
+        tombstones in the group, ``min=true`` ⇒ all non-null rows are);
+        a MIXED group falls back to reading ONLY the bit-packed boolean
+        column (~rows/8 bytes — never the payload columns). Merge output
+        interleaves live rows and tombstones, so the fallback is the
+        common case there; the point is that a count never opens ``text``.
+        """
+        md = pf.metadata
+        names = [
+            md.row_group(0).column(ci).path_in_schema
+            for ci in range(md.num_columns)
+        ] if md.num_row_groups else []
+        if DELETED_COL not in names:
+            return 0
+        ci = names.index(DELETED_COL)
+        total = 0
+        for gi in range(md.num_row_groups):
+            rg = md.row_group(gi)
+            st = rg.column(ci).statistics
+            if st is not None and st.null_count == rg.num_rows:
+                continue  # all-null group: coalesce(NULL, false) = live
+            if st is not None and st.has_min_max and st.max is False:
+                continue  # no trues anywhere in the group
+            if st is not None and st.has_min_max and st.min is True:
+                total += rg.num_rows - (st.null_count or 0)
+                continue
+            # mixed group: one boolean-column read decides exactly
+            import pyarrow.compute as pc
+
+            col = pq.read_table(full, columns=[DELETED_COL]).column(0)
+            s = pc.sum(col.cast("int64"))
+            return int(s.as_py() or 0)
+        return total
 
     @staticmethod
     def _zone_value(v: Any) -> Any:
@@ -915,6 +964,315 @@ class SnapshotTable:
                 "file_stats": m.get("file_stats", {}),
             }
             cold_rels, cold_all = self._zone_pruned_rels(cold, col, lo, hi)
+            hot = [p for b in deltas for p in m["buckets"].get(b, [])] + [
+                p for fs in deltas.values() for p in fs
+            ]
+            rels, all_rels = cold_rels + hot, cold_all + hot
+        stats = m.get("file_stats", {})
+        b = lambda ps: sum(int(stats.get(p, {}).get("bytes", 0)) for p in ps)  # noqa: E731
+        return {
+            "files_total": len(all_rels),
+            "files_read": len(rels),
+            "files_skipped": len(all_rels) - len(rels),
+            "bytes_total": b(all_rels),
+            "bytes_read": b(rels),
+        }
+
+    # ---- metadata-only count + bloom point lookups -----------------------------
+
+    def fast_count(self, version: int | None = None) -> dict[str, Any]:
+        """Live-row count from manifest stats alone — the scan-less
+        ``count(*)`` Iceberg answers from manifest-entry row counts. Every
+        commit records per-file footer rows AND exact tombstone counts
+        (``_file_stats``), so on a compacted table the count is pure
+        manifest arithmetic: Σ(rows − tombstones) over base files. Zero
+        file opens, zero Spark jobs — O(manifest) regardless of table
+        size, which at 100 TB is the difference between a metadata lookup
+        and a cluster-wide scan.
+
+        Pending MoR deltas make the arithmetic unsound (a delta row may
+        UPDATE an existing key, net a delete, or arrive stale and lose the
+        fold — file row counts can't see which), so delta-bearing tables
+        fall back to counting the folded visible read and say so:
+        ``source="fold"``. Callers that need the fast path keep it by
+        compaction cadence, not by trusting a stale number."""
+        m = (
+            self.current_manifest()
+            if version is None
+            else self.manifest_at(version)
+        )
+        if m is None:
+            return {"live_rows": 0, "files": 0, "source": "manifest"}
+        if m.get("deltas"):
+            df = self.read(version=version)
+            return {
+                "live_rows": df.count(),
+                "files": sum(len(fs) for fs in m["buckets"].values()),
+                "source": "fold",
+            }
+        stats = m.get("file_stats", {})
+        rels = [p for fs in m["buckets"].values() for p in fs]
+        missing = [
+            r
+            for r in rels
+            if "rows" not in stats.get(r, {})
+            or "tombstones" not in stats.get(r, {})
+        ]
+        if missing:  # pre-upgrade manifest: stats not yet recorded
+            df = self.read(version=version)
+            return {
+                "live_rows": df.count(),
+                "files": len(rels),
+                "source": "fold",
+            }
+        live = sum(
+            int(stats[r]["rows"]) - int(stats[r]["tombstones"]) for r in rels
+        )
+        return {"live_rows": live, "files": len(rels), "source": "manifest"}
+
+    _BLOOMABLE = (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+    def build_blooms(self, cols: list[str], bits_per_key: int = 10) -> int:
+        """Compute per-file bloom filters over ``cols`` and commit them as
+        manifest stats (``kind=blooms`` — a stats-only commit; data files
+        untouched, time travel unaffected). Returns the number of files
+        stamped.
+
+        This is the pruning structure for POINT lookups on columns the
+        physical layout can't serve: bucket pruning only covers the bucket
+        key, and zone maps only help once a sort/z-order clusters the
+        column — a high-cardinality column that merge order scatters
+        across every file (the audit case: ``_rdl_lsn``) defeats both.
+        Iceberg/Parquet solve it with per-file bloom filters; same here,
+        but in the manifest so the probe is a driver-side metadata test,
+        not a footer open per file.
+
+        Build is DISTRIBUTED: one Spark pass reads only the target columns
+        (+ ``input_file_name``), fans each value into its k bit positions
+        (``operators/bloom.py`` — md5 double-hashing, identical on the
+        driver), and reduces to one 64-bit word per (file, word_idx) via
+        ``bit_or`` partial aggregation. Only the aggregated words — m/64
+        rows per file per column, KBs — ever reach the driver; column data
+        stays on executors. Filters are sized per file from the manifest's
+        recorded row count (``bits_per_key`` ≈ 10 → ~1.2% false-file-read
+        rate at k=4). A false positive costs one pruned-in file whose
+        residual filter returns nothing; never a wrong row.
+
+        Blooms cover BASE files only and are rebuilt by re-running after
+        layout maintenance (optimize/rebucket produce new files without
+        blooms, which the pruner conservatively reads — stale filters are
+        impossible by construction because stats key on the file path).
+        Delta files are irrelevant here: delta-bearing buckets are read in
+        full by the lookup path (fold correctness, same rule as
+        ``read_range``)."""
+        from relational_data_loader_spark.operators.bloom import (
+            BLOOM_K,
+            bloom_size_bits,
+            pack_words,
+        )
+
+        m = self.current_manifest()
+        if m is None:
+            return 0
+        schema = {f.name: f.dataType for f in self._storage_schema().fields}
+        for c in cols:
+            if c not in schema:
+                raise ValueError(f"build_blooms: unknown column {c!r}")
+            if not isinstance(schema[c], self._BLOOMABLE):
+                raise ValueError(
+                    f"build_blooms: {c!r} is {schema[c].simpleString()}; "
+                    "blooms require string/integral columns (canonical "
+                    "string form must match across runtimes)"
+                )
+        stats = dict(m.get("file_stats", {}))
+        rels = [p for fs in m["buckets"].values() for p in fs]
+        # per-file m_bits from recorded row counts (manifest arithmetic)
+        sizes = {
+            rel: bloom_size_bits(
+                int(stats.get(rel, {}).get("rows", 0)), bits_per_key
+            )
+            for rel in rels
+        }
+        df = self._read_files(rels).select(
+            F.input_file_name().alias("_f"), *cols
+        )
+        # file path → m_bits, resolved executor-side via a literal map
+        # (files are O(manifest), never data-sized)
+        size_map = F.create_map(
+            *[
+                lit
+                for rel in rels
+                for lit in (
+                    F.lit(os.path.join(self.path, rel)),
+                    F.lit(sizes[rel]),
+                )
+            ]
+        )
+        # input_file_name returns a URI; strip the scheme to match the
+        # absolute paths in the literal map
+        fpath = F.regexp_replace(F.col("_f"), "^file:(//)?", "")
+        mbits = F.element_at(size_map, fpath)
+        parts = [
+            df.where(F.col(c).isNotNull()).select(
+                fpath.alias("file"),
+                F.lit(c).alias("col"),
+                F.explode(
+                    self._bloom_positions_sized(F.col(c), mbits)
+                ).alias("pos"),
+            )
+            for c in cols
+        ]
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        words = (
+            union.select(
+                "file",
+                "col",
+                F.floor(F.col("pos") / 64).cast("long").alias("widx"),
+                # python's F.shiftleft only takes a literal shift; the SQL
+                # form takes an expression
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("file", "col", "widx")
+            .agg(F.bit_or("bit").alias("word"))
+            .collect()
+        )
+        by_file: dict[tuple[str, str], dict[int, int]] = {}
+        for r in words:
+            by_file.setdefault((r["file"], r["col"]), {})[r["widx"]] = r["word"]
+        for rel in rels:
+            entry = dict(stats.get(rel) or {})
+            blooms = dict(entry.get("bloom") or {})
+            for c in cols:
+                wd = by_file.get((os.path.join(self.path, rel), c), {})
+                blooms[c] = {
+                    "m": sizes[rel],
+                    "k": BLOOM_K,
+                    "b64": pack_words(wd, sizes[rel]),
+                }
+            entry["bloom"] = blooms
+            stats[rel] = entry
+        manifest = dict(m)
+        manifest["file_stats"] = stats
+        manifest["kind"] = "blooms"
+        self._commit(manifest)
+        return len(rels)
+
+    @staticmethod
+    def _bloom_positions_sized(col: Column, m_bits: Column) -> Column:
+        """bloom_positions_expr with a per-ROW modulus column (files have
+        individually sized filters, and the build is one job over all of
+        them) — same md5 halves + double-hash stride as the driver probe."""
+        hexd = F.md5(col.cast("string").cast("binary"))
+        h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("long")
+        h2 = (
+            F.conv(F.substring(hexd, 16, 15), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.lit(1))
+        )
+        from relational_data_loader_spark.operators.bloom import BLOOM_K
+
+        return F.array(
+            *[
+                (h1 + F.lit(i) * h2) % m_bits.cast("long")
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    def _bloom_pruned_rels(
+        self, m: dict[str, Any], col: str, values: list
+    ) -> tuple[list[str], list[str]]:
+        """(files to read, all files) for ``col IN values`` under the
+        manifest blooms. Files without a bloom for the column are
+        conservatively read — correctness never depends on stats existing,
+        only the residual in-file filter."""
+        from relational_data_loader_spark.operators.bloom import (
+            probe_words,
+            unpack_words,
+        )
+
+        stats = m.get("file_stats", {})
+        all_rels = [p for fs in m["buckets"].values() for p in fs]
+        keep: list[str] = []
+        for rel in all_rels:
+            bl = (stats.get(rel, {}).get("bloom") or {}).get(col)
+            if bl is None:
+                keep.append(rel)
+                continue
+            words = unpack_words(bl["b64"], bl["m"])
+            if any(
+                probe_words(words, v, bl["m"], bl["k"]) for v in values
+            ):
+                keep.append(rel)
+        return keep, all_rels
+
+    def point_lookup(self, col: str, values: list) -> DataFrame:
+        """Visible rows with ``col IN values``, opening ONLY the files
+        whose manifest bloom might contain one of the probe values —
+        O(matching files) for point predicates on NON-bucket-key columns,
+        where ``read_keys`` (bucket pruning) and ``read_range`` (zone
+        maps) can't prune at all. The residual ``isin`` filter makes the
+        result exact whatever the blooms' false-positive rate.
+
+        Internal columns are probeable (the audit scenario — "which live
+        rows did these LSNs write" — probes ``_rdl_lsn``); when ``col`` is
+        internal it is appended to the visible projection so the caller
+        can see what matched. Delta-bearing buckets read base+delta in
+        full and fold first, the same stale-winner rule ``read_range``
+        documents: pruning a base file could flip a fold."""
+        m = self.current_manifest()
+        if m is None:
+            return self.spark.createDataFrame(
+                [], self.spec.destination_schema()
+            )
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not deltas:
+            rels, _ = self._bloom_pruned_rels(m, col, values)
+            df = self._read_files(rels)
+        else:
+            cold = {
+                "buckets": {
+                    b: fs for b, fs in m["buckets"].items() if b not in deltas
+                },
+                "file_stats": m.get("file_stats", {}),
+            }
+            cold_rels, _ = self._bloom_pruned_rels(cold, col, values)
+            hot_base = [p for b in deltas for p in m["buckets"].get(b, [])]
+            hot_delta = [p for fs in deltas.values() for p in fs]
+            df = self._fold(hot_base, hot_delta).unionByName(
+                self._read_files(cold_rels)
+            )
+        df = df.filter(
+            F.col(col).isin(values)
+            & ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        visible = [f.name for f in self.spec.destination_schema().fields]
+        if col not in visible:
+            visible = visible + [col]
+        return df.select(*visible)
+
+    def bloom_prune_report(self, col: str, values: list) -> dict[str, Any]:
+        """What ``point_lookup`` would skip, from manifest metadata alone —
+        the observability twin of ``prune_report`` for bloom pruning. A
+        low skip ratio on a hot probe column means the blooms are stale
+        (rebuild after maintenance) or undersized (raise bits_per_key)."""
+        m = self.current_manifest()
+        if m is None:
+            return {"files_total": 0, "files_read": 0, "files_skipped": 0}
+        deltas: dict[str, list[str]] = m.get("deltas") or {}
+        if not deltas:
+            rels, all_rels = self._bloom_pruned_rels(m, col, values)
+        else:
+            cold = {
+                "buckets": {
+                    b: fs for b, fs in m["buckets"].items() if b not in deltas
+                },
+                "file_stats": m.get("file_stats", {}),
+            }
+            cold_rels, cold_all = self._bloom_pruned_rels(cold, col, values)
             hot = [p for b in deltas for p in m["buckets"].get(b, [])] + [
                 p for fs in deltas.values() for p in fs
             ]
