@@ -184,6 +184,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "row-group pruning; snapshot sink only)",
     )
     p.add_argument(
+        "--build-blooms",
+        default=None,
+        metavar="COL1,COL2",
+        help="maintenance: compute per-file bloom filters over these "
+        "columns and commit them as manifest stats (point_lookup pruning "
+        "on non-bucket-key columns; snapshot sink only). Runs after "
+        "--optimize so the filters cover the rewritten files",
+    )
+    p.add_argument(
         "--branch",
         default=None,
         metavar="NAME",
@@ -265,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.compact_deltas
         or args.optimize
+        or args.build_blooms is not None
         or args.rebucket is not None
         or args.replay_dlq
         or args.compact_log is not None
@@ -482,6 +492,23 @@ def main(argv: list[str] | None = None) -> int:
                     else:
                         table.compact(sort_order=", ".join(spec.primary_keys))
                     out["compacted"] = True
+            if args.build_blooms is not None:
+                # after --optimize by construction: a layout rewrite
+                # replaces every file, and blooms key on the file path
+                bcols = [
+                    c.strip() for c in args.build_blooms.split(",") if c.strip()
+                ]
+                if hasattr(table, "build_blooms"):
+                    out["bloom_files"] = table.build_blooms(bcols)
+                    out["bloom_cols"] = bcols
+                else:
+                    print(
+                        f"[rdl-spark] {spec.name}: --build-blooms is "
+                        "snapshot-sink only (Iceberg reads parquet "
+                        "footer blooms natively — set write.parquet."
+                        "bloom-filter-enabled.column.* instead), skipping",
+                        file=sys.stderr,
+                    )
             if args.replay_dlq:
                 r = mgr.replay_dlq(spec)
                 out["dlq_replayed"] = r.rows_upserted + r.rows_deleted

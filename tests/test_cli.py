@@ -434,3 +434,32 @@ def test_compact_log_flag(setup, capsys):
     mgr = DataLoadManager(get_spark("rdl-tests"), wh)
     got = spark_sorted_pdf(mgr.table(spec).read())
     assert_tables_equal(got, duck_final_state(f"{logdir}/*.parquet"))
+
+
+def test_maintenance_build_blooms_flag(setup, capsys):
+    """--build-blooms commits per-file bloom stats (after --optimize, so
+    the filters cover the rewritten layout) and point_lookup prunes."""
+    log, logdir, specdir, wh, spec = setup
+    write_log(log, logdir, n_files=4)
+    assert main(["--warehouse", wh, "--specs", specdir]) == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["--warehouse", wh, "--specs", specdir, "--optimize",
+         "--build-blooms", "text"]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = json.loads(out[-1])
+    assert doc["bloom_files"] > 0 and doc["bloom_cols"] == ["text"]
+
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.session import get_spark
+
+    mgr = DataLoadManager(get_spark("rdl-tests"), wh)
+    t = mgr.table(spec)
+    assert t.current_manifest()["kind"] == "blooms"
+    probe = t.read().orderBy("conv_id", "turn_idx").first()["text"]
+    rep = t.bloom_prune_report("text", [probe])
+    assert rep["files_skipped"] > 0, rep
+    assert t.point_lookup("text", [probe]).count() >= 1
