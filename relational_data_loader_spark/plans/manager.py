@@ -411,10 +411,29 @@ class DataLoadManager:
         cti = change_tracking_info(log, last, spec.lsn_column)
         stored_json = table.stored_spec_json() if exists else None
         stored_spec = IngestSpec.from_json(stored_json) if stored_json else None
+        stored_ck = table.stored_checksum() if exists else None
+        if (
+            stored_spec is not None
+            and spec.compat_level != "none"
+            and stored_ck != spec.checksum()
+        ):
+            # governance gate BEFORE any load work: a forbidden evolution
+            # must leave state/watermark/epochs untouched so a corrected
+            # spec reruns cleanly (the registry reject-at-registration
+            # analog; spec.py check_compat documents the level semantics)
+            violations = spec.check_compat(stored_spec)
+            if violations:
+                from relational_data_loader_spark.spec import (
+                    CompatibilityError,
+                )
+
+                raise CompatibilityError(
+                    spec.name, spec.compat_level, violations
+                )
         decision = decide(
             spec,
             target_exists=exists,
-            stored_checksum=table.stored_checksum() if exists else None,
+            stored_checksum=stored_ck,
             stored_spec=stored_spec,
             ct_force_full=cti.force_full,
             forced=force_full,

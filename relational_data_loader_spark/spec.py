@@ -201,6 +201,30 @@ class IngestSpec:
     # checksum(): re-declaring an ordering must never force a refresh.
     depends_on: tuple[str, ...] = ()
 
+    # Schema-evolution compatibility policy (the schema-registry
+    # BACKWARD/FORWARD/FULL levels, applied to THIS engine's two consumer
+    # contracts). The gate runs in DataLoadManager.run whenever the spec
+    # checksum changed, BEFORE any load work, and raises
+    # CompatibilityError listing every violation — a governance rail for
+    # multi-team tables where "the pipeline can evolve it" is not the
+    # same question as "the consumers survive it".
+    #   "none"     — anything diff() classifies as evolvable or breaking
+    #                proceeds as today (breaking → full refresh).
+    #   "backward" — consumers adopting the NEW schema must still read
+    #                pre-evolution data (time travel, unrewritten files):
+    #                forbids adding NON-NULLABLE columns (old rows have no
+    #                value) and every breaking change; widening/rename/
+    #                nullable-add pass.
+    #   "forward"  — consumers pinned to the OLD schema must keep working
+    #                against the evolved table: forbids renames, type
+    #                widening (an old reader expects int, gets bigint) and
+    #                every breaking change; additive columns pass (column
+    #                pruning hides them from old projections).
+    #   "full"     — both; only nullable adds pass.
+    # Operational policy, deliberately NOT part of checksum(): tightening
+    # the level must never itself force a refresh.
+    compat_level: str = "none"
+
     def __post_init__(self) -> None:
         if self.merge_mode not in ("cow", "mor"):
             raise ValueError(
@@ -227,6 +251,11 @@ class IngestSpec:
                 f"spec {self.name!r}: on_cast_error='quarantine' requires "
                 "envelope='full' — a sparse patch quarantined on one "
                 "column has no full-row image to replay"
+            )
+        if self.compat_level not in ("none", "backward", "forward", "full"):
+            raise ValueError(
+                f"spec {self.name!r}: compat_level must be one of "
+                f"none/backward/forward/full, got {self.compat_level!r}"
             )
 
     # ---- derived --------------------------------------------------------
@@ -316,6 +345,41 @@ class IngestSpec:
         }
         return hashlib.sha256(json.dumps(doc, sort_keys=True).encode()).hexdigest()
 
+    def check_compat(self, old: "IngestSpec") -> list[str]:
+        """Violations of this spec's ``compat_level`` for the evolution
+        old → self (empty list = compatible). Pure classification over
+        ``diff()`` — see the ``compat_level`` field doc for which change
+        classes each level forbids and why. Breaking changes (type change,
+        PK change, dropped column, audit toggle) violate EVERY non-none
+        level: they force a full refresh that rewrites the table out from
+        under both consumer contracts."""
+        if self.compat_level == "none":
+            return []
+        d = self.diff(old)
+        out: list[str] = []
+        for b in d.breaking:
+            name = getattr(b, "destination", b)
+            out.append(f"breaking change on {name!r} (forbidden at any level)")
+        if self.compat_level in ("backward", "full"):
+            for c in d.added:
+                if not c.nullable:
+                    out.append(
+                        f"added NON-NULLABLE column {c.destination!r} "
+                        "(backward: pre-evolution rows have no value)"
+                    )
+        if self.compat_level in ("forward", "full"):
+            for old_name, new_name in d.renamed:
+                out.append(
+                    f"rename {old_name!r} -> {new_name!r} (forward: "
+                    "old-schema consumers still select the old name)"
+                )
+            for name, new_type in d.widened:
+                out.append(
+                    f"widen {name!r} to {new_type!r} (forward: old-schema "
+                    "consumers expect the narrow type)"
+                )
+        return out
+
     def diff(self, old: "IngestSpec") -> "SpecDiff":
         """Classify the change old -> self per SURVEY.md §7.1 M4 / FIXTURES.md F3.
 
@@ -378,6 +442,7 @@ class IngestSpec:
             "expectations_mode": self.expectations_mode,
             "on_cast_error": self.on_cast_error,
             "depends_on": list(self.depends_on),
+            "compat_level": self.compat_level,
             "columns": [
                 {
                     "source": c.source,
@@ -415,6 +480,7 @@ class IngestSpec:
             expectations_mode=doc.get("expectations_mode", "enforce"),
             on_cast_error=doc.get("on_cast_error", "fail"),
             depends_on=tuple(doc.get("depends_on", ())),
+            compat_level=doc.get("compat_level", "none"),
         )
 
 
@@ -431,6 +497,25 @@ def is_type_widening(old_type: str, new_type: str) -> bool:
     if isinstance(ot, T.DecimalType) and isinstance(nt, T.DecimalType):
         return nt.scale == ot.scale and nt.precision >= ot.precision
     return False
+
+
+class CompatibilityError(ValueError):
+    """A spec evolution violates the table's declared ``compat_level``.
+
+    Raised by DataLoadManager.run BEFORE any load work — the table state,
+    watermark and epochs are untouched, so fixing the spec (or lowering
+    the level, a deliberate governance act) and rerunning applies cleanly.
+    The registry analog: a producer's schema registration rejected by the
+    subject's compatibility setting."""
+
+    def __init__(self, spec_name: str, level: str, violations: list[str]):
+        self.spec_name = spec_name
+        self.level = level
+        self.violations = violations
+        super().__init__(
+            f"spec {spec_name!r} violates compat_level={level!r}: "
+            + "; ".join(violations)
+        )
 
 
 @dataclass
