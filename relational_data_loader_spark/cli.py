@@ -184,6 +184,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "row-group pruning; snapshot sink only)",
     )
     p.add_argument(
+        "--check-compat",
+        action="store_true",
+        help="maintenance (dry run): validate each spec against its "
+        "table's STORED spec under the spec's declared compat_level and "
+        "print the violations, loading nothing — the CI pre-flight for a "
+        "spec change (rc 3 if any spec would be rejected)",
+    )
+    p.add_argument(
         "--build-blooms",
         default=None,
         metavar="COL1,COL2",
@@ -274,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.compact_deltas
         or args.optimize
+        or args.check_compat
         or args.build_blooms is not None
         or args.rebucket is not None
         or args.replay_dlq
@@ -415,6 +424,20 @@ def main(argv: list[str] | None = None) -> int:
                 # the snapshot sink counts expired rows; Iceberg's DELETE
                 # doesn't surface a count — report that honestly
                 out["tombstones_expired"] = n if n is not None else "unknown"
+            if args.check_compat:
+                from relational_data_loader_spark.spec import IngestSpec as _IS
+
+                stored_json = (
+                    table.stored_spec_json() if table.exists() else None
+                )
+                if stored_json is None:
+                    out["compat"] = "no stored spec (initial load)"
+                else:
+                    vs = spec.check_compat(_IS.from_json(stored_json))
+                    out["compat_level"] = spec.compat_level
+                    out["compat_violations"] = vs
+                    if vs:
+                        fsck_failed = True  # same alerting rc as fsck
             if args.maintenance_report:
                 if hasattr(table, "maintenance_report"):
                     out["report"] = table.maintenance_report()

@@ -176,3 +176,53 @@ def test_gate_off_by_default_preserves_breaking_refresh(spark, warehouse, tmp_pa
     r = mgr.run(breaking)  # compat_level="none": today's behavior
     assert r.decision.kind == "full_refresh"
     assert any("breaking" in x for x in r.decision.reasons)
+
+
+def test_cli_check_compat_dry_run(spark, warehouse, tmp_path, capsys):
+    """--check-compat reports violations without loading; rc 3 on reject,
+    rc 0 (and no state change) on a compatible or initial spec."""
+    import json as _json
+
+    from relational_data_loader_spark.cli import main
+
+    log = generate_change_log(n_events=1500, n_convs=30, seed=13)
+    logdir = str(tmp_path / "log")
+    write_log(log, logdir)
+    specdir = tmp_path / "specs"
+    specdir.mkdir()
+    wh = str(tmp_path / "wh")
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    (specdir / "transcripts.json").write_text(spec.to_json())
+    assert main(["--warehouse", wh, "--specs", str(specdir)]) == 0
+    capsys.readouterr()
+
+    mgr = DataLoadManager(spark, wh)
+    wm0 = mgr.table(spec).watermark()
+
+    bad = IngestSpec(
+        name="transcripts",
+        source=f"parquet://{logdir}",
+        columns=_cols(rename=("tool", "tool_name")),
+        target_buckets=8,
+        compat_level="forward",
+    )
+    (specdir / "transcripts.json").write_text(bad.to_json())
+    rc = main(["--warehouse", wh, "--specs", str(specdir), "--check-compat"])
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    doc = _json.loads(out[-1])
+    assert rc == 3
+    assert doc["compat_violations"] and "rename" in doc["compat_violations"][0]
+    assert mgr.table(spec).watermark() == wm0  # dry run: nothing loaded
+
+    ok = IngestSpec(
+        name="transcripts",
+        source=f"parquet://{logdir}",
+        columns=_cols(extra=ColumnSpec("model", "model", "string")),
+        target_buckets=8,
+        compat_level="forward",
+    )
+    (specdir / "transcripts.json").write_text(ok.to_json())
+    rc = main(["--warehouse", wh, "--specs", str(specdir), "--check-compat"])
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert rc == 0 and _json.loads(out[-1])["compat_violations"] == []
+    assert mgr.table(spec).watermark() == wm0
