@@ -176,6 +176,26 @@ class StreamingIngest:
         (watermark → CHANGETABLE-analog scan → merge). That equivalence is
         tested in tests/test_streaming.py::test_jdbc_style_poll_loop.
         """
+        # registry gate at producer startup: a resident stream applies the
+        # SAME spec for its whole life, so a forbidden evolution is caught
+        # once here, before the first micro-batch, with the table untouched
+        # (spec.py check_compat; the batch path gates in manager.run)
+        if self.spec.compat_level != "none":
+            table = self.mgr.table(self.spec)
+            stored_json = table.stored_spec_json() if table.exists() else None
+            if stored_json is not None:
+                from relational_data_loader_spark.spec import (
+                    CompatibilityError,
+                    IngestSpec,
+                )
+
+                old = IngestSpec.from_json(stored_json)
+                if old.checksum() != self.spec.checksum():
+                    violations = self.spec.check_compat(old)
+                    if violations:
+                        raise CompatibilityError(
+                            self.spec.name, self.spec.compat_level, violations
+                        )
         if available_now and self.state_ttl_minutes is not None:
             # measured, not theoretical: processing-time timers make the
             # stateful operator report pending work every trigger, so an

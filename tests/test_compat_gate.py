@@ -226,3 +226,29 @@ def test_cli_check_compat_dry_run(spark, warehouse, tmp_path, capsys):
     out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert rc == 0 and _json.loads(out[-1])["compat_violations"] == []
     assert mgr.table(spec).watermark() == wm0
+
+
+def test_streaming_start_gates_compat(spark, warehouse, tmp_path):
+    """A resident stream applies one spec for its whole life — a forbidden
+    evolution is rejected at start(), before any micro-batch."""
+    from relational_data_loader_spark.streaming.runner import StreamingIngest
+
+    log = generate_change_log(n_events=1500, n_convs=30, seed=14)
+    logdir = str(tmp_path / "log")
+    write_log(log, logdir)
+    mgr = DataLoadManager(spark, warehouse)
+    spec1 = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    mgr.run(spec1)
+    wm0 = mgr.table(spec1).watermark()
+
+    bad = IngestSpec(
+        name="transcripts",
+        source=f"parquet://{logdir}",
+        columns=_cols(rename=("tool", "tool_name")),
+        target_buckets=8,
+        compat_level="full",
+    )
+    ing = StreamingIngest(mgr, bad, str(tmp_path / "ckpt"))
+    with pytest.raises(CompatibilityError):
+        ing.run_until_caught_up()
+    assert mgr.table(spec1).watermark() == wm0  # nothing applied
