@@ -202,6 +202,40 @@ def dedup_conversations(
     )
 
 
+def dedup_drop_list(
+    state: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Non-keeper conversations under exact conversation-level dedup —
+    the DROP side of ``dedup_conversations``' verdict, as a one-column
+    frame ready to drive downstream erasure.
+
+    The intended composition is **dedup as a CDC writer**: join the drop
+    list back to the live table, emit one DELETE envelope per surviving
+    turn of each dropped conversation (at a fresh lsn), and apply them
+    through the ordinary merge path. Against a table rewrite this buys
+    what the GDPR cascade (operators/erasure.py) buys: the drop is an
+    auditable, replayable change event — CDF consumers see D rows,
+    time travel still serves the pre-dedup state, and a kill mid-apply
+    resumes exactly-once like any other epoch.
+
+    Plan: one assembly groupBy (exchange on conv_col) + a window over the
+    128-bit fingerprint — uniform md5 partitioning, no skew; output is
+    O(dropped conversations), control-plane small relative to the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    asm = assemble_conversations(state, conv_col, turn_col, text_col)
+    w = Window.partitionBy("conv_fingerprint")
+    return (
+        asm.withColumn("_keeper", F.min(conv_col).over(w))
+        .filter(F.col(conv_col) != F.col("_keeper"))
+        .select(conv_col)
+    )
+
+
 def drop_boilerplate_turns(
     df: DataFrame,
     conv_col: str,

@@ -7640,6 +7640,102 @@ WHERE sc.resp <> ch.chosen_resp
 """
 
 
+def q_cdc_dedup_erasure_state(spark, sf):
+    """Corpus dedup as a CDC WRITER (operators/transcript.py
+    dedup_drop_list): the change log is replayed with a mirrored twin of
+    every conversation unioned in (so conversation-level duplicates
+    actually exist), exact conversation dedup elects keepers over the
+    LIVE table, and the drop set is applied as ordinary DELETE envelopes
+    at a fresh lsn through the incremental merge — never a table rewrite.
+    The payoff over a rewrite is lineage: the drop is an auditable,
+    replayable change event (CDF consumers see D rows; time travel still
+    serves the pre-dedup state; a kill mid-apply resumes exactly-once).
+    The final visible table must hash-equal the oracle's
+    keeper-filtered LWW state; the entry HARD-FAILS if the delete epoch
+    didn't actually apply as an incremental merge with deletions."""
+    import shutil
+
+    from relational_data_loader_spark.operators.transcript import (
+        dedup_drop_list,
+    )
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "dedup_erase")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    mirror = log.withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("_m"))
+    )
+    log.unionByName(mirror).write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    state = tbl.read()
+    drops = dedup_drop_list(state, "conv_id", "turn_idx", "text")
+    max_lsn = int(tbl.watermark())
+    # one D envelope per surviving turn of each dropped conversation, at
+    # a fresh lsn; payload columns NULL per the delete-envelope contract
+    payload_types = {f.name: f.dataType for f in log.schema.fields}
+    dels = state.join(drops, "conv_id").select(
+        F.lit(max_lsn + 1).cast("long").alias("lsn"),
+        F.lit("D").alias("op"),
+        "conv_id",
+        "turn_idx",
+        *[
+            F.lit(None).cast(payload_types[c]).alias(c)
+            for c in ("role", "text", "tool", "ts")
+        ],
+    )
+    dels.write.mode("append").parquet(log_dir)
+    r = mgr.run(spec)
+    if r.decision.kind != "incremental" or r.rows_deleted == 0:
+        raise AssertionError(
+            f"dedup deletes did not apply incrementally: "
+            f"{r.decision.kind}, dels={r.rows_deleted}"
+        )
+    return tbl.read()
+
+
+# keeper-filtered LWW state over the mirrored log: group conversations by
+# their ordered text sequence (the same partition assemble_conversations'
+# 0x1F-joined md5 induces — any injective signature yields identical
+# groups), keep min(conv_id) per group ('5' < '5_m', so originals win)
+SQL_DEDUP_ERASURE_STATE = f"""
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, event_id, event_type, props, ts
+  FROM events
+  UNION ALL
+  SELECT CAST(user_id AS VARCHAR) || '_m', event_id, event_type, props, ts
+  FROM events),
+ranked AS (
+  SELECT conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ':' || props AS text,
+         substr(props, 1, 8) AS tool,
+         ts,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY conv_id, event_id % 37
+                            ORDER BY event_id DESC) AS rn
+  FROM src),
+final AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND NOT is_del),
+asm AS (
+  SELECT conv_id,
+         string_agg(text, chr(31) ORDER BY turn_idx) AS sig
+  FROM final GROUP BY conv_id),
+keep AS (SELECT sig, min(conv_id) AS keeper FROM asm GROUP BY sig)
+SELECT f.conv_id, f.turn_idx, f.role, f.text, f.tool, f.ts
+FROM final f
+JOIN asm a USING (conv_id)
+JOIN keep k ON a.sig = k.sig AND f.conv_id = k.keeper
+"""
+
+
 def q_cdc_fast_count(spark, sf):
     """Metadata-only ``count(*)`` (sinks/snapshot.py fast_count): split
     replay (head full refresh + incremental tail, so the table carries
@@ -7991,6 +8087,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sparse_envelope_fold": (q_sparse_envelope_fold, SQL_SPARSE_FOLD),
     "cdc_sparse_merge_state": (q_cdc_sparse_merge_state, SQL_SPARSE_MERGE_STATE),
     "sparse_mask_fold": (q_sparse_mask_fold, SQL_SPARSE_MASK_FOLD),
+    "cdc_dedup_erasure_state": (q_cdc_dedup_erasure_state, SQL_DEDUP_ERASURE_STATE),
     "cdc_fast_count": (q_cdc_fast_count, SQL_FAST_COUNT),
     "bloom_pruned_lookup": (q_bloom_pruned_lookup, SQL_BLOOM_LOOKUP),
     "bloom_join_filter": (q_bloom_join_filter, SQL_BLOOM_JOIN),

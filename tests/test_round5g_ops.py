@@ -229,3 +229,62 @@ def test_bloom_semi_filter_rejects_bad_m(spark):
     dim, li = _dim_and_fact(spark)
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom_semi_filter(li, dim, "l_orderkey", "o_orderkey", m_bits=100)
+
+
+# ---- dedup as a CDC writer ----------------------------------------------------
+
+
+def test_dedup_deletes_are_cdf_visible(spark, warehouse, tmp_path, log_tbl):
+    """The lineage payoff over a rewrite: the dedup drop shows up as D rows
+    in the change feed, and time travel still serves the pre-dedup state."""
+    from relational_data_loader_spark.operators.transcript import dedup_drop_list
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    logdir = str(tmp_path / "log")
+    write_log(log_tbl, logdir)
+    spec = transcripts_spec(source=f"parquet://{logdir}", target_buckets=8)
+    mgr = DataLoadManager(spark, warehouse)
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    v1 = tbl.current_manifest()["version"]
+    state = tbl.read()
+    n_before = state.count()
+
+    # mirror half the conversations straight into the table's source log
+    mirror = (
+        spark.read.parquet(logdir)
+        .filter(F.substring("conv_id", -1, 1).isin("0", "2", "4", "6", "8"))
+        .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_m")))
+        .withColumn("lsn", F.col("lsn") + tbl.watermark())
+    )
+    mirror.write.mode("append").parquet(logdir)
+    mgr.run(spec)
+    state = tbl.read()
+    drops = dedup_drop_list(state, "conv_id", "turn_idx", "text")
+    assert drops.count() > 0
+    wm = int(tbl.watermark())
+    dels = state.join(drops, "conv_id").select(
+        F.lit(wm + 1).cast("long").alias("lsn"),
+        F.lit("D").alias("op"),
+        "conv_id",
+        "turn_idx",
+        F.lit(None).cast("string").alias("role"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+    )
+    dels.write.mode("append").parquet(logdir)
+    r = mgr.run(spec)
+    assert r.rows_deleted > 0
+    v3 = tbl.current_manifest()["version"]
+
+    feed = tbl.changes_between(v3 - 1, v3)
+    d_rows = feed.filter(F.col("op") == "D")
+    assert d_rows.count() == r.rows_deleted
+    assert set(
+        x["conv_id"] for x in d_rows.select("conv_id").distinct().collect()
+    ) == set(x["conv_id"] for x in drops.collect())
+    # time travel: the pre-dedup (even pre-mirror) state is still served
+    assert tbl.read(version=v1).count() == n_before
+    # final state has no duplicate conversations left
+    assert dedup_drop_list(tbl.read(), "conv_id", "turn_idx", "text").count() == 0
