@@ -390,3 +390,56 @@ def temperature_mix(
     return df.join(F.broadcast(rates), strata_col).filter(
         hash_uniform(F.col(key_col)) < F.col("rate")
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: int,
+    n_shards: int,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every example gets a
+    content-derived pseudo-random rank, sharded for parallel consumption —
+    the once-per-epoch shuffle a training data loader needs, replayable
+    bit-for-bit across retries, cluster layouts, and engines.
+
+    Two properties a naive ``orderBy(rand())`` can't give:
+
+    - **determinism**: the order is a pure function of (seed, key) — a
+      re-run after a failure feeds batches in the identical order, and a
+      different ``seed`` gives an independent permutation per epoch;
+    - **no global sort**: the shard is ``hash % n_shards`` (narrow) and
+      the within-shard rank is a per-shard window after one hash
+      repartition — cost is one exchange + local sorts, never a
+      range-partitioned total sort. Consumers read shards in shard order
+      (or in parallel, one per data-loader worker); uniform md5 keys make
+      the shards size-balanced by construction.
+
+    Output: ``(key_col, shard, pos)`` with ``pos`` the 1-based rank inside
+    the shard (ties on the 60-bit hash broken by key, so the order is
+    total). Join back to the payload table by ``key_col`` to materialize
+    the epoch, or write ``partitionBy(shard)`` for loader-addressable
+    files.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql.window import Window
+
+    # 60-bit hash of (seed : key): same construction as the samplers —
+    # md5 hex → bigint, reproducible in the DuckDB oracle
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(int(seed))), F.col(key_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("hkey", key_col)
+    return (
+        df.select(F.col(key_col), h.alias("hkey"))
+        .withColumn("shard", (F.col("hkey") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(key_col, "shard", "pos")
+    )

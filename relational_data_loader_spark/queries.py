@@ -7640,6 +7640,33 @@ WHERE sc.resp <> ch.chosen_resp
 """
 
 
+def q_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training-order shuffle (operators/
+    sampling.py epoch_shuffle): documents ranked by a content-derived
+    60-bit hash of (seed : doc_id), sharded by hash modulo — one exchange
+    + per-shard local sorts, never a global range sort; the order is a
+    pure function of (seed, key), so retries and engines agree
+    bit-for-bit, which is exactly what the SQL twin checks."""
+    from relational_data_loader_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", seed=42, n_shards=8)
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hkey
+  FROM documents)
+SELECT doc_id,
+       CAST(hkey % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id)
+            AS INT) AS pos
+FROM h
+"""
+
+
 def q_cdc_dedup_erasure_state(spark, sf):
     """Corpus dedup as a CDC WRITER (operators/transcript.py
     dedup_drop_list): the change log is replayed with a mirrored twin of
@@ -8087,6 +8114,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sparse_envelope_fold": (q_sparse_envelope_fold, SQL_SPARSE_FOLD),
     "cdc_sparse_merge_state": (q_cdc_sparse_merge_state, SQL_SPARSE_MERGE_STATE),
     "sparse_mask_fold": (q_sparse_mask_fold, SQL_SPARSE_MASK_FOLD),
+    "epoch_shuffle": (q_epoch_shuffle, SQL_EPOCH_SHUFFLE),
     "cdc_dedup_erasure_state": (q_cdc_dedup_erasure_state, SQL_DEDUP_ERASURE_STATE),
     "cdc_fast_count": (q_cdc_fast_count, SQL_FAST_COUNT),
     "bloom_pruned_lookup": (q_bloom_pruned_lookup, SQL_BLOOM_LOOKUP),

@@ -288,3 +288,35 @@ def test_dedup_deletes_are_cdf_visible(spark, warehouse, tmp_path, log_tbl):
     assert tbl.read(version=v1).count() == n_before
     # final state has no duplicate conversations left
     assert dedup_drop_list(tbl.read(), "conv_id", "turn_idx", "text").count() == 0
+
+
+# ---- epoch shuffle -------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_deterministic_total_and_single_exchange(spark):
+    from relational_data_loader_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id"
+    )
+    a = epoch_shuffle(docs, "doc_id", seed=1, n_shards=4)
+    b = epoch_shuffle(docs, "doc_id", seed=1, n_shards=4)
+    ra = sorted(tuple(r) for r in a.collect())
+    assert ra == sorted(tuple(r) for r in b.collect())  # retry-stable
+    # permutation: every doc exactly once, positions dense per shard
+    n = docs.count()
+    assert len(ra) == n and len({t[0] for t in ra}) == n
+    per_shard = {}
+    for _, shard, pos in ra:
+        per_shard.setdefault(shard, []).append(pos)
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # a different seed is a different permutation
+    c = sorted(tuple(r) for r in epoch_shuffle(docs, "doc_id", seed=2, n_shards=4).collect())
+    assert c != ra
+    # one exchange: hash shard + windowed rank, never a global range sort
+    # (AQE's toString appends the pre-adaptive plan — gate the final one)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Exchange") == 1, final_plan
+    assert "rangepartitioning" not in final_plan.lower(), final_plan
