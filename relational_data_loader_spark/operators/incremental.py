@@ -344,3 +344,71 @@ def join_view_change_feed(
         .unionByName(dim_driven.select(*cols))
         .withColumnRenamed("_op", op_col)
     )
+
+
+def decayed_rollup(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    half_life_s: float,
+    anchor: Column,
+) -> DataFrame:
+    """Per-key exponentially time-decayed score, anchored at ``anchor``
+    (a timestamp Column or literal): score = Σ v_i · 0.5^((A − t_i)/hl).
+
+    The decayed sum is incrementally maintainable because it is a plain
+    sum in the anchored domain: every term's exponent is ≤ 0 relative to
+    the anchor (old events underflow toward zero instead of new ones
+    overflowing), and advancing the anchor is a single multiplicative
+    rescale of the stored score — see ``advance_decayed``. This is the
+    mergeable form streaming engagement/freshness scores need at CDC
+    scale: the state table never rescans history, each epoch folds its
+    delta with one groupBy + one outer merge.
+
+    Returns (key, score) with score a raw double — callers round at the
+    reporting edge, not in state (repeated round-trip rounding drifts).
+    """
+    a = F.unix_micros(anchor.cast("timestamp"))
+    decay = F.pow(
+        F.lit(0.5),
+        (a - F.unix_micros(F.col(ts_col).cast("timestamp"))).cast("double")
+        / F.lit(half_life_s * 1e6),
+    )
+    return events.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(value_col) * decay).alias("score")
+    )
+
+
+def advance_decayed(
+    state: DataFrame,
+    delta_scores: DataFrame,
+    old_anchor: Column,
+    new_anchor: Column,
+    half_life_s: float,
+) -> DataFrame:
+    """Fold one epoch's decayed delta (computed by ``decayed_rollup`` at
+    ``new_anchor``) into the stored state (anchored at ``old_anchor``):
+    rescale the old scores by 0.5^(Δanchor/hl), then full-outer sum.
+    Exactly equals recomputing ``decayed_rollup`` over base ∪ delta at
+    ``new_anchor`` — pinned by the oracle-paired ``decayed_score_ivm``
+    entry and tests — because rescaling distributes over the sum.
+    """
+    shift = F.pow(
+        F.lit(0.5),
+        (
+            F.unix_micros(new_anchor.cast("timestamp"))
+            - F.unix_micros(old_anchor.cast("timestamp"))
+        ).cast("double")
+        / F.lit(half_life_s * 1e6),
+    )
+    old = state.select(
+        "key", (F.col("score") * shift).alias("score")
+    ).alias("s")
+    return old.join(delta_scores.alias("d"), "key", "full_outer").select(
+        "key",
+        (
+            F.coalesce(F.col("s.score"), F.lit(0.0))
+            + F.coalesce(F.col("d.score"), F.lit(0.0))
+        ).alias("score"),
+    )

@@ -221,3 +221,129 @@ def ks_drift(
         .cast("double")
         .alias("ks"),
     ).select(F.col("g").alias(group_col), "n", "ks")
+
+
+def psi_drift(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    n_bins: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Population Stability Index of each group's value distribution,
+    comparing the second half of the time range against the first — the
+    banking-standard drift score (PSI = Σ (p−q)·ln(p/q) over bins) that
+    complements ks_drift: KS measures the worst single point of CDF
+    divergence, PSI integrates shift across the whole histogram and is
+    the metric monitoring stacks alert on (0.1 = moderate, 0.25 = major).
+
+    Determinism contract (the oracle hash-matches at 4 dp):
+
+    - the reference/current split is the integer midpoint of the global
+      [min, max] event time in microseconds — exact on both engines;
+    - bin edges are equal-width over the REFERENCE period's per-group
+      [vmin, vmax] (exact min/max selections, identical IEEE divide and
+      floor on both engines — no quantile estimation, whose engine-
+      specific interpolation would never hash-match);
+    - current-period values outside the reference range clamp into the
+      edge bins, the standard PSI treatment of novel mass;
+    - empty bins get Laplace-style smoothing (cnt + 0.5) /
+      (n + 0.5·n_bins), so ln never sees zero and the score is finite.
+
+    Plan shape: one groupBy (group, period, bin) over the data, then the
+    full group × bin grid (a broadcast explode of #groups × n_bins rows —
+    metadata-sized) left-joins the counts; everything after the first
+    aggregation is driver-negligible. Single data shuffle.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with ks_drift)
+
+    ev = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("v"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+    )
+    span = ev.agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    ).select(
+        # floor-divide, NOT cast-after-divide: Spark's double→long cast
+        # truncates while DuckDB's rounds, so the oracle twin must floor
+        # explicitly on both engines (sum < 2^53, division exact-or-.5)
+        F.floor((F.col("t0") + F.col("t1")) / 2).cast("long").alias("t_mid")
+    )
+    ev = ev.crossJoin(F.broadcast(span)).withColumn(
+        "period", F.when(F.col("t") < F.col("t_mid"), "ref").otherwise("cur")
+    )
+    edges = (
+        ev.filter(F.col("period") == "ref")
+        .groupBy("g")
+        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .withColumn("width", (F.col("vmax") - F.col("vmin")) / n_bins)
+    )
+    binned = (
+        ev.join(F.broadcast(edges), "g")
+        .withColumn(
+            "bin",
+            F.when(F.col("width") == 0.0, F.lit(0)).otherwise(
+                # clamp in the wide type FIRST, cast after — an outlier in
+                # the current period can floor to a value that overflows
+                # int before the clamp would have bounded it
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(n_bins - 1),
+                        F.floor(
+                            (F.col("v") - F.col("vmin")) / F.col("width")
+                        ),
+                    ),
+                ).cast("int")
+            ),
+        )
+        .groupBy("g", "period", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = (
+        edges.select("g")
+        .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))))
+    )
+    totals = binned.groupBy("g", "period").agg(F.sum("cnt").alias("n"))
+    full = (
+        grid.join(
+            binned.filter(F.col("period") == "ref").select(
+                "g", "bin", F.col("cnt").alias("cnt_ref")
+            ),
+            ["g", "bin"],
+            "left",
+        )
+        .join(
+            binned.filter(F.col("period") == "cur").select(
+                "g", "bin", F.col("cnt").alias("cnt_cur")
+            ),
+            ["g", "bin"],
+            "left",
+        )
+        .na.fill(0, ["cnt_ref", "cnt_cur"])
+        .join(
+            F.broadcast(
+                totals.groupBy("g").pivot("period", ["ref", "cur"]).sum("n")
+            ).select(
+                "g",
+                F.coalesce("ref", F.lit(0)).alias("n_ref"),
+                F.coalesce("cur", F.lit(0)).alias("n_cur"),
+            ),
+            "g",
+        )
+    )
+    p = (F.col("cnt_ref") + 0.5) / (F.col("n_ref") + 0.5 * n_bins)
+    q = (F.col("cnt_cur") + 0.5) / (F.col("n_cur") + 0.5 * n_bins)
+    return (
+        full.groupBy("g")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.round(F.sum((p - q) * F.log(p / q)), round_dp)
+            .cast("double")
+            .alias("psi"),
+        )
+        .select(F.col("g").alias(group_col), "n_ref", "n_cur", "psi")
+    )

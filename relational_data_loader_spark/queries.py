@@ -7914,6 +7914,210 @@ GROUP BY 1
 """
 
 
+def q_skyline_orders(spark, sf):
+    """Distributed Pareto frontier (operators/skyline.py skyline_2d):
+    the orders not strictly dominated under (maximize o_totalprice,
+    minimize o_orderdate) — "no other order is both bigger and earlier".
+    The naive form is an O(n²) NOT-EXISTS self-join; the operator prunes
+    map-side with a zero-shuffle per-Arrow-batch skyline (dominated in a
+    batch ⇒ dominated globally), then runs the exact sort-cummin sweep on
+    the surviving distinct pairs. The oracle deliberately IS the naive
+    NOT-EXISTS formulation — an algorithm-independent statement of
+    dominance semantics, so the pruned plan is checked against the
+    definition, not against itself."""
+    from relational_data_loader_spark.operators.skyline import skyline_2d
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    return skyline_2d(o, "o_totalprice", "o_orderdate")
+
+
+SQL_SKYLINE_ORDERS = """
+SELECT a.o_totalprice, a.o_orderdate, a.o_orderkey
+FROM orders a
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders b
+  WHERE b.o_totalprice >= a.o_totalprice
+    AND b.o_orderdate <= a.o_orderdate
+    AND (b.o_totalprice > a.o_totalprice OR b.o_orderdate < a.o_orderdate))
+"""
+
+
+def q_record_linkage(spark, sf):
+    """Entity resolution (operators/linkage.py blocked_edit_linkage):
+    a deterministically dirtied twin of the customer table (id shifted
+    +10M, '#'→'-' in every name, a trailing 'x' on every 14th) is linked
+    back against the clean table by blocking on (nation, segment) and
+    verifying candidates with threshold-banded Levenshtein ≤ 2 — the
+    Fellegi–Sunter candidate/verify split that keeps comparisons at
+    Σ block² instead of corpus². The planted corruptions guarantee every
+    dirty row re-finds its source at distance 1–2; cross-matches to
+    near-identical serial names inside the same block are kept too (they
+    are what the verify stage is FOR — the oracle recomputes the exact
+    same candidate set and band)."""
+    from relational_data_loader_spark.operators.linkage import (
+        blocked_edit_linkage,
+    )
+
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.when(
+            F.col("c_custkey") % 14 == 0,
+            F.concat(F.regexp_replace("c_name", "#", "-"), F.lit("x")),
+        )
+        .otherwise(F.regexp_replace("c_name", "#", "-"))
+        .alias("c_name"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    return blocked_edit_linkage(
+        dirty,
+        cust,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    )
+
+
+SQL_RECORD_LINKAGE = """
+WITH dirty AS (
+  SELECT c_custkey + 10000000 AS id,
+         lower(trim(CASE WHEN c_custkey % 14 = 0
+                         THEN replace(c_name, '#', '-') || 'x'
+                         ELSE replace(c_name, '#', '-') END)) AS name,
+         c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0),
+clean AS (
+  SELECT c_custkey AS id, lower(trim(c_name)) AS name,
+         c_nationkey, c_mktsegment
+  FROM customer)
+SELECT d.id AS left_id, c.id AS right_id,
+       CAST(levenshtein(d.name, c.name) AS INTEGER) AS edit_dist
+FROM dirty d
+JOIN clean c USING (c_nationkey, c_mktsegment)
+WHERE d.id <> c.id AND levenshtein(d.name, c.name) <= 2
+"""
+
+
+def q_psi_drift(spark, sf):
+    """Population Stability Index drift monitor (operators/quality.py
+    psi_drift): each event_type's value histogram in the second half of
+    the time range scored against the first half — the integrated-shift
+    companion to source_length_ks's sup-norm statistic. Equal-width bins
+    over the reference period's exact [min,max] (never engine-specific
+    quantiles), Laplace-smoothed, clamp-then-cast binning, floor-divide
+    midpoint — every choice made so the DuckDB twin is bit-compatible at
+    4 dp. One data shuffle; the grid/edge joins are broadcast metadata."""
+    from relational_data_loader_spark.operators.quality import psi_drift
+
+    ev = _t(spark, sf, "events").select("event_type", "value", "ts")
+    return psi_drift(ev, "event_type", "value", "ts")
+
+
+SQL_PSI_DRIFT = """
+WITH ev0 AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, epoch_us(ts) AS t
+  FROM events),
+mid AS (
+  SELECT CAST(floor((min(t) + max(t)) / 2.0) AS BIGINT) AS t_mid FROM ev0),
+ev AS (
+  SELECT g, v, CASE WHEN t < t_mid THEN 'ref' ELSE 'cur' END AS period
+  FROM ev0 CROSS JOIN mid),
+edges AS (
+  SELECT g, min(v) AS vmin, (max(v) - min(v)) / 10 AS width
+  FROM ev WHERE period = 'ref' GROUP BY g),
+binned AS (
+  SELECT e.g, period,
+         CASE WHEN width = 0 THEN 0
+              ELSE CAST(greatest(0.0, least(9.0,
+                        floor((v - vmin) / width))) AS INTEGER) END AS bin,
+         count(*) AS cnt
+  FROM ev e JOIN edges USING (g) GROUP BY 1, 2, 3),
+grid AS (
+  SELECT g, bin FROM edges
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin)),
+tot AS (
+  SELECT g,
+         CAST(sum(CASE WHEN period = 'ref' THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(sum(CASE WHEN period = 'cur' THEN cnt ELSE 0 END) AS BIGINT)
+           AS n_cur
+  FROM binned GROUP BY g),
+full_grid AS (
+  SELECT grid.g, grid.bin,
+         coalesce(r.cnt, 0) AS cnt_ref, coalesce(c.cnt, 0) AS cnt_cur,
+         tot.n_ref, tot.n_cur
+  FROM grid
+  LEFT JOIN binned r ON r.g = grid.g AND r.bin = grid.bin
+                     AND r.period = 'ref'
+  LEFT JOIN binned c ON c.g = grid.g AND c.bin = grid.bin
+                     AND c.period = 'cur'
+  JOIN tot ON tot.g = grid.g)
+SELECT g AS event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+       CAST(round(sum(
+         ((cnt_ref + 0.5) / (n_ref + 5.0) - (cnt_cur + 0.5) / (n_cur + 5.0))
+         * ln(((cnt_ref + 0.5) / (n_ref + 5.0))
+              / ((cnt_cur + 0.5) / (n_cur + 5.0)))), 4) AS DOUBLE) AS psi
+FROM full_grid
+GROUP BY g
+"""
+
+
+_DECAY_HL_S = 30 * 24 * 3600.0  # 30-day half-life
+
+
+def q_decayed_score_ivm(spark, sf):
+    """Incrementally maintained exponential-decay engagement score
+    (operators/incremental.py decayed_rollup/advance_decayed): per-user
+    Σ value·0.5^((T−t)/30d). The decayed sum is a plain sum in the
+    anchored domain, so the state never rescans history — this entry
+    splits the log at the 80% time mark, aggregates the base at the
+    early anchor, folds the tail with one rescale + outer merge, and the
+    oracle recomputes the WHOLE log directly at the final anchor: the
+    rescale algebra (pow(a)·pow(b)=pow(a+b), distributed over the sum)
+    is verified against the definition, not against itself. Anchors are
+    exact microsecond literals (one 1-row control-plane agg)."""
+    from relational_data_loader_spark.operators.incremental import (
+        advance_decayed,
+        decayed_rollup,
+    )
+
+    ev = _t(spark, sf, "events").select("user_id", "value", "ts")
+    r = ev.agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("t0"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("t1"),
+    ).first()
+    t_split = r["t0"] + (r["t1"] - r["t0"]) * 4 // 5
+    a_mid = F.timestamp_micros(F.lit(t_split))
+    a_end = F.timestamp_micros(F.lit(r["t1"]))
+
+    base = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) < t_split)
+    tail = ev.filter(F.unix_micros(F.col("ts").cast("timestamp")) >= t_split)
+    state = decayed_rollup(base, "user_id", "value", "ts", _DECAY_HL_S, a_mid)
+    delta = decayed_rollup(tail, "user_id", "value", "ts", _DECAY_HL_S, a_end)
+    merged = advance_decayed(state, delta, a_mid, a_end, _DECAY_HL_S)
+    return merged.select(
+        F.col("key").alias("user_id"),
+        F.round("score", 4).cast("double").alias("score"),
+    )
+
+
+SQL_DECAYED_SCORE = """
+WITH span AS (SELECT epoch_us(max(ts)) AS t1 FROM events)
+SELECT user_id,
+       CAST(round(sum(value * power(0.5,
+              CAST(t1 - epoch_us(ts) AS DOUBLE) / 2592000000000.0)), 4)
+            AS DOUBLE) AS score
+FROM events CROSS JOIN span
+GROUP BY user_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "cdc_lww_net": (q_cdc_lww_net, SQL_LWW_NET),
     "cdc_apply_final_state": (q_cdc_apply_final_state, SQL_APPLY_FINAL),
@@ -8119,4 +8323,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_fast_count": (q_cdc_fast_count, SQL_FAST_COUNT),
     "bloom_pruned_lookup": (q_bloom_pruned_lookup, SQL_BLOOM_LOOKUP),
     "bloom_join_filter": (q_bloom_join_filter, SQL_BLOOM_JOIN),
+    "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
+    "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "decayed_score_ivm": (q_decayed_score_ivm, SQL_DECAYED_SCORE),
 }
