@@ -8068,6 +8068,64 @@ GROUP BY g
 """
 
 
+def q_cdc_dblog_backfill_state(spark, sf):
+    """Late-started tailer repaired by DBLog-style chunked backfill
+    (plans/backfill.py): the log's oldest third has expired, so the
+    bootstrap full-refresh only covers the middle window — every key
+    whose history ended in the expired third is missing. The source
+    snapshot at bootstrap time (LWW-alive rows carrying their own
+    last-change lsns) is then merged in 4 key-hash chunks, each an
+    idempotent epoch in the ``backfill`` namespace, INTERLEAVED with two
+    ordinary incremental runs that keep applying the live tail — the
+    exact snapshot-vs-stream race DBLog resolves with log watermarks,
+    resolved here by the sink's existing version-guarded LWW merge
+    (stream lsns > snapshot lsns; merge-path tombstones out-rank
+    snapshot inserts, so deletes landing mid-backfill never resurrect).
+    Oracle: the full-log LWW replay — bootstrap gap, 4 chunks, and both
+    interleaved tails must be invisible in the final state."""
+    import shutil
+
+    from relational_data_loader_spark.plans.backfill import backfill_chunks
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "dblog")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    mx = log.agg(F.max("lsn")).first()[0]
+    cut1, cut2, cut3 = mx // 3, 2 * mx // 3, 5 * mx // 6
+
+    # bootstrap: only the (cut1, cut2] window survives retention
+    log.filter((F.col("lsn") > cut1) & (F.col("lsn") <= cut2)).write.mode(
+        "overwrite"
+    ).parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+
+    # source snapshot AT the bootstrap point (cut2): alive rows + their
+    # true last-change lsns (in production: a chunked SELECT of the live
+    # source; freshness >= bootstrap is the one requirement — see module)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("lsn"))
+    snap = (
+        log.filter(F.col("lsn") <= cut2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
+        .drop("_rn")
+    )
+
+    gen = backfill_chunks(tbl, snap, "conv_id", n_chunks=4)
+    next(gen), next(gen)  # chunks 0-1
+    log.filter(F.col("lsn") <= cut3).write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)  # live tail (cut2, cut3] lands mid-backfill
+    next(gen), next(gen)  # chunks 2-3 race the just-applied tail
+    log.write.mode("overwrite").parquet(log_dir)
+    mgr.run(spec)  # remaining tail (cut3, mx]
+    return tbl.read()
+
+
 _DECAY_HL_S = 30 * 24 * 3600.0  # 30-day half-life
 
 
@@ -8323,6 +8381,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_fast_count": (q_cdc_fast_count, SQL_FAST_COUNT),
     "bloom_pruned_lookup": (q_bloom_pruned_lookup, SQL_BLOOM_LOOKUP),
     "bloom_join_filter": (q_bloom_join_filter, SQL_BLOOM_JOIN),
+    "cdc_dblog_backfill_state": (q_cdc_dblog_backfill_state, SQL_ENGINE_FINAL_STATE),
     "skyline_orders": (q_skyline_orders, SQL_SKYLINE_ORDERS),
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),

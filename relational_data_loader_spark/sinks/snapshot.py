@@ -123,8 +123,9 @@ def epoch_key(epoch_id: int, namespace: str) -> str:
     """Namespaced idempotence key for the applied-epochs set. ``batch``
     epochs are log positions, ``stream`` epochs micro-batch ids, ``dlq``
     epochs dead-letter replay sequence numbers (plans/manager.py
-    replay_dlq) — three independent counters that must never collide."""
-    if namespace not in ("batch", "stream", "dlq"):
+    replay_dlq), ``backfill`` epochs snapshot chunk indexes
+    (plans/backfill.py) — independent counters that must never collide."""
+    if namespace not in ("batch", "stream", "dlq", "backfill"):
         raise ValueError(f"unknown epoch namespace {namespace!r}")
     return f"{namespace}:{int(epoch_id)}"
 
