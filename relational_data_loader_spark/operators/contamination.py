@@ -96,6 +96,132 @@ def repeated_ngrams(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document duplicated spans with token offsets — the
+    span-level exact-substring dedup of Lee et al. ("Deduplicating
+    Training Data Makes Language Models Better"), re-expressed as joins +
+    windows instead of a suffix array.
+
+    A token position is *covered* when the ``k``-token window starting
+    there occurs in at least ``min_docs`` distinct documents; overlapping
+    and adjacent covered windows are merged into maximal spans. Output:
+    ``(doc_id, span_start, span_end, span_tokens)`` — 0-based token
+    offsets, end exclusive. Downstream pipelines cut or down-weight these
+    spans rather than dropping whole documents.
+
+    Plan, inner to outer: one ``posexplode`` of the n-gram transform
+    (tokenized once behind the ``_one_to_one`` Generate barrier) produces
+    ``(doc_id, pos, ngram)``; doc-frequency is the same two-level
+    aggregation as ``repeated_ngrams`` (map-side partials absorb a doc's
+    internal repeats); positions join the df≥min_docs n-gram set on
+    ``ngram`` — a shuffled equi-join, NOT a broadcast, because at corpus
+    scale the duplicated-ngram set is itself corpus-sized (boilerplate),
+    and AQE skew-splitting handles mega-posting n-grams. Span merging is
+    one window per doc over the *surviving* positions only (lag trick:
+    windows sorted by pos merge while ``pos <= prev_pos + k``), so the
+    sort is bounded by a single document's duplicated-position count,
+    never the corpus. No suffix array is needed for fixed-k coverage:
+    the union of duplicated k-windows equals the byte ranges a suffix
+    array would flag at threshold k, up to tokenization granularity.
+    """
+    from pyspark.sql.window import Window
+
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    pos = based.select(
+        "doc_id",
+        F.posexplode(word_ngrams_from_tokens(F.col("_toks"), int(k))).alias(
+            "pos", "ngram"
+        ),
+    )
+    dup = (
+        pos.groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= int(min_docs))
+        .select("ngram")
+    )
+    hit = pos.join(dup, "ngram").select("doc_id", F.col("pos").cast("bigint"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hit.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + int(k)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "_island"
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + int(k)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document rollup of ``duplicated_spans`` coverage:
+    ``(doc_id, n_tokens, n_spans, dup_tokens, dup_frac)`` for EVERY
+    document (zero-filled when nothing is duplicated) — the budget signal
+    a pipeline thresholds on ("drop docs >50% span-duplicated, cut spans
+    otherwise"). One extra broadcast-free left join of the span rollup
+    onto per-doc token counts; token counting is pure codegen on the scan.
+    """
+    spans = (
+        duplicated_spans(docs, text_col, id_col, k=k, min_docs=min_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+        )
+    )
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    return sizes.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"), 4
+        ).alias("dup_frac"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1979,6 +1979,96 @@ FROM per_doc GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_duplicated_spans(spark, sf):
+    """Span-level exact-substring dedup (operators/contamination.py
+    duplicated_spans): maximal token-offset spans whose every 6-gram
+    window occurs in >= 2 distinct documents — the Lee-et-al suffix-array
+    output re-derived with one posexplode, a two-level doc-frequency agg,
+    a shuffled ngram join, and a per-doc lag-merge window."""
+    from relational_data_loader_spark.operators.contamination import (
+        duplicated_spans,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return duplicated_spans(docs, "text", "doc_id", k=6, min_docs=2)
+
+
+# Shared CTE chain for the span queries: 0-based positions, df>=2 6-grams,
+# lag-merge islands (windows at p<q merge while q <= p+6, end exclusive).
+_SQL_SPAN_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(ts[i:i+5], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 5)) AS i
+        FROM toks)),
+dup AS (
+  SELECT ngram FROM (SELECT DISTINCT doc_id, ngram FROM pos)
+  GROUP BY 1 HAVING count(*) >= 2),
+hit AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (ngram)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + 6 THEN 1 ELSE 0 END AS is_new
+  FROM hit
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+islands AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + 6 AS span_end
+  FROM islands GROUP BY doc_id, island)
+"""
+
+SQL_DUPLICATED_SPANS = (
+    _SQL_SPAN_CTE
+    + """
+SELECT doc_id, span_start, span_end, span_end - span_start AS span_tokens
+FROM spans
+"""
+)
+
+
+def q_dup_span_stats(spark, sf):
+    """Per-document duplicated-span coverage (operators/contamination.py
+    dup_span_stats): token count, span count, duplicated-token count and
+    fraction for every document (zero-filled) — the threshold signal for
+    span-cut vs doc-drop policy."""
+    from relational_data_loader_spark.operators.contamination import (
+        dup_span_stats,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return dup_span_stats(docs, "text", "doc_id", k=6, min_docs=2)
+
+
+SQL_DUP_SPAN_STATS = (
+    _SQL_SPAN_CTE
+    + r"""
+, rollup_ AS (
+  SELECT doc_id, count(*) AS n_spans,
+         CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY 1),
+sizes AS (
+  SELECT doc_id,
+         CAST(len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+                               ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(r.n_spans, 0) AS n_spans,
+       coalesce(r.dup_tokens, 0) AS dup_tokens,
+       CAST(round(coalesce(r.dup_tokens, 0) / CAST(s.n_tokens AS DOUBLE), 4)
+            AS DOUBLE) AS dup_frac
+FROM sizes s LEFT JOIN rollup_ r USING (doc_id)
+"""
+)
+
+
 def q_interval_overlap_join(spark, sf):
     """Interval×interval overlap join (operators/range_join.py
     interval_overlap_join): deterministic synthetic intervals over events
@@ -8386,4 +8476,6 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "record_linkage": (q_record_linkage, SQL_RECORD_LINKAGE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "decayed_score_ivm": (q_decayed_score_ivm, SQL_DECAYED_SCORE),
+    "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
+    "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
 }
