@@ -185,6 +185,78 @@ def duplicated_spans(
     )
 
 
+def cut_duplicated_spans(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The corpus-cleaning composition of ``duplicated_spans``: rebuild
+    each document's text with cross-document duplicated windows CUT,
+    keeping exactly one canonical occurrence per n-gram (Lee-et-al's
+    remove-all-but-one policy). Ownership is the deterministic
+    ``min(doc_id)`` per n-gram — the same first-seen convention as
+    ``doc_novelty`` — so the output is a pure function of corpus content.
+
+    Output: ``(doc_id, clean_text, n_tokens, n_cut)`` for EVERY input
+    document (``n_cut = 0`` and text normalized-but-uncut when nothing is
+    shared). Owner documents keep their windows (including internal
+    repeats); non-owners cut every token covered by a duplicated window.
+
+    Plan: the ``duplicated_spans`` chain up to the position join, with the
+    doc-frequency aggregate also carrying ``min(doc_id)`` (one agg, two
+    outputs); covered token positions are a bounded k-fold explode of the
+    surviving windows; reconstruction is one per-doc ``collect_set`` of
+    cut positions (bounded by a single doc's token count) joined back to
+    the tokenized scan and filtered with an index lambda — array ops in
+    codegen, no Python, no per-token shuffle of the full corpus.
+    """
+    based = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _one_to_one(tokens(F.col(text_col)), "_toks"),
+    )
+    pos = based.select(
+        "doc_id",
+        F.posexplode(word_ngrams_from_tokens(F.col("_toks"), int(k))).alias(
+            "pos", "ngram"
+        ),
+    )
+    stats = (
+        pos.groupBy("doc_id", "ngram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("_ndocs"),
+            F.min("doc_id").alias("_owner"),
+        )
+        .filter(F.col("_ndocs") >= int(min_docs))
+        .select("ngram", "_owner")
+    )
+    cutpos = (
+        pos.join(stats, "ngram")
+        .filter(F.col("doc_id") != F.col("_owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + int(k) - 1)
+            ).alias("_tp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("_tp").alias("_cut"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.coalesce(F.array_contains(F.col("_cut"), i), F.lit(False)),
+    )
+    return based.join(cutpos, "doc_id", "left").select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size("_cut"), F.lit(0)).cast("bigint").alias("n_cut"),
+    )
+
+
 def dup_span_stats(
     docs: DataFrame,
     text_col: str,

@@ -2034,6 +2034,57 @@ FROM spans
 )
 
 
+def q_span_cut_corpus(spark, sf):
+    """Remove-all-but-one span cutting (operators/contamination.py
+    cut_duplicated_spans): rebuild every document with cross-doc
+    duplicated 6-gram windows cut, keeping the min-doc_id owner's copy —
+    the cleaning step that consumes duplicated_spans. Per-doc clean text
+    is hash-compared against the oracle's anti-join reconstruction."""
+    from relational_data_loader_spark.operators.contamination import (
+        cut_duplicated_spans,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return cut_duplicated_spans(docs, "text", "doc_id", k=6, min_docs=2)
+
+
+SQL_SPAN_CUT_CORPUS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS ts
+  FROM documents),
+pos AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(ts[i:i+5], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 5)) AS i
+        FROM toks)),
+stats AS (
+  SELECT ngram, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, ngram FROM pos)
+  GROUP BY 1 HAVING count(*) >= 2),
+cutpos AS (
+  SELECT DISTINCT p.doc_id, p.pos + j AS tp
+  FROM pos p JOIN stats s USING (ngram), generate_series(0, 5) g(j)
+  WHERE p.doc_id <> s.owner),
+tokpos AS (
+  SELECT doc_id, ts[i] AS tok, CAST(i - 1 AS INT) AS tp,
+         CAST(len(ts) AS BIGINT) AS n_tokens
+  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+        FROM toks)),
+cuts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut
+         FROM cutpos GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(string_agg(CASE WHEN c.tp IS NULL THEN t.tok END, ' '
+                           ORDER BY t.tp), '') AS clean_text,
+       any_value(t.n_tokens) AS n_tokens,
+       coalesce(any_value(cu.n_cut), 0) AS n_cut
+FROM tokpos t
+LEFT JOIN cutpos c USING (doc_id, tp)
+LEFT JOIN cuts cu ON cu.doc_id = t.doc_id
+GROUP BY t.doc_id
+"""
+
+
 def q_dup_span_stats(spark, sf):
     """Per-document duplicated-span coverage (operators/contamination.py
     dup_span_stats): token count, span count, duplicated-token count and
@@ -8478,4 +8529,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "decayed_score_ivm": (q_decayed_score_ivm, SQL_DECAYED_SCORE),
     "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
+    "span_cut_corpus": (q_span_cut_corpus, SQL_SPAN_CUT_CORPUS),
 }

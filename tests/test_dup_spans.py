@@ -8,6 +8,7 @@ cartesian anywhere in the join chain).
 from pyspark.sql import functions as F
 
 from relational_data_loader_spark.operators.contamination import (
+    cut_duplicated_spans,
     dup_span_stats,
     duplicated_spans,
 )
@@ -73,6 +74,35 @@ def test_dup_span_stats_zero_fill_and_frac(spark):
     assert got[2] == (14, 1, 8, round(8 / 14, 4))
     assert got[3] == (16, 0, 0, 0.0)  # zero-filled, present
     assert got[4] == (3, 0, 0, 0.0)
+
+
+def test_cut_keeps_owner_copy_and_cuts_rest(spark):
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"])
+        for r in cut_duplicated_spans(
+            _docs(spark), "text", "doc_id", k=6
+        ).collect()
+    }
+    # doc 1 is the min-doc_id owner of every shared 6-gram: keeps its text
+    assert got[1] == (_D1, 12, 0)
+    # doc 2 cuts tokens 3..10 (the shared run), keeping the unique rim
+    assert got[2] == ("x y z q r s", 14, 8)
+    # untouched docs come back normalized but uncut
+    assert got[3] == (_D3, 16, 0)
+    assert got[4] == (_D4, 3, 0)
+
+
+def test_cut_can_empty_a_full_duplicate(spark):
+    # doc 21 is a verbatim copy of doc 20: every token is covered, the
+    # non-owner copy empties out entirely.
+    t = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame([(20, t), (21, t)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_cut"])
+        for r in cut_duplicated_spans(df, "text", "doc_id", k=6).collect()
+    }
+    assert got[20] == (t, 0)
+    assert got[21] == ("", 8)
 
 
 def test_plan_no_cartesian(spark):
