@@ -7904,6 +7904,107 @@ JOIN keep k ON a.sig = k.sig AND f.conv_id = k.keeper
 """
 
 
+def q_cdc_pii_scrub_state(spark, sf):
+    """PII scrub as a CDC WRITER (functions/text.py redact_pii + the
+    incremental merge): the change log is replayed with emails planted on
+    a deterministic slice of U rows (lsn % 7 = 0), the live table is
+    swept for PII, and the dirty turns are re-emitted as ordinary UPDATE
+    envelopes at a fresh lsn — in-place legal scrubbing as an auditable,
+    replayable change event instead of a table rewrite. Same payoff as
+    dedup-as-CDC (cdc_dedup_erasure_state) on the update side: CDF
+    consumers see U rows, time travel still serves the pre-scrub state,
+    kill mid-apply resumes exactly-once, and at 10^10 rows the scrub
+    epoch costs one merge over the dirty keys, not a full rewrite. The
+    entry HARD-FAILS if the scrub didn't apply as an incremental merge
+    with upserts and zero deletes, or if any PII survives the merge."""
+    import shutil
+
+    from relational_data_loader_spark.functions.text import (
+        PII_EMAIL_PATTERN,
+        redact_pii,
+    )
+    from relational_data_loader_spark.plans.manager import DataLoadManager
+    from relational_data_loader_spark.spec import transcripts_spec
+
+    base = _state_workdir(sf, "pii_scrub")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "log")
+    log = _derived_changelog(spark, sf)
+    planted = log.withColumn(
+        "text",
+        F.when(
+            (F.col("op") == "U") & (F.col("lsn") % 7 == 0),
+            F.concat(
+                F.col("text"),
+                F.lit(" reach me at user"),
+                F.col("conv_id"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    planted.write.mode("overwrite").parquet(log_dir)
+    spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
+    mgr = DataLoadManager(spark, os.path.join(base, "wh"))
+    mgr.run(spec)
+    tbl = mgr.table(spec)
+    state = tbl.read()
+    dirty = state.filter(F.col("text").rlike(PII_EMAIL_PATTERN))
+    max_lsn = int(tbl.watermark())
+    ups = dirty.select(
+        F.lit(max_lsn + 1).cast("long").alias("lsn"),
+        F.lit("U").alias("op"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        redact_pii(F.col("text")).alias("text"),
+        "tool",
+        "ts",
+    )
+    ups.write.mode("append").parquet(log_dir)
+    r = mgr.run(spec)
+    if (
+        r.decision.kind != "incremental"
+        or r.rows_upserted == 0
+        or r.rows_deleted != 0
+    ):
+        raise AssertionError(
+            f"PII scrub did not apply as incremental updates: "
+            f"{r.decision.kind}, ups={r.rows_upserted}, dels={r.rows_deleted}"
+        )
+    out = tbl.read()
+    if out.filter(F.col("text").rlike(PII_EMAIL_PATTERN)).count() != 0:
+        raise AssertionError("PII survived the scrub merge")
+    return out
+
+
+# LWW over the planted log, then redaction of the final state — identical
+# because redacting already-clean rows is the identity, and the scrub
+# envelopes carry the redaction of each key's LWW winner.
+SQL_PII_SCRUB_STATE = f"""
+WITH ranked AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 37 AS INT) AS turn_idx,
+         event_type AS role,
+         CASE WHEN event_type <> '{DELETE_OP}' AND event_id % 7 = 0
+              THEN event_type || ':' || props
+                   || ' reach me at user' || CAST(user_id AS VARCHAR)
+                   || '@example.com'
+              ELSE event_type || ':' || props END AS text,
+         substr(props, 1, 8) AS tool,
+         ts,
+         event_type = '{DELETE_OP}' AS is_del,
+         row_number() OVER (PARTITION BY user_id, event_id % 37
+                            ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT conv_id, turn_idx, role,
+       regexp_replace(
+         regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS text,
+       tool, ts
+FROM ranked WHERE rn = 1 AND NOT is_del
+"""
+
+
 def q_cdc_fast_count(spark, sf):
     """Metadata-only ``count(*)`` (sinks/snapshot.py fast_count): split
     replay (head full refresh + incremental tail, so the table carries
@@ -8530,4 +8631,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "duplicated_spans": (q_duplicated_spans, SQL_DUPLICATED_SPANS),
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
     "span_cut_corpus": (q_span_cut_corpus, SQL_SPAN_CUT_CORPUS),
+    "cdc_pii_scrub_state": (q_cdc_pii_scrub_state, SQL_PII_SCRUB_STATE),
 }
