@@ -7904,6 +7904,71 @@ JOIN keep k ON a.sig = k.sig AND f.conv_id = k.keeper
 """
 
 
+def q_asof_enrich(spark, sf):
+    """Generic merge_asof (operators/asof.py): each error event enriched
+    with the latest prior click (backward, tolerance 500 event-ids) AND
+    the next following view (forward, same tolerance) per user — the
+    union-window as-of join, one |L|+|R| shuffle per direction, never a
+    range-predicate join. The oracle is DuckDB's native ASOF JOIN with
+    the tolerance applied as a post-join mask."""
+    from relational_data_loader_spark.operators.asof import merge_asof
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "props"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "props"
+    )
+    back = merge_asof(
+        errors, clicks, by="user_id", on="event_id",
+        value_cols=["props"], direction="backward", tolerance=500,
+        suffix="_prev",
+    )
+    both = merge_asof(
+        back, views, by="user_id", on="event_id",
+        value_cols=["props"], direction="forward", tolerance=500,
+        suffix="_next",
+    )
+    return both.select(
+        "user_id",
+        "event_id",
+        "props_prev",
+        F.col("_asof_on_prev").alias("prev_click_id"),
+        "props_next",
+        F.col("_asof_on_next").alias("next_view_id"),
+    )
+
+
+SQL_ASOF_ENRICH = """
+WITH l AS (SELECT user_id, event_id FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, event_id, props FROM events WHERE event_type = 'click'),
+v AS (SELECT user_id, event_id, props FROM events WHERE event_type = 'view'),
+b AS (
+  SELECT l.user_id, l.event_id,
+         CASE WHEN c.event_id IS NOT NULL
+                AND l.event_id - c.event_id <= 500
+              THEN c.props END AS props_prev,
+         CASE WHEN c.event_id IS NOT NULL
+                AND l.event_id - c.event_id <= 500
+              THEN CAST(c.event_id AS DOUBLE) END AS prev_click_id
+  FROM l ASOF LEFT JOIN c
+    ON l.user_id = c.user_id AND l.event_id >= c.event_id)
+SELECT b.user_id, b.event_id, b.props_prev, b.prev_click_id,
+       CASE WHEN v.event_id IS NOT NULL
+              AND v.event_id - b.event_id <= 500
+            THEN v.props END AS props_next,
+       CASE WHEN v.event_id IS NOT NULL
+              AND v.event_id - b.event_id <= 500
+            THEN CAST(v.event_id AS DOUBLE) END AS next_view_id
+FROM b ASOF LEFT JOIN v
+  ON b.user_id = v.user_id AND b.event_id <= v.event_id
+"""
+
+
 def q_cdc_pii_scrub_state(spark, sf):
     """PII scrub as a CDC WRITER (functions/text.py redact_pii + the
     incremental merge): the change log is replayed with emails planted on
@@ -8632,4 +8697,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dup_span_stats": (q_dup_span_stats, SQL_DUP_SPAN_STATS),
     "span_cut_corpus": (q_span_cut_corpus, SQL_SPAN_CUT_CORPUS),
     "cdc_pii_scrub_state": (q_cdc_pii_scrub_state, SQL_PII_SCRUB_STATE),
+    "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
 }
