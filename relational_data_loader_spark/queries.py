@@ -7969,6 +7969,67 @@ FROM b ASOF LEFT JOIN v
 """
 
 
+def q_asof_nearest(spark, sf):
+    """merge_asof direction='nearest' (operators/asof.py): each error
+    event snapped to the CLOSEST click by the same user in either
+    direction (tie → backward, pinned), tolerance 300 event-ids. The
+    oracle re-derives nearest from DuckDB's two directional ASOF joins
+    with the same closest-pick/tie rule — proving the two-pass
+    composition equals the declarative spec."""
+    from relational_data_loader_spark.operators.asof import merge_asof
+
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "props"
+    )
+    out = merge_asof(
+        errors, clicks, by="user_id", on="event_id",
+        value_cols=["props"], direction="nearest", tolerance=300,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("props_r").alias("near_props"),
+        F.col("_asof_on_r").alias("near_click_id"),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH l AS (SELECT user_id, event_id FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, event_id, props FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT l.user_id, l.event_id,
+         c.event_id AS b_id, c.props AS b_props
+  FROM l ASOF LEFT JOIN c
+    ON l.user_id = c.user_id AND l.event_id >= c.event_id),
+f AS (
+  SELECT l.user_id, l.event_id,
+         c.event_id AS f_id, c.props AS f_props
+  FROM l ASOF LEFT JOIN c
+    ON l.user_id = c.user_id AND l.event_id <= c.event_id),
+chosen AS (
+  SELECT b.user_id, b.event_id,
+         CASE WHEN b.b_id IS NOT NULL
+                AND (f.f_id IS NULL
+                     OR b.event_id - b.b_id <= f.f_id - b.event_id)
+              THEN b.b_id ELSE f.f_id END AS near_id,
+         CASE WHEN b.b_id IS NOT NULL
+                AND (f.f_id IS NULL
+                     OR b.event_id - b.b_id <= f.f_id - b.event_id)
+              THEN b.b_props ELSE f.f_props END AS near_props
+  FROM b JOIN f USING (user_id, event_id))
+SELECT user_id, event_id,
+       CASE WHEN near_id IS NOT NULL AND abs(event_id - near_id) <= 300
+            THEN near_props END AS near_props,
+       CASE WHEN near_id IS NOT NULL AND abs(event_id - near_id) <= 300
+            THEN CAST(near_id AS DOUBLE) END AS near_click_id
+FROM chosen
+"""
+
+
 def q_cdc_pii_scrub_state(spark, sf):
     """PII scrub as a CDC WRITER (functions/text.py redact_pii + the
     incremental merge): the change log is replayed with emails planted on
@@ -8698,4 +8759,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "span_cut_corpus": (q_span_cut_corpus, SQL_SPAN_CUT_CORPUS),
     "cdc_pii_scrub_state": (q_cdc_pii_scrub_state, SQL_PII_SCRUB_STATE),
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
+    "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
 }
