@@ -347,3 +347,51 @@ def psi_drift(
         )
         .select(F.col("g").alias(group_col), "n_ref", "n_cur", "psi")
     )
+
+
+def json_schema_drift(
+    df: DataFrame, json_col: str, epoch_col: str
+) -> DataFrame:
+    """Schema-on-read drift for semi-structured payloads: which JSON keys
+    each epoch ADDED or REMOVED relative to the previous epoch — the
+    payload-level twin of the engine's spec-level evolution gate
+    (``spec.compat_level``). CDC sources routinely carry loosely-typed
+    JSON columns whose producers evolve without any registry; this is
+    the monitor that catches a renamed field before downstream
+    ``get_json_object`` extractions silently go NULL.
+
+    Output: ``(epoch, key, status)`` with status ``added`` | ``removed``
+    (reported AT the epoch where the change is first visible); epochs
+    with no drift emit nothing, and the first epoch is the baseline
+    (nothing to compare against). ``epoch_col`` must be a dense integer
+    epoch index (callers bucket lsn/ts however they version releases).
+
+    Plan: ``json_object_keys`` + explode collapses immediately into a
+    distinct (epoch, key) frame — partial aggregation absorbs the per-row
+    key repetition, so the shuffled state is epochs × distinct keys, not
+    rows × keys. Drift is two anti-joins of that tiny frame against its
+    epoch-shifted self; nothing rescans the data after the one distinct.
+    """
+    keys = (
+        df.select(
+            F.col(epoch_col).cast("long").alias("epoch"),
+            F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
+        )
+        .distinct()
+    )
+    epochs = keys.select("epoch").distinct()
+    # epochs that HAVE a predecessor in the data (excludes the baseline
+    # epoch without any driver-side collect)
+    with_prev = epochs.select((F.col("epoch") + 1).alias("epoch")).join(
+        epochs, "epoch", "left_semi"
+    )
+    prev = keys.select((F.col("epoch") + 1).alias("epoch"), "key")
+    added = (
+        keys.join(prev, ["epoch", "key"], "left_anti")
+        .join(with_prev, "epoch", "left_semi")
+        .select("epoch", "key", F.lit("added").alias("status"))
+    )
+    removed = prev.join(keys, ["epoch", "key"], "left_anti").join(
+        epochs, "epoch", "left_semi"
+    ).select("epoch", "key", F.lit("removed").alias("status"))
+    return added.unionByName(removed)

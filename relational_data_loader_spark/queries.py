@@ -7969,6 +7969,59 @@ FROM b ASOF LEFT JOIN v
 """
 
 
+def q_json_schema_drift(spark, sf):
+    """Semi-structured schema drift (operators/quality.py
+    json_schema_drift): keys added/removed per 250-event epoch over a
+    deterministically-evolving JSON payload (a rotating u0/u1 key every
+    epoch, 'extra' on every third, 'sess' from epoch 2) — the
+    schema-on-read monitor for CDC sources whose JSON producers evolve
+    without a registry. The per-row key explode collapses straight into
+    a distinct (epoch, key) frame; drift is two anti-joins of that tiny
+    frame against its epoch-shifted self."""
+    from relational_data_loader_spark.operators.quality import (
+        json_schema_drift,
+    )
+
+    ev = _t(spark, sf, "events")
+    epoch = F.floor(F.col("event_id") / 250)
+    j = F.concat(
+        F.lit('{"k":'),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(epoch % 3 == 0, F.lit(',"extra":1')).otherwise(F.lit("")),
+        F.when(epoch >= 2, F.lit(',"sess":"x"')).otherwise(F.lit("")),
+        F.lit(',"u'),
+        (epoch % 2).cast("string"),
+        F.lit('":true}'),
+    )
+    src = ev.select(epoch.cast("long").alias("rel_epoch"), j.alias("payload"))
+    return json_schema_drift(src, "payload", "rel_epoch")
+
+
+SQL_JSON_SCHEMA_DRIFT = """
+WITH src AS (
+  SELECT CAST(event_id // 250 AS BIGINT) AS epoch,
+         '{"k":' || CAST(event_id % 100 AS VARCHAR)
+         || CASE WHEN (event_id // 250) % 3 = 0 THEN ',"extra":1' ELSE '' END
+         || CASE WHEN event_id // 250 >= 2 THEN ',"sess":"x"' ELSE '' END
+         || ',"u' || CAST((event_id // 250) % 2 AS VARCHAR) || '":true}' AS j
+  FROM events),
+keys AS (SELECT DISTINCT epoch, unnest(json_keys(j)) AS key FROM src),
+epochs AS (SELECT DISTINCT epoch FROM keys),
+prev AS (SELECT epoch + 1 AS epoch, key FROM keys)
+SELECT k.epoch, k.key, 'added' AS status
+FROM keys k
+WHERE EXISTS (SELECT 1 FROM epochs e WHERE e.epoch = k.epoch - 1)
+  AND NOT EXISTS (SELECT 1 FROM prev p
+                  WHERE p.epoch = k.epoch AND p.key = k.key)
+UNION ALL
+SELECT p.epoch, p.key, 'removed' AS status
+FROM prev p
+WHERE EXISTS (SELECT 1 FROM epochs e WHERE e.epoch = p.epoch)
+  AND NOT EXISTS (SELECT 1 FROM keys k2
+                  WHERE k2.epoch = p.epoch AND k2.key = p.key)
+"""
+
+
 def q_asof_nearest(spark, sf):
     """merge_asof direction='nearest' (operators/asof.py): each error
     event snapped to the CLOSEST click by the same user in either
@@ -8760,4 +8813,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_pii_scrub_state": (q_cdc_pii_scrub_state, SQL_PII_SCRUB_STATE),
     "asof_enrich": (q_asof_enrich, SQL_ASOF_ENRICH),
     "asof_nearest": (q_asof_nearest, SQL_ASOF_NEAREST),
+    "json_schema_drift": (q_json_schema_drift, SQL_JSON_SCHEMA_DRIFT),
 }
