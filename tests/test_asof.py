@@ -100,3 +100,63 @@ def test_plan_single_union_window_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2  # one hash partition + AQE read
+
+
+def test_foreachbatch_stream_enrichment_equals_batch(spark, tmp_path):
+    """The production shape for stream enrichment: merge_asof against a
+    static dimension inside foreachBatch. Per-batch as-of is correct
+    because the right side is static and each left row's match is
+    independent of other left rows — so the union of per-batch results
+    must equal the one-shot batch join regardless of how the stream is
+    chunked."""
+    left = [("a", t) for t in (5, 10, 15, 25, 40)] + [("b", 9), ("b", 30)]
+    l_df = spark.createDataFrame(left, "k string, t long")
+    r_df = spark.createDataFrame(
+        [("a", 8, "r8"), ("a", 24, "r24"), ("b", 29, "r29")],
+        "k string, t long, val string",
+    )
+    src = str(tmp_path / "src")
+    # two files -> at least two micro-batches with maxFilesPerTrigger=1
+    l_df.filter(F.col("t") < 15).coalesce(1).write.parquet(src + "/p1")
+    l_df.filter(F.col("t") >= 15).coalesce(1).write.parquet(src + "/p2")
+
+    batches = []
+    stream = (
+        spark.readStream.schema("k string, t long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/p*")
+    )
+
+    def enrich(df, epoch_id):
+        out = merge_asof(
+            df, r_df, by="k", on="t", value_cols=["val"],
+            direction="backward", tolerance=10,
+        )
+        batches.append(out.toPandas())
+
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import pandas as pd
+
+    got = (
+        pd.concat(batches)
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        merge_asof(
+            l_df, r_df, by="k", on="t", value_cols=["val"],
+            direction="backward", tolerance=10,
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert len(batches) >= 2  # genuinely chunked, not one batch
