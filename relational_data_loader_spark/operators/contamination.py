@@ -401,15 +401,28 @@ def embedding_decontamination(
     """
     from pyspark.sql.functions import broadcast
 
-    from relational_data_loader_spark.operators.similarity import cosine_expr
+    from relational_data_loader_spark.operators.similarity import _dot, _norm
 
+    # norms hoisted out of the corpus × benchmark loop (r6, guide §2.3):
+    # once per row on each side instead of once per pair; dot/(cn*bn) is
+    # the same subtree as cosine_expr so the rounded sims are bit-identical
     b = broadcast(
         benchmark.select(
-            F.col(id_col).alias("_b_id"), F.col(emb_col).alias("_b_emb")
+            F.col(id_col).alias("_b_id"),
+            F.col(emb_col).alias("_b_emb"),
+            _norm(F.col(emb_col)).alias("_b_n"),
         )
     )
-    c = corpus.select(F.col(id_col), F.col(emb_col).alias("_c_emb"))
-    sim = F.round(cosine_expr(F.col("_c_emb"), F.col("_b_emb")), round_dp)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(emb_col).alias("_c_emb"),
+        _norm(F.col(emb_col)).alias("_c_n"),
+    )
+    sim = F.round(
+        _dot(F.col("_c_emb"), F.col("_b_emb"))
+        / (F.col("_c_n") * F.col("_b_n")),
+        round_dp,
+    )
     return (
         c.crossJoin(b)
         .groupBy(id_col)

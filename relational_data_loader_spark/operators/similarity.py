@@ -60,11 +60,20 @@ def cosine_topk(
     Ranks on the *rounded* similarity with the candidate id as tie-break so
     results are reproducible across engines and runs.
     """
+    # norms are hoisted out of the pair loop (r6, guide §2.3/§4.1): each
+    # side's L2 norm is computed once per ROW here instead of once per
+    # PAIR inside the join, cutting the per-pair work to the dot fold
+    # alone. dot/(qn*cn) is the same expression tree as cosine_expr, so
+    # sims stay bit-identical.
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        _norm(F.col(emb_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(emb_col).alias("c_emb")
+        F.col(id_col).alias("c_id"),
+        F.col(emb_col).alias("c_emb"),
+        _norm(F.col(emb_col)).alias("_cn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -72,7 +81,11 @@ def cosine_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), round_dp)
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("_qn") * F.col("_cn")),
+                round_dp,
+            )
             .cast("double")
             .alias("sim"),
         )
@@ -338,11 +351,13 @@ def ivf_cosine_topk(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
         F.explode(ivf_probe_expr(emb_col, centroids, nprobe)).alias("cell"),
+        _norm(F.col(emb_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("c_emb"),
         ivf_cell_expr(emb_col, centroids).alias("cell"),
+        _norm(F.col(emb_col)).alias("_cn"),
     )
     sims = (
         c.join(F.broadcast(q), "cell")
@@ -350,7 +365,11 @@ def ivf_cosine_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 3)
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("_qn") * F.col("_cn")),
+                3,
+            )
             .cast("double")
             .alias("sim"),
         )
@@ -396,6 +415,10 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         hyperplane_bucket_expr(emb_col, dim, n_planes).alias("bucket"),
+        # norm hoisted out of the pair loop: once per VECTOR, not per
+        # pair in the self-join below (identical subtree -> bit-identical
+        # sims; r6, guide §2.3/§4.1)
+        _norm(F.col(emb_col)).alias("_nrm"),
     )
     sized = (
         b.groupBy("bucket")
@@ -413,7 +436,11 @@ def embedding_near_dup_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.round(cosine_expr(F.col("x.emb"), F.col("y.emb")), 3)
+            F.round(
+                _dot(F.col("x.emb"), F.col("y.emb"))
+                / (F.col("x._nrm") * F.col("y._nrm")),
+                3,
+            )
             .cast("double")
             .alias("sim"),
         )
@@ -456,6 +483,9 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         ivf_cell_expr(emb_col, centroids).alias("cell"),
+        # norm hoisted out of the Σ|cell|² pair loop — once per vector,
+        # not per pair (identical subtree → bit-identical sims; r6)
+        _norm(F.col(emb_col)).alias("_nrm"),
     )
     sized = (
         b.groupBy("cell")
@@ -473,7 +503,11 @@ def semantic_dedup_pairs(
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.round(cosine_expr(F.col("x.emb"), F.col("y.emb")), 3)
+            F.round(
+                _dot(F.col("x.emb"), F.col("y.emb"))
+                / (F.col("x._nrm") * F.col("y._nrm")),
+                3,
+            )
             .cast("double")
             .alias("sim"),
         )
@@ -501,11 +535,13 @@ def lsh_cosine_topk(
         F.col(id_col).alias("q_id"),
         F.col(emb_col).alias("q_emb"),
         be(queries).alias("bucket"),
+        _norm(F.col(emb_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("c_emb"),
         be(candidates).alias("bucket"),
+        _norm(F.col(emb_col)).alias("_cn"),
     )
     sims = (
         c.join(F.broadcast(q), "bucket")
@@ -513,7 +549,11 @@ def lsh_cosine_topk(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 3)
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("_qn") * F.col("_cn")),
+                3,
+            )
             .cast("double")
             .alias("sim"),
         )
@@ -558,11 +598,17 @@ def label_centroid_cohesion(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("centroid")
     )
+    cent = cent.select(
+        label_col, "centroid", _norm(F.col("centroid")).alias("_ctn")
+    )
     return (
         embs.join(F.broadcast(cent), label_col)
         .select(
             label_col,
-            cosine_expr(F.col(emb_col), F.col("centroid")).alias("cos"),
+            (
+                _dot(F.col(emb_col), F.col("centroid"))
+                / (_norm(F.col(emb_col)) * F.col("_ctn"))
+            ).alias("cos"),
         )
         .groupBy(label_col)
         .agg(
@@ -674,12 +720,24 @@ def sq8_recall_audit(
     Recall = |rows in both top-k sets| / k per query.
     """
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(emb_col).alias("q_emb")
+        F.col(id_col).alias("q_id"),
+        F.col(emb_col).alias("q_emb"),
+        _norm(F.col(emb_col)).alias("_qn"),
     )
+    # all three norms hoisted to once-per-vector (r6): the second select
+    # keeps the quantize→dequantize transform in its own projection so it
+    # is evaluated once per row, then the pair loop pays two dot folds
+    # instead of two dots + four norms
     c = candidates.select(
         F.col(id_col).alias("c_id"),
         F.col(emb_col).alias("c_emb"),
         sq8_dequantized_expr(emb_col).alias("c_deq"),
+    ).select(
+        "c_id",
+        "c_emb",
+        "c_deq",
+        _norm(F.col("c_emb")).alias("_cn"),
+        _norm(F.col("c_deq")).alias("_dn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -687,10 +745,18 @@ def sq8_recall_audit(
         .select(
             "q_id",
             "c_id",
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_emb")), 3)
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("_qn") * F.col("_cn")),
+                3,
+            )
             .cast("double")
             .alias("sim_exact"),
-            F.round(cosine_expr(F.col("q_emb"), F.col("c_deq")), 3)
+            F.round(
+                _dot(F.col("q_emb"), F.col("c_deq"))
+                / (F.col("_qn") * F.col("_dn")),
+                3,
+            )
             .cast("double")
             .alias("sim_sq8"),
         )
