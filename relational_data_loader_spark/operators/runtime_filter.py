@@ -119,7 +119,12 @@ def bloom_semi_filter(
 
     probe_pos = _positions(F.col(fact_key), m_bits, k)
     if n_words <= _LITERAL_MAX_WORDS:
-        arr = F.array(*[F.lit(w).cast("long") for w in words])
+        # ONE array literal, not F.array(*[F.lit(w) ...]): building m/64
+        # Column objects costs one py4j round trip each (~2-4 s of driver
+        # time per query at 2048 words — measured r6), while a single
+        # typed literal ships the whole word list in one call and codegen
+        # references one constant ArrayData. Same values, same probe.
+        arr = F.lit(words).cast("array<long>")
         cond = F.col(fact_key).isNotNull()
         for p in probe_pos:
             word = F.element_at(arr, (F.floor(p / 64) + 1).cast("int"))

@@ -56,16 +56,37 @@ def tree_paths(
     silently wrong.
     """
     c, n = conv_col, node_col
+    # eager=False (r6): the lazy checkpoint is materialized by the next
+    # pending-count probe, fusing checkpoint + probe into ONE Spark job
+    # per doubling round (was two). Block storage and lineage truncation
+    # are unchanged — same discipline as dedup_clusters' loop.
+    # hash-partition the state by conv ONCE (r6): the doubling join's keys
+    # are (conv, node)/(conv, _anc), and HashPartitioning([conv]) on BOTH
+    # sides of the self-join satisfies the join's distribution (subset
+    # rule), so every round joins co-partitioned cache blocks with ZERO
+    # exchanges — the partitioning survives each localCheckpoint (the
+    # LogicalRDD keeps outputPartitioning). One exchange at build time
+    # replaces two per round (guide §2.4).
     state = turns.select(
         c,
         n,
         F.col(parent_col).alias("_anc"),
         F.array(F.col(n)).alias("_seg"),
-    ).localCheckpoint()
+    ).repartition(F.col(c)).localCheckpoint(eager=False)
 
     rounds = 0
+    prev = None
     while True:
-        pending = state.filter(F.col("_anc").isNotNull()).limit(1).count()
+        # full count, no limit: this probe is what MATERIALIZES the lazy
+        # checkpoint, so it must compute every partition (a limit can
+        # short-circuit partitions, which would leave checkpoint blocks
+        # unstored for the self-join below)
+        pending = state.filter(F.col("_anc").isNotNull()).count()
+        if prev is not None:
+            # only NOW is the superseded round safe to free: the lazy
+            # checkpoint just materialized read its blocks
+            _release_checkpoint(prev)
+            prev = None
         if pending == 0:
             break
         if rounds >= max_rounds:
@@ -90,8 +111,8 @@ def tree_paths(
             F.when(F.col(f"l.{n}").isNull(), F.col("s._seg"))
             .otherwise(F.concat(F.col("s._seg"), F.col("l._seg")))
             .alias("_seg"),
-        ).localCheckpoint()
-        _release_checkpoint(state)
+        ).localCheckpoint(eager=False)
+        prev = state
         state = new
 
     parents = (

@@ -1536,7 +1536,18 @@ class SnapshotTable:
         persisted = False
         try:
             # pass 1 — per-bucket stats (touched buckets, counts, max lsn);
-            # also tells us the batch size, which drives the staging choice
+            # also tells us the batch size, which drives the staging choice.
+            # The batch is persisted BEFORE this pass (r6): the stats job
+            # then fills the cache as a side effect, so the merge below
+            # reads cached blocks instead of recomputing the batch's
+            # scan+projection a second time — one batch evaluation per
+            # epoch instead of two. Oversized batches (> stage_threshold)
+            # still move to scratch parquet below, writing the stage FROM
+            # the cache (one pass) and unpersisting immediately, so the
+            # cache never holds a replay-scale batch across consumers (the
+            # round-3 thrash measurement that motivated staging stands).
+            batch = batch.persist()
+            persisted = True
             stat_rows = (
                 batch.groupBy(
                     bucket_expr(self.bucket_key, layout).alias("b")
@@ -1570,14 +1581,14 @@ class SnapshotTable:
             batch_max_lsn = int(max(r["max_lsn"] for r in stat_rows))
 
             if ups + dels > stage_threshold:
-                # stage the batch once; downstream consumers do cheap
+                # stage the batch once (from the cache the stats pass just
+                # filled — one pass); downstream consumers do cheap
                 # column-pruned scans instead of cache reads/recomputes
                 stage_dir = os.path.join(self.path, "data", f".stage-{uuid.uuid4().hex}")
                 batch.write.parquet(stage_dir)
+                batch.unpersist()
+                persisted = False
                 batch = self.spark.read.parquet(stage_dir)
-            else:
-                batch = batch.persist()
-                persisted = True
 
             deltas_prev: dict[str, list[str]] = {
                 b: list(fs) for b, fs in (m.get("deltas") or {}).items()
