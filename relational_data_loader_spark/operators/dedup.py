@@ -200,10 +200,15 @@ def near_dup_pairs_with_handle(
     # pipeline — because the identical subtrees are not exchange-reused in
     # the static plan (measured: 8 parquet scans, 0 ReusedExchange).
     toks = _distinct_tokens(df, text_col, id_col).persist()
+    # sigs too (one row per doc — tiny): the banded self-join reads the
+    # melted band long-form THREE times (bucket-size filter + both join
+    # sides), and without this cache each read re-runs the signature
+    # aggregation over the posting list (r6)
+    sigs = _signatures_from_tokens(toks).persist()
 
     def release() -> None:
         toks.unpersist(blocking=False)
-    sigs = _signatures_from_tokens(toks)
+        sigs.unpersist(blocking=False)
     cand = (
         lsh_candidate_pairs(sigs, max_bucket=max_bucket)
         .select("doc_a", "doc_b")
@@ -269,8 +274,13 @@ def incremental_near_dup_pairs(
     """
     delta_toks = _distinct_tokens(delta_docs, text_col, id_col).persist()
     delta_sigs = _signatures_from_tokens(delta_toks)
+    recomputed_base_sigs = base_sigs is None
     if base_sigs is None:
-        base_sigs = minhash_signatures(base_docs, text_col, id_col)
+        # locally-recomputed base signatures feed the band long-form twice
+        # (size filter + join side); cache them for the call so the base
+        # corpus explode runs once, not twice (r6). A supplied maintained
+        # signature table keeps its caller-owned lifecycle.
+        base_sigs = minhash_signatures(base_docs, text_col, id_col).persist()
     long_delta = _bands_long(delta_sigs)
     long_all = _bands_long(base_sigs).unionByName(long_delta)
     sized = (
@@ -333,6 +343,8 @@ def incremental_near_dup_pairs(
         delta_toks.unpersist(blocking=False)
         cand.unpersist(blocking=False)
         toks.unpersist(blocking=False)
+        if recomputed_base_sigs:
+            base_sigs.unpersist(blocking=False)
 
     pairs.unpersist_postings = release
     return pairs
@@ -418,8 +430,13 @@ def edit_distance_near_dup(
         F.substring(F.col(text_col), 1, trunc_len).alias("_txt"),
     )
     n_parts = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    # signatures cached across the band join's three reads (size filter +
+    # both sides): without this every read re-ran the tokenize+explode+
+    # aggregate chain from the raw corpus (r6). One row per doc; freed as
+    # soon as the candidate set is evaluated downstream of the join.
+    sigs = minhash_signatures(df, text_col, id_col).persist()
     cand = (
-        lsh_candidate_pairs(minhash_signatures(df, text_col, id_col), max_bucket)
+        lsh_candidate_pairs(sigs, max_bucket)
         .select("doc_a", "doc_b")
         .distinct()
         .repartition(n_parts)
@@ -672,11 +689,17 @@ def minhash_estimate_audit(
     audit wants the misses (high estimate, low exact) most of all.
     """
     toks = _distinct_tokens(df, text_col, id_col).persist()
-    sigs = _signatures_from_tokens(toks)
+    # sigs feeds three consumers (band join + both estimate sides) and
+    # cand feeds two (estimate join + exact-intersection join); without
+    # their own caches each consumer re-runs the signature aggregation /
+    # the whole banded self-join — measured as the dominant redundant work
+    # of this audit (r6). Both released with the posting handle.
+    sigs = _signatures_from_tokens(toks).persist()
     cand = (
         lsh_candidate_pairs(sigs, max_bucket=max_bucket)
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
     agree = sum(
         F.when(F.col(f"a.h_{s}") == F.col(f"b.h_{s}"), 1).otherwise(0)
@@ -721,7 +744,12 @@ def minhash_estimate_audit(
         F.round(F.abs(F.col("est_jaccard") - F.coalesce("_exact", F.lit(0.0))), 4)
         .alias("abs_err"),
     )
-    out.unpersist_postings = lambda: toks.unpersist(blocking=False)
+    def _release() -> None:
+        toks.unpersist(blocking=False)
+        sigs.unpersist(blocking=False)
+        cand.unpersist(blocking=False)
+
+    out.unpersist_postings = _release
     return out
 
 

@@ -3142,7 +3142,19 @@ def q_cdc_streaming_state(spark, sf):
     ing = StreamingIngest(
         mgr, spec, os.path.join(base, "ckpt"), stateful_dedup=True
     )
-    ing.run_until_caught_up()
+    # state-store sizing (r6): the stateful dedup commits one delta file +
+    # fsync PER shuffle partition PER micro-batch, and at this fixture's
+    # volume the fsyncs ARE the query — recentProgress read
+    # stateCommitMs ≈ 8-9.5 s summed over 32 stores vs ~100 k input rows.
+    # 8 partitions cuts the commit count 4× (same knob, same rationale and
+    # restore discipline as q_stream_interval_join; production volume
+    # turns it UP, not down). Partitioning cannot change the LWW result.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ing.run_until_caught_up()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return mgr.table(spec).read()
 
 
@@ -7150,12 +7162,17 @@ def q_posting_serving_refresh(spark, sf):
 
     serving = _state_workdir(sf, "serving")
     shutil.rmtree(serving, ignore_errors=True)
-    old_index = posting_index(old_docs, "text", "doc_id")
+    # the OLD index feeds three consumers (bootstrap serving write, the
+    # IVM anti-join inside apply_delta_postings, and the removed-posting
+    # probe inside refresh) — persist it so the synthetic-corpus explode
+    # runs once, not three times (r6); released before returning.
+    old_index = posting_index(old_docs, "text", "doc_id").persist()
     write_serving_postings(old_index, serving, n_buckets=64)
     new_index = apply_delta_postings(old_index, changes, "text", "doc_id")
     refresh_serving_postings(
         spark, new_index, old_index, changes, "text", "doc_id", serving
     )
+    old_index.unpersist(blocking=False)
     return (
         spark.read.parquet(serving)
         .groupBy("tok")

@@ -253,8 +253,10 @@ def test_near_dup_posting_cache_is_releasable(spark):
 
     base = n_cached()
     pairs, release = near_dup_pairs_with_handle(docs, "text", "doc_id")
-    assert pairs.count() == 1          # materializes → cache live
-    assert n_cached() == base + 1
+    assert pairs.count() == 1          # materializes → caches live
+    # two cached frames since r6: the posting list AND the signature table
+    # (the banded self-join reads the signature long-form three times)
+    assert n_cached() == base + 2
     release()
     assert n_cached() == base
     release()                          # idempotent
@@ -262,7 +264,7 @@ def test_near_dup_posting_cache_is_releasable(spark):
     # the convenience wrapper exposes the same handle on the DataFrame
     p2 = near_dup_pairs(docs, "text", "doc_id")
     assert p2.count() == 1
-    assert n_cached() == base + 1
+    assert n_cached() == base + 2
     p2.unpersist_postings()
     assert n_cached() == base
 
