@@ -128,8 +128,12 @@ def pagerank(
             )
             # truncate lineage each round (dedup_clusters lesson: without
             # this the plan — and task serialization — grows linearly in
-            # the round count)
-            .localCheckpoint(eager=True)
+            # the round count). eager=False (r6): the NEXT round's
+            # dangling-mass aggregate is the first action over this frame
+            # and its anti-join scans every partition, so it materializes
+            # the checkpoint in the same job — one job per round instead
+            # of two (same fusion as dedup_clusters/tree_paths).
+            .localCheckpoint(eager=False)
         )
         ranks = new_ranks
     adj.unpersist()
