@@ -3022,7 +3022,10 @@ def _run_engine_replay(
         cut = int(hi) // 2
         log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
         mgr.run(spec)
-        log.write.mode("overwrite").parquet(log_dir)
+        # tail APPEND, not a full rewrite: head files + tail files is the
+        # same directory content as rewriting the whole log, for half the
+        # write (r6; applied to every head-then-tail state entry)
+        log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
         mgr.run(spec)
     else:
         log.write.mode("overwrite").parquet(log_dir)
@@ -3272,7 +3275,7 @@ def q_cdc_wap_publish_state(spark, sf):
     main = mgr.table(spec)
     head_version = main.current_manifest()["version"]
 
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     mgr.run(spec, branch="audit")
     if main.current_manifest()["version"] != head_version:
         raise AssertionError("staged WAP load moved the main pointer")
@@ -3307,7 +3310,7 @@ def q_cdc_chunked_backlog_state(spark, sf):
     spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
     mgr = DataLoadManager(spark, os.path.join(base, "wh"))
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     chunked = transcripts_spec(
         source=f"parquet://{log_dir}",
         target_buckets=8,
@@ -3342,7 +3345,7 @@ def q_cdc_salted_merge_state(spark, sf):
     )
     mgr = DataLoadManager(spark, os.path.join(base, "wh"))
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     r = mgr.run(spec)
     if r.salt_buckets != 8:
         raise AssertionError("salted path not taken")
@@ -3398,7 +3401,7 @@ def q_cdc_rollback_state(spark, sf):
     spec = transcripts_spec(source=f"parquet://{log_dir}", target_buckets=8)
     mgr = DataLoadManager(spark, os.path.join(base, "wh"))
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     mgr.run(spec)
     tbl = mgr.table(spec)
     tbl.rollback(1)
@@ -3440,7 +3443,7 @@ def q_cdc_shadow_rebuild_diff(spark, sf):
     cut = log.agg(F.max("lsn")).first()[0] // 2
     log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     mgr.run(spec)  # main: incremental route
 
     main = mgr.table(spec)
@@ -4129,7 +4132,7 @@ def q_cdc_clone_state(spark, sf):
     prod = DataLoadManager(spark, os.path.join(base, "prod"))
     prod.run(spec)
     prod.table(spec).clone_to(os.path.join(base, "dev", spec.name))
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     dev = DataLoadManager(spark, os.path.join(base, "dev"))
     dev.run(spec)
     return dev.table(spec).read()
@@ -7218,7 +7221,7 @@ def q_cdc_commit_retry_state(spark, sf):
     cut = log.agg(F.max("lsn")).first()[0] // 2
     log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
 
     real_link = os.link
     fired = [False]
@@ -7331,7 +7334,7 @@ def q_cdc_vacuum_state(spark, sf):
     cut = log.agg(F.max("lsn")).first()[0] // 2
     log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     mgr.run(spec)
     tbl = mgr.table(spec)
     tbl.vacuum(keep_manifests=1, orphan_min_age_seconds=0)
@@ -8226,7 +8229,7 @@ def q_cdc_fast_count(spark, sf):
     mgr = DataLoadManager(spark, os.path.join(base, "wh"))
     log.filter(F.col("lsn") <= cut).write.mode("overwrite").parquet(log_dir)
     mgr.run(spec)
-    log.write.mode("overwrite").parquet(log_dir)
+    log.filter(F.col("lsn") > cut).write.mode("append").parquet(log_dir)
     mgr.run(spec)
     fc = mgr.table(spec).fast_count()
     if fc["source"] != "manifest":
