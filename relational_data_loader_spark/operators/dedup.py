@@ -359,7 +359,10 @@ def token_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — at scale this runs
     *after* LSH candidate generation, not instead of it (tests pair them).
     """
-    toks = _distinct_tokens(df, text_col, id_col)
+    # persisted (r6): the posting list feeds THREE consumers (sizes + both
+    # sides of the inverted-index self-join); the cache tokenizes the
+    # corpus once. Released via ``unpersist_postings``.
+    toks = _distinct_tokens(df, text_col, id_col).persist()
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         toks.alias("a")
@@ -371,7 +374,7 @@ def token_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
-    return (
+    out = (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
@@ -381,6 +384,8 @@ def token_jaccard_pairs(
             F.round(jac, 4).cast("double").alias("jaccard"),
         )
     )
+    out.unpersist_postings = lambda: toks.unpersist(blocking=False)
+    return out
 
 
 def edit_distance_near_dup(
@@ -479,7 +484,8 @@ def ngram_containment_pairs(
     ``near_dup_pairs`` does for Jaccard."""
     from relational_data_loader_spark.operators.contamination import word_ngrams
 
-    ng = word_ngrams(df, text_col, id_col, int(n))
+    # persisted (r6): same three-consumer shape as token_jaccard_pairs
+    ng = word_ngrams(df, text_col, id_col, int(n)).persist()
     sizes = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ng.alias("a")
@@ -491,7 +497,7 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     cont = F.col("i") / F.least(F.col("sa.sz"), F.col("sb.sz"))
-    return (
+    out = (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(cont >= threshold)
@@ -501,6 +507,8 @@ def ngram_containment_pairs(
             F.round(cont, 4).cast("double").alias("containment"),
         )
     )
+    out.unpersist_postings = lambda: ng.unpersist(blocking=False)
+    return out
 
 
 def doc_frequency_topk(
@@ -769,14 +777,17 @@ def cross_source_overlap(
     per fingerprint: a boilerplate page duplicated 10^6 times within one
     source contributes ONE (fp, source) row, not 10^12 pairs.
     """
+    # persisted (r6): the distinct fingerprint set feeds both self-join
+    # sides; the cache hashes the corpus once. Released via handle.
     fs = (
         docs.select(
             fingerprint(F.col(text_col)).alias("fp"),
             F.col(source_col).alias("src"),
         )
         .distinct()
+        .persist()
     )
-    return (
+    out = (
         fs.alias("a")
         .join(fs.alias("b"), "fp")
         .filter(F.col("a.src") <= F.col("b.src"))
@@ -785,3 +796,5 @@ def cross_source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
     )
+    out.unpersist_postings = lambda: fs.unpersist(blocking=False)
+    return out

@@ -411,7 +411,11 @@ def embedding_near_dup_pairs(
     documented to the caller (count them with bucket stats if needed), not
     a silent one: the default keeps ≤ ~5·10^7 pairs per degenerate bucket.
     """
-    b = df.select(
+    # persisted (r6): the bucket-assignment projection feeds THREE
+    # consumers (size filter + both self-join sides); the cache computes
+    # the n_planes sign-pattern folds once per vector. Released via the
+    # returned frame's ``unpersist_postings`` handle.
+    assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         hyperplane_bucket_expr(emb_col, dim, n_planes).alias("bucket"),
@@ -419,17 +423,17 @@ def embedding_near_dup_pairs(
         # pair in the self-join below (identical subtree -> bit-identical
         # sims; r6, guide §2.3/§4.1)
         _norm(F.col(emb_col)).alias("_nrm"),
-    )
+    ).persist()
     sized = (
-        b.groupBy("bucket")
+        assigned.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_bucket)
         .select("bucket")
     )
     # the surviving-bucket list is bounded by 2^n_planes rows — broadcast it
     # so the size filter is map-side and only the self-join shuffles vectors
-    b = b.join(F.broadcast(sized), "bucket")
-    return (
+    b = assigned.join(F.broadcast(sized), "bucket")
+    out = (
         b.alias("x")
         .join(b.alias("y"), "bucket")
         .filter(F.col("x.id") < F.col("y.id"))
@@ -446,6 +450,8 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+    out.unpersist_postings = lambda: assigned.unpersist(blocking=False)
+    return out
 
 
 def semantic_dedup_pairs(
@@ -479,24 +485,29 @@ def semantic_dedup_pairs(
     discipline as ``embedding_near_dup_pairs`` / ``lsh_candidate_pairs``,
     so a dropped cell never emits a half-pruned pair.
     """
-    b = df.select(
+    # persisted (r6): this assignment projection feeds THREE consumers —
+    # the cell-size aggregate and both self-join sides — and each would
+    # otherwise re-run the argmax-cosine quantization per row. Released
+    # via the returned frame's ``unpersist_postings`` handle (same
+    # lifecycle convention as operators/dedup.py).
+    assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(emb_col).alias("emb"),
         ivf_cell_expr(emb_col, centroids).alias("cell"),
         # norm hoisted out of the Σ|cell|² pair loop — once per vector,
         # not per pair (identical subtree → bit-identical sims; r6)
         _norm(F.col(emb_col)).alias("_nrm"),
-    )
+    ).persist()
     sized = (
-        b.groupBy("cell")
+        assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_cell)
         .select("cell")
     )
     # ≤ len(centroids) surviving cells — broadcast so the size filter is
     # map-side and only the self-join shuffles vectors (on the cell key)
-    b = b.join(F.broadcast(sized), "cell")
-    return (
+    b = assigned.join(F.broadcast(sized), "cell")
+    out = (
         b.alias("x")
         .join(b.alias("y"), "cell")
         .filter(F.col("x.id") < F.col("y.id"))
@@ -513,6 +524,8 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+    out.unpersist_postings = lambda: assigned.unpersist(blocking=False)
+    return out
 
 
 def lsh_cosine_topk(

@@ -2520,9 +2520,14 @@ def q_semantic_dedup(spark, sf):
     emb = _t(spark, sf, "embeddings")
     centroids = sample_centroids(emb, _IVF_CENTROIDS)
     pairs = semantic_dedup_pairs(emb, centroids, threshold=_SEMDEDUP_TH)
-    return dedup_clusters(
+    # dedup_clusters is EAGER (fixpoint loop over checkpointed labels), so
+    # the pair pipeline's assignment cache is releasable the moment it
+    # returns — same discipline as q_dedup_clusters (r6)
+    out = dedup_clusters(
         emb.select("vec_id"), pairs, "vec_id", a_col="id_a", b_col="id_b"
     )
+    pairs.unpersist_postings()
+    return out
 
 
 def _semdedup_sql(dim: int = 64) -> str:
@@ -8550,11 +8555,18 @@ def q_cdc_dblog_backfill_state(spark, sf):
     # true last-change lsns (in production: a chunked SELECT of the live
     # source; freshness >= bootstrap is the one requirement — see module)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("lsn"))
+    # persist the snapshot ONCE (r6): each of the 4 backfill chunks is a
+    # hash-filtered slice of this frame, and without the cache every
+    # chunk's merge re-ran the full LWW window over the log (4×). In
+    # production the snapshot is a chunked SELECT of the live source —
+    # i.e. read per chunk, not recomputed per chunk — so the cache is the
+    # faithful model, not a shortcut.
     snap = (
         log.filter(F.col("lsn") <= cut2)
         .withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("op") != "D"))
         .drop("_rn")
+        .persist()
     )
 
     gen = backfill_chunks(tbl, snap, "conv_id", n_chunks=4)
@@ -8564,6 +8576,7 @@ def q_cdc_dblog_backfill_state(spark, sf):
     next(gen), next(gen)  # chunks 2-3 race the just-applied tail
     log.write.mode("overwrite").parquet(log_dir)
     mgr.run(spec)  # remaining tail (cut3, mx]
+    snap.unpersist(blocking=False)
     return tbl.read()
 
 
