@@ -166,6 +166,9 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
     )
+    # persisted (r6): tf feeds the document-frequency aggregate AND the
+    # scoring join; without the cache each re-ran the corpus explode.
+    # Size is docs-matching-query x terms — tiny.
     tf = (
         based.select(
             "doc_id",
@@ -175,6 +178,7 @@ def bm25_topk(
         .filter(F.col("tok").isin([str(t) for t in query_terms]))
         .groupBy("doc_id", "dl", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     k1p1 = float(k1) + 1.0
@@ -225,10 +229,12 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         _one_to_one(tokens(F.col(text_col)), "_toks"),
     )
+    # persisted (r6): same two-consumer shape as bm25_topk's tf frame
     tf = (
         based.select("doc_id", F.explode("_toks").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfs = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.col(id_col)).distinct().agg(

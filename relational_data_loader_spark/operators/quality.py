@@ -372,12 +372,17 @@ def json_schema_drift(
     rows × keys. Drift is two anti-joins of that tiny frame against its
     epoch-shifted self; nothing rescans the data after the one distinct.
     """
+    # persisted (r6): this tiny (epochs × keys) frame feeds FIVE consumers
+    # (the epoch list, the shifted copy, and both anti-join sides twice);
+    # without the cache each consumer re-ran the corpus-wide JSON
+    # key-explode + distinct. The cache is epochs × distinct keys — bytes.
     keys = (
         df.select(
             F.col(epoch_col).cast("long").alias("epoch"),
             F.explode(F.json_object_keys(F.col(json_col))).alias("key"),
         )
         .distinct()
+        .persist()
     )
     epochs = keys.select("epoch").distinct()
     # epochs that HAVE a predecessor in the data (excludes the baseline

@@ -6648,7 +6648,12 @@ def q_ivm_cascade_rollup(spark, sf):
         "op", F.when(m11 == 0, F.lit("I")).otherwise(F.lit("U"))
     ).unionByName(cust.filter(m11 == 5).withColumn("op", F.lit("D")))
 
-    prev = join_view(fact_old, dim_old, "o_custkey", "c_custkey", attrs)
+    # the maintained view is MATERIALIZED by definition in an IVM
+    # hierarchy; synthesizing it lazily here made its join re-run for each
+    # of its three consumers (old-row lookup + dim-driven pass inside the
+    # feed, plus the previous rollup) — persist models the stored view
+    # and computes the join once (r6)
+    prev = join_view(fact_old, dim_old, "o_custkey", "c_custkey", attrs).persist()
     feed = join_view_change_feed(
         prev,
         fact_changes,
