@@ -359,10 +359,13 @@ def token_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Quadratic in the worst case — at scale this runs
     *after* LSH candidate generation, not instead of it (tests pair them).
     """
-    # persisted (r6): the posting list feeds THREE consumers (sizes + both
-    # sides of the inverted-index self-join); the cache tokenizes the
-    # corpus once. Released via ``unpersist_postings``.
-    toks = _distinct_tokens(df, text_col, id_col).persist()
+    # NOT persisted (r6, measured): the three consumers (sizes + both
+    # self-join sides) each stream the explode through map-side partial
+    # aggregation, and caching the corpus-sized exploded posting list
+    # costs more than recomputing it (0.43 s -> 0.80 s with the cache at
+    # sf0.1) — the guide §5 rule, recompute wins for cheap-to-produce
+    # larger-than-input frames.
+    toks = _distinct_tokens(df, text_col, id_col)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         toks.alias("a")
@@ -374,7 +377,7 @@ def token_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     jac = F.col("i") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
-    out = (
+    return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= threshold)
@@ -384,8 +387,6 @@ def token_jaccard_pairs(
             F.round(jac, 4).cast("double").alias("jaccard"),
         )
     )
-    out.unpersist_postings = lambda: toks.unpersist(blocking=False)
-    return out
 
 
 def edit_distance_near_dup(
@@ -484,8 +485,9 @@ def ngram_containment_pairs(
     ``near_dup_pairs`` does for Jaccard."""
     from relational_data_loader_spark.operators.contamination import word_ngrams
 
-    # persisted (r6): same three-consumer shape as token_jaccard_pairs
-    ng = word_ngrams(df, text_col, id_col, int(n)).persist()
+    # not persisted — same measured recompute-beats-cache result as
+    # token_jaccard_pairs (the exploded n-gram set is corpus-sized)
+    ng = word_ngrams(df, text_col, id_col, int(n))
     sizes = ng.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         ng.alias("a")
@@ -497,7 +499,7 @@ def ngram_containment_pairs(
         .agg(F.count(F.lit(1)).alias("i"))
     )
     cont = F.col("i") / F.least(F.col("sa.sz"), F.col("sb.sz"))
-    out = (
+    return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(cont >= threshold)
@@ -507,8 +509,6 @@ def ngram_containment_pairs(
             F.round(cont, 4).cast("double").alias("containment"),
         )
     )
-    out.unpersist_postings = lambda: ng.unpersist(blocking=False)
-    return out
 
 
 def doc_frequency_topk(
